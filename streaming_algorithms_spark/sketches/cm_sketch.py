@@ -1,0 +1,194 @@
+"""Count-Min sketch — numpy kernel, dual mode.
+
+Semantics re-expressed from the reference (library/src/cm_sketch.c:24-184,
+library/include/cm_sketch.h, Lua binding lua_binding/cm_sketch.c):
+
+- width = ceil(e / eps), depth = ceil(ln(1/delta))       (cm_sketch.c:27-30)
+- per-row index = (XXH32(key,seed=1) + i*XXH32(key,seed=2) + i*i) % width
+  (Kirsch–Mitzenmacher enhanced double hashing, cm_sketch.c:73-78)
+- point query = min over depth rows
+- uint32 counters, saturating at UINT32_MAX               (cm_sketch.c:94-97)
+- number keys hash as their 8-byte little-endian double bytes
+  (lua_binding/cm_sketch.c:143-158)
+
+Two update modes:
+
+``conservative`` (reference parity): counts[d,w] = max(cnt, est + n),
+order-dependent ``unique_count`` heuristic, negative-n removal floored at the
+current estimate (cm_sketch.c:84-118).  NOT mergeable — updates must be one
+sequential stream.  Exists so the reference's test vectors replay exactly.
+
+``standard`` (distributed): classical CM update counts[d,w] += n.  The sketch
+is then a commutative monoid under cell-wise saturating addition, so
+per-partition partials merge associatively while preserving the published
+bound: point_query(x) >= true_count(x), and <= true_count(x) + eps*N with
+probability >= 1 - delta (N = total item count).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .xxhash import xxh32_batch
+
+_E = 2.718281828459045  # cm_sketch.c:22
+_U32_MAX = np.iinfo(np.uint32).max
+
+
+def key_bytes(key) -> bytes:
+    """Encode a key the way the reference Lua binding does: strings as raw
+    bytes, numbers as 8-byte little-endian doubles (lua_binding/cm_sketch.c:143-158)."""
+    if isinstance(key, bytes):
+        return key
+    if isinstance(key, str):
+        return key.encode("utf-8")
+    if isinstance(key, (int, float)):
+        return np.float64(key).tobytes()
+    raise TypeError(f"unsupported CMS key type: {type(key)}")
+
+
+class CountMinSketch:
+    def __init__(self, epsilon: float = None, delta: float = None, *,
+                 width: int = None, depth: int = None,
+                 mode: str = "standard"):
+        if width is None or depth is None:
+            if not (0.0 < epsilon < 1.0):
+                raise ValueError("epsilon must be in (0,1)")
+            if not (0.0 < delta < 1.0):
+                raise ValueError("delta must be in (0,1)")
+            width = int(math.ceil(_E / epsilon))
+            depth = int(math.ceil(math.log(1.0 / delta)))
+        if mode not in ("standard", "conservative"):
+            raise ValueError(mode)
+        self.width = width
+        self.depth = depth
+        self.mode = mode
+        self.counts = np.zeros((depth, width), np.uint32)
+        self.item_count = 0    # total items added
+        self.unique_count = 0  # conservative-mode heuristic only
+
+    # -- hashing ------------------------------------------------------------
+
+    def _indices(self, keys) -> np.ndarray:
+        """(depth, n) column indices for a batch of byte keys."""
+        h1 = xxh32_batch(keys, 1).astype(np.uint64)
+        h2 = xxh32_batch(keys, 2).astype(np.uint64)
+        i = np.arange(self.depth, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            idx = (h1[None, :] + i * h2[None, :] + i * i) % np.uint64(self.width)
+        return idx.astype(np.int64)
+
+    # -- standard (mergeable) path -------------------------------------------
+
+    def update_batch(self, keys, counts=None) -> None:
+        """Vectorized standard CM update: counts may repeat keys; per-key n
+        defaults to 1.  Saturating uint32 add, merge-safe."""
+        assert self.mode == "standard"
+        keys = [key_bytes(k) for k in keys]
+        if not keys:
+            return
+        if counts is None:
+            counts = np.ones(len(keys), np.int64)
+        else:
+            counts = np.asarray(counts, np.int64)
+        idx = self._indices(keys)
+        acc = np.zeros((self.depth, self.width), np.int64)
+        rows = np.repeat(np.arange(self.depth), idx.shape[1])
+        np.add.at(acc, (rows, idx.ravel()), np.tile(counts, self.depth))
+        merged = self.counts.astype(np.int64) + acc
+        np.clip(merged, 0, _U32_MAX, out=merged)
+        self.counts = merged.astype(np.uint32)
+        self.item_count += int(counts.sum())
+
+    def point_query_batch(self, keys) -> np.ndarray:
+        keys = [key_bytes(k) for k in keys]
+        if not keys:
+            return np.zeros(0, np.uint32)
+        idx = self._indices(keys)
+        vals = self.counts[np.arange(self.depth)[:, None], idx]
+        return vals.min(axis=0)
+
+    def point_query(self, key) -> int:
+        return int(self.point_query_batch([key])[0])
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        """Cell-wise saturating add (classical CM merge). Only valid for
+        standard mode; the reference defines no CMS merge at all (SURVEY §2.1)."""
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("CMS shape mismatch")
+        if self.mode != "standard" or other.mode != "standard":
+            raise ValueError("conservative-mode CMS is not mergeable")
+        s = self.counts.astype(np.int64) + other.counts.astype(np.int64)
+        np.clip(s, 0, _U32_MAX, out=s)
+        self.counts = s.astype(np.uint32)
+        self.item_count += other.item_count
+        return self
+
+    # -- conservative (reference-parity) path ---------------------------------
+
+    def update(self, key, n: int = 1) -> int:
+        """Sequential update replaying cm_sketch.c:66-121 exactly (conservative
+        update, unique-count heuristic, removal floored at estimate).
+        Usable in standard mode too (without conservativeness)."""
+        if self.mode == "standard":
+            if n > 0:
+                self.update_batch([key], [n])
+                return self.point_query(key)
+            kb = key_bytes(key)
+            idx = self._indices([kb])[:, 0]
+            est = int(self.counts[np.arange(self.depth), idx].min())
+            if n < 0 and est != 0:
+                take = min(-n, est)
+                self.counts[np.arange(self.depth), idx] -= np.uint32(take)
+                self.item_count -= take
+                return est - take
+            return est
+        kb = key_bytes(key)
+        idx = self._indices([kb])[:, 0]
+        d = np.arange(self.depth)
+        est = int(self.counts[d, idx].min())
+        if n > 0:
+            if est == 0:
+                self.unique_count += 1
+            added = 0
+            for i in range(self.depth):
+                cnt = int(self.counts[i, idx[i]])
+                if _U32_MAX - cnt < n:
+                    tmp = _U32_MAX - cnt
+                    self.counts[i, idx[i]] = max(cnt, est + tmp)
+                    added = max(added, tmp)
+                else:
+                    self.counts[i, idx[i]] = max(cnt, est + n)
+                    added = max(added, n)
+            self.item_count += added
+            return est + added
+        elif n < 0 and est != 0:
+            n = abs(n)
+            if n >= est:
+                n = est
+                self.unique_count -= 1
+            self.counts[d, idx] -= np.uint32(n)
+            self.item_count -= n
+            return est - n
+        return est
+
+    # -- serialization (mirrors cm_sketch.c:138-184 LE layout) ----------------
+
+    def to_bytes(self) -> bytes:
+        head = np.array([self.item_count, self.unique_count], "<u8").tobytes()
+        return head + self.counts.astype("<u4").tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes, *, width: int, depth: int,
+                   mode: str = "standard") -> "CountMinSketch":
+        expect = 16 + 4 * width * depth
+        if len(buf) != expect:
+            raise ValueError(f"bad CMS buffer: {len(buf)} != {expect}")
+        sk = cls(width=width, depth=depth, mode=mode)
+        head = np.frombuffer(buf[:16], "<u8")
+        sk.item_count = int(head[0])
+        sk.unique_count = int(head[1])
+        sk.counts = np.frombuffer(buf[16:], "<u4").reshape(depth, width).copy()
+        return sk
