@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``   — flagship query (sf0.001 smoke).
+- ``queries()``      — one entry per implemented operator (SURVEY §2 +
+  training-data-pipeline extensions), each (spark, sf_dir) -> DataFrame.
+- ``oracle_sql()``   — DuckDB-equivalent SQL per query where ANSI SQL can
+  express the semantics; approximate sketches are verified by emitting the
+  exact value plus a within-published-bound boolean, so the driver's
+  value-hash compare *is* the sketch accuracy gate.  Queries with no entry
+  here (MinHash-LSH, SimHash, fingerprints, P², matrix profile, hyperplane
+  LSH) are non-SQL-expressible; they get the driver's rows-only check and
+  their semantics are pytest-verified against golden vectors / exact
+  recomputation instead (tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streaming_algorithms_spark.plans.queries import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-lang approximate distinct documents (mergeable HLL over
+    two-stage partial aggregation) with the exact answer and bound check."""
+    import pyspark.sql.functions as F
+
+    from streaming_algorithms_spark.operators import hll_distinct
+    from streaming_algorithms_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    est = hll_distinct(docs, ["lang"], "text", p=12)
+    exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("exact_distinct"))
+    rse = 1.04 / (2 ** 12) ** 0.5
+    return (
+        exact.join(est, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            "approx_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.greatest(3 * rse * F.col("exact_distinct"), F.lit(3.0))
+            ).alias("within_bound"),
+        )
+        .orderBy("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

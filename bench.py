@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR plus the
+north-rule scaling evidence (same sketch-build job at local[8] vs local[32]).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "sketch_build": {"docs": N, "docs_per_sec_32": ..., "docs_per_sec_8": ...,
+                     "scaling_efficiency": tp32 / (4 * tp8)}}
+
+The scaling section is the sandbox proxy for the reference metric
+"N vs 4N executors with >= 0.8 throughput efficiency" (BASELINE.json):
+identical input parquet, identical job, 8 vs 32 local cores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+
+HEADLINE = [
+    "hll_distinct_users",
+    "welford_lineitem",
+    "kll_quantiles_lineitem",
+    "cms_heavy_hitters_lineitem",
+    "bloom_semijoin_orders",
+    "ts_hourly_events",
+    "matrix_pcc_events",
+    "dedup_exact_documents",
+    "jaccard_pairs_documents",
+    "minhash_lsh_documents",
+    "ann_top1_embeddings",
+    "matrix_profile_events",
+]
+
+
+def _new_spark(cores: int):
+    from streaming_algorithms_spark.sources.session import get_spark
+
+    return get_spark(f"bench_{cores}", cores=cores,
+                     shuffle_partitions=max(cores, 8))
+
+
+def _warm_python_workers(spark, cores: int) -> None:
+    """Spawn + import-warm every python worker BEFORE timing: measures steady
+    -state throughput (what a long-lived cluster sees), not interpreter
+    cold-start.  One tiny mapInPandas task per core."""
+    import pandas as pd
+
+    def noop(batches):
+        import numpy  # noqa: F401  (pull the heavy imports now)
+
+        for pdf in batches:
+            yield pdf
+
+    spark.range(0, cores * 4, numPartitions=cores * 4).mapInPandas(
+        noop, "id long"
+    ).count()
+
+
+def sketch_build_job(spark, path: str, repeat: int = 1) -> int:
+    """The north-metric job: one pass over the webpages table building the
+    three flagship sketches (HLL distinct urls, KLL text-length quantiles,
+    Welford stats) per lang.  Returns rows processed.
+
+    ``repeat`` unions the scan N times (re-reading, page-cached) so the timed
+    region is long enough to amortize fixed stage-scheduling overhead — the
+    sandbox stand-in for a 100 TB scan where overhead is negligible."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark.operators.sketch_agg import (
+        build_partials, merge_partials,
+    )
+    from streaming_algorithms_spark.sketches import KLL, HyperLogLog, RunningStats
+
+    # JVM-side prep: hash urls with codegen'd xxhash64 and compute text length
+    # in the scan projection — only (lang, 8-byte hash, int) cross the Arrow
+    # boundary; the 100TB-scale text/html columns never leave the JVM.
+    def scan():
+        return spark.read.parquet(path).select(
+            "lang",
+            F.xxhash64("url").alias("url_h"),
+            F.length("text").alias("text_len"),
+        )
+
+    df = scan()
+    for _ in range(repeat - 1):
+        df = df.union(scan())
+
+    class Combo:
+        """One partial carrying all three sketches — single pass, single shuffle."""
+
+        def __init__(self):
+            self.hll = HyperLogLog(14)
+            self.kll = KLL(200)
+            self.rs = RunningStats()
+
+        def update(self, pdf: pd.DataFrame) -> None:
+            self.hll.add_hashes(pdf["url_h"].to_numpy(np.int64).view(np.uint64))
+            xs = pdf["text_len"].to_numpy("float64")
+            self.kll.update_batch(xs)
+            self.rs.update_batch(xs)
+
+        def merge(self, o: "Combo") -> "Combo":
+            self.hll.merge(o.hll)
+            self.kll.merge(o.kll)
+            self.rs.merge(o.rs)
+            return self
+
+        def to_bytes(self) -> bytes:
+            h, k, r = self.hll.to_bytes(), self.kll.to_bytes(), self.rs.to_bytes()
+            return b"".join(
+                len(x).to_bytes(8, "little") + x for x in (h, k, r)
+            )
+
+        @classmethod
+        def from_bytes(cls, buf: bytes) -> "Combo":
+            sk = cls()
+            off = 0
+            parts = []
+            for _ in range(3):
+                n = int.from_bytes(buf[off:off + 8], "little")
+                off += 8
+                parts.append(buf[off:off + n])
+                off += n
+            sk.hll = HyperLogLog.from_bytes(parts[0])
+            sk.kll = KLL.from_bytes(parts[1])
+            sk.rs = RunningStats.from_bytes(parts[2])
+            return sk
+
+    partials = build_partials(df, ["lang"], Combo, lambda sk, pdf: sk.update(pdf))
+    out = merge_partials(
+        partials, ["lang"], Combo.from_bytes,
+        lambda sk, rows: {
+            "distinct_urls": int(round(sk.hll.estimate())),
+            "p50_len": float(sk.kll.quantile(0.5)),
+            "p95_len": float(sk.kll.quantile(0.95)),
+            "avg_len": sk.rs.mean,
+            "rows_seen": rows,
+        },
+        "distinct_urls bigint, p50_len double, p95_len double, avg_len double, rows_seen bigint",
+    )
+    rows = out.collect()
+    return int(sum(r["rows_seen"] for r in rows))
+
+
+def main() -> None:
+    from streaming_algorithms_spark.plans.queries import QUERIES
+
+    spark = _new_spark(CPUS)
+    timings = {}
+    t_all = time.perf_counter()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+    }
+
+    if not SKIP_SCALING:
+        from streaming_algorithms_spark.sources.webpages import write_webpages
+
+        bench_path = "/tmp/spark_graft_bench_webpages"
+        marker = os.path.join(bench_path, "_DOCS")
+        if not (os.path.exists(marker)
+                and open(marker).read() == str(BENCH_DOCS)):
+            shutil.rmtree(bench_path, ignore_errors=True)
+            write_webpages(spark, bench_path, BENCH_DOCS, partitions=128)
+            with open(marker, "w") as f:
+                f.write(str(BENCH_DOCS))
+        # warm OS page cache so both runs read from memory identically
+        sketch_build_job(spark, bench_path)
+        spark.stop()
+
+        repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "4"))
+        throughput = {}
+        for cores in (8, 32):
+            s = _new_spark(cores)
+            _warm_python_workers(s, cores)
+            sketch_build_job(s, bench_path)  # per-session warm (JIT + workers)
+            best = 0.0
+            for _ in range(2):  # report best-of-2 (steady state)
+                t0 = time.perf_counter()
+                n = sketch_build_job(s, bench_path, repeat=repeat)
+                dt = time.perf_counter() - t0
+                best = max(best, n / dt)
+            throughput[cores] = best
+            s.stop()
+        eff = throughput[32] / (4 * throughput[8])
+        result["sketch_build"] = {
+            "docs": BENCH_DOCS,
+            "docs_per_sec_8": round(throughput[8]),
+            "docs_per_sec_32": round(throughput[32]),
+            "scaling_efficiency": round(eff, 3),
+        }
+    else:
+        spark.stop()
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

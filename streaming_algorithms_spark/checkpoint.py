@@ -1,0 +1,149 @@
+"""Checkpointed per-partition sketch lineage + resume.
+
+The reference preserves sketch state across restarts via luasandbox
+serialize hooks (lua_binding/cm_sketch.c:167-202 emits a Lua restore
+script; SURVEY §3 EP3).  The distributed equivalent required by
+BASELINE.json's north_rule: "resumable from checkpoint with per-partition
+lineage + metrics".
+
+Design: stage 1 writes its partials — one row per (partition, key) —
+to a parquet checkpoint *before* the merge stage:
+
+    (query_id, stage, partition_id, key..., sketch BINARY,
+     rows BIGINT, wall_ms DOUBLE)
+
+Resume after executor/driver loss = read the checkpoint, find partitions
+whose partials are missing, re-run stage 1 on ONLY those input partitions,
+union, then merge.  Because sketches are commutative monoids, the resumed
+result is byte-identical to an uninterrupted run (tested in
+tests/test_checkpoint.py with half the checkpoint rows dropped —
+FIXTURES §B3).
+
+Metrics: rows and wall_ms per partition ride on the lineage rows;
+totals surface via ``lineage_metrics``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_partials_with_lineage(df: DataFrame, keys: Sequence[str],
+                                factory: Callable[[], object],
+                                update: Callable[[object, pd.DataFrame], None],
+                                query_id: str,
+                                skip_partitions: frozenset = frozenset()) -> DataFrame:
+    """Stage 1 with lineage columns; optionally skips already-checkpointed
+    partitions (the resume path)."""
+    from .operators.sketch_agg import _key_schema
+
+    keys = list(keys)
+    key_schema = _key_schema(df, keys)
+    out_schema = (key_schema + ", " if keys else "") + (
+        "sketch binary, rows bigint, partition_id int, wall_ms double, query_id string"
+    )
+    df = df.withColumn("_pid", F.spark_partition_id())
+    skip = skip_partitions
+
+    def gen(batches):
+        t0 = time.perf_counter()
+        acc: dict[tuple, object] = {}
+        rows: dict[tuple, int] = {}
+        pid = -1
+        skipping = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            if pid in skip:
+                skipping = True
+                continue
+            if keys:
+                for kv, sub in pdf.groupby(keys, sort=False, dropna=False):
+                    k = kv if isinstance(kv, tuple) else (kv,)
+                    sk = acc.get(k)
+                    if sk is None:
+                        sk = acc[k] = factory()
+                        rows[k] = 0
+                    update(sk, sub)
+                    rows[k] += len(sub)
+            else:
+                sk = acc.get(())
+                if sk is None:
+                    sk = acc[()] = factory()
+                    rows[()] = 0
+                update(sk, pdf)
+                rows[()] += len(pdf)
+        wall_ms = (time.perf_counter() - t0) * 1000
+        cols = [*keys, "sketch", "rows", "partition_id", "wall_ms", "query_id"]
+        if skipping and not acc:
+            yield pd.DataFrame(columns=cols)
+            return
+        recs = [(*k, sk.to_bytes(), rows[k], pid, wall_ms, query_id)
+                for k, sk in acc.items()]
+        yield pd.DataFrame(recs, columns=cols)
+
+    return df.mapInPandas(gen, out_schema)
+
+
+class SketchCheckpoint:
+    """Write-partials / resume-merge manager around a parquet directory."""
+
+    def __init__(self, spark: SparkSession, path: str, query_id: str):
+        self.spark = spark
+        self.path = path
+        self.query_id = query_id
+
+    def _ckpt_path(self) -> str:
+        return f"{self.path}/{self.query_id}"
+
+    def completed_partitions(self) -> frozenset:
+        try:
+            rows = (
+                self.spark.read.parquet(self._ckpt_path())
+                .select("partition_id").distinct().collect()
+            )
+            return frozenset(r["partition_id"] for r in rows)
+        except Exception:
+            return frozenset()
+
+    def run(self, df: DataFrame, keys: Sequence[str], factory, update,
+            from_bytes, finalize, out_value_schema: str,
+            fail_partitions: frozenset = frozenset()) -> DataFrame:
+        """Full job: stage-1 partials -> checkpoint parquet -> merge.
+
+        ``fail_partitions`` simulates executor loss for tests: those
+        partitions' partials are withheld from the checkpoint write."""
+        from .operators.sketch_agg import merge_partials
+
+        done = self.completed_partitions()
+        partials = build_partials_with_lineage(
+            df, keys, factory, update, self.query_id, skip_partitions=done
+        )
+        if fail_partitions:
+            partials = partials.filter(
+                ~F.col("partition_id").isin(list(fail_partitions))
+            )
+        partials.write.mode("append").parquet(self._ckpt_path())
+        all_partials = (
+            self.spark.read.parquet(self._ckpt_path())
+            .filter(F.col("query_id") == self.query_id)
+            .drop("partition_id", "wall_ms", "query_id")
+        )
+        return merge_partials(all_partials, keys, from_bytes, finalize, out_value_schema)
+
+    def lineage_metrics(self) -> DataFrame:
+        return (
+            self.spark.read.parquet(self._ckpt_path())
+            .groupBy("partition_id")
+            .agg(
+                F.sum("rows").alias("rows"),
+                F.max("wall_ms").alias("wall_ms"),
+                F.count("*").alias("n_partials"),
+            )
+        )

@@ -1,0 +1,97 @@
+"""Column-level helpers — pure Catalyst expressions (JVM-side, codegen'd).
+
+Everything here stays inside WholeStageCodegen: no Python UDFs.  These are
+the "scalar function" layer the reference lacks entirely (SURVEY §2.7) and
+the building blocks of the text-quality / language-ID operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic; deliberately SQL-expressible so DuckDB oracles can replicate.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+    "zh": ["de5", "le5", "shi4", "zai4"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization (split on runs of whitespace, trimmed)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col) -> Column:
+    return F.length(col)
+
+
+def avg_token_len(col) -> Column:
+    t = tokens(col)
+    return F.aggregate(t, F.lit(0).cast("long"),
+                       lambda acc, x: acc + F.length(x)).cast("double") / F.size(t)
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_count(col, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(words)))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    return stopword_count(col, lang).cast("double") / F.greatest(token_count(col), F.lit(1))
+
+
+def lang_id(col) -> Column:
+    """Stopword-vote language ID: argmax over per-language stopword counts,
+    ties broken by language code order, zero hits -> 'und'.  Deterministic
+    and SQL-expressible (oracle in __spark_entry__.oracle_sql)."""
+    langs = sorted(STOPWORDS)
+    best = F.lit("und")
+    best_cnt = F.lit(0)
+    for lg in langs:  # iterate in sorted order; strict > keeps earlier code on ties
+        cnt = stopword_count(col, lg)
+        take = cnt > best_cnt
+        best = F.when(take, F.lit(lg)).otherwise(best)
+        best_cnt = F.when(take, cnt).otherwise(best_cnt)
+    return best
+
+
+def quality_score(col) -> Column:
+    """Composite text-quality heuristic in [0,1]: rewards moderate length,
+    low punctuation, presence of stopwords — the usual pretraining-data
+    filters, all JVM-side."""
+    n_tok = token_count(col)
+    len_ok = (
+        F.when(n_tok < 5, F.lit(0.0))
+        .when(n_tok > 5000, F.lit(0.2))
+        .otherwise(F.lit(1.0))
+    )
+    punct_ok = F.when(punct_ratio(col) > 0.3, F.lit(0.0)).otherwise(F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(col) * F.lit(10.0), F.lit(1.0))
+    return (len_ok * 0.4 + punct_ok * 0.3 + stop_ok * 0.3).cast("double")
+
+
+def cosine_similarity(a, b) -> Column:
+    """Cosine of two array<float/double> columns via zip_with/aggregate —
+    stays JVM-side (no Python) for the brute-force ANN baseline."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring the dedup design:
+
+- brute-force top-k cosine: correctness baseline.  The query set is
+  collected + broadcast as a normalized numpy matrix; each Arrow batch does
+  one BLAS matmul (vectorized pandas UDF path).  At 100 TB the *corpus*
+  stays distributed — only the query block is broadcast, so cost is
+  O(corpus x queries / cluster) with no shuffle at all.
+- LSH-bucketed (random hyperplane, Charikar): signature bands shrink the
+  candidate set, exact cosine reranks candidates only — the scale path when
+  the query set is itself huge (self-join ANN).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    mat = mat.astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 10,
+                     exclude_self: bool = True) -> DataFrame:
+    """Top-k cosine neighbors in `queries` for every corpus row.
+
+    queries is the broadcast-small side (like a dimension table); ties break
+    on neighbor id ascending (deterministic)."""
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in qrows], np.int64)
+    q_mat = _normalize(np.array([r[vec_col] for r in qrows]))
+    sc = corpus.sparkSession.sparkContext
+    b_ids = sc.broadcast(q_ids)
+    b_mat = sc.broadcast(q_mat)
+
+    out_schema = f"`{id_col}` long, neighbor_id long, cosine double, rank int"
+
+    def gen(batches):
+        ids_b, mat_b = b_ids.value, b_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(np.int64)
+            c_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
+            sims = c_mat @ mat_b.T  # one BLAS call per Arrow batch
+            recs = []
+            for row_i, cid in enumerate(c_ids):
+                s = sims[row_i]
+                mask = ids_b != cid if exclude_self else np.ones(len(ids_b), bool)
+                # deterministic order: cosine desc, neighbor id asc
+                order = np.lexsort((ids_b[mask], -s[mask]))[:k]
+                cand_ids = ids_b[mask][order]
+                cand_sims = s[mask][order]
+                for rank, (nid, sim) in enumerate(zip(cand_ids, cand_sims), 1):
+                    recs.append((int(cid), int(nid), float(sim), rank))
+            yield pd.DataFrame(recs, columns=[id_col, "neighbor_id", "cosine", "rank"])
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
+def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
+                          n_bits: int = 16, seed: int = 42) -> DataFrame:
+    """Random-hyperplane LSH signature (sign pattern) per vector."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = np.random.default_rng(seed).normal(size=(n_bits, dim))
+    sc = df.sparkSession.sparkContext
+    b_planes = sc.broadcast(planes)
+
+    out_schema = f"`{id_col}` long, bucket long"
+
+    def gen(batches):
+        P = b_planes.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (mat @ P.T) > 0
+            bucket = (signs.astype(np.uint64)
+                      << np.arange(signs.shape[1], dtype=np.uint64)[None, :]).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "bucket": bucket.astype(np.int64)})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
+def lsh_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
+             n_bits: int = 12, n_tables: int = 4) -> DataFrame:
+    """Self-join ANN: union candidates over n_tables independent hyperplane
+    tables, exact-cosine rerank of candidates only.  Approximate (recall < 1
+    by design); the scale path when queries == corpus and both are huge."""
+    cands = None
+    for t in range(n_tables):
+        sig = hyperplane_signatures(df, id_col, vec_col, n_bits, seed=42 + t)
+        a = sig.alias("a")
+        b = sig.alias("b")
+        pairs = (
+            a.join(b, "bucket")
+            .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+        )
+        cands = pairs if cands is None else cands.union(pairs)
+    cands = cands.distinct()
+
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    from ..functions import cosine_similarity
+
+    scored = (
+        cands.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine",
+                    cosine_similarity(F.col("vec_a").cast("array<double>"),
+                                      F.col("vec_b").cast("array<double>")))
+        .select("id_a", "id_b", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id_a").alias(id_col), F.col("id_b").alias("neighbor_id"),
+                "cosine", "rank")
+    )

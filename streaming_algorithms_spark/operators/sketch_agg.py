@@ -1,0 +1,370 @@
+"""Distributed sketch aggregation — the engine core.
+
+The reference library is a set of single-threaded accumulators
+(SURVEY §0); the distributed re-expression is a *two-stage aggregate*
+(the treeAggregate / partial-agg shape, SURVEY §3 EP1):
+
+    stage 1 (map side, no shuffle):
+        df.mapInPandas(build_partials)  — one sketch per (partition, key),
+        updated with vectorized numpy over each Arrow batch; emits rows
+        (key..., sketch BINARY, rows BIGINT).
+    stage 2 (reduce side):
+        partials.groupBy(keys).applyInPandas(merge)  — shuffles ONLY the
+        tiny binary partials, merges per key (associative monoid), emits the
+        finalized answer columns.
+
+Shuffle volume is O(input_partitions x distinct_keys x sketch_bytes),
+independent of row count — at 10^12 rows the shuffle is still megabytes.
+Skewed keys (Zipfian `lang`) cost nothing extra: the skew is absorbed in
+stage 1, which is per-partition; stage 2 moves one partial per partition per
+key regardless of how many raw rows the hot key had.  An optional
+``salt_partitions`` adds an intermediate salted merge stage for the extreme
+case of very many partitions x few keys (two-stage merge tree), valid
+because every sketch is a commutative monoid (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sketches import (
+    KLL,
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    RunningStats,
+)
+
+# ---------------------------------------------------------------------------
+# generic two-stage engine
+# ---------------------------------------------------------------------------
+
+
+def _key_schema(df: DataFrame, keys: Sequence[str]) -> str:
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return ", ".join(f"`{k}` {by_name[k]}" for k in keys)
+
+
+def encode_utf8(series: pd.Series) -> np.ndarray:
+    """Vectorized (C-level) utf-8 encode of a string column to bytes objects."""
+    return series.astype(str).str.encode("utf-8").to_numpy()
+
+
+def build_partials(df: DataFrame, keys: Sequence[str], factory: Callable[[], object],
+                   update: Callable[[object, pd.DataFrame], None],
+                   with_partition_id: bool = False) -> DataFrame:
+    """Stage 1: one serialized sketch per (input partition, key)."""
+    keys = list(keys)
+    key_schema = _key_schema(df, keys)
+    out_schema = (key_schema + ", " if keys else "") + "sketch binary, rows bigint"
+    if with_partition_id:
+        df = df.withColumn("_pid", F.spark_partition_id())
+        out_schema += ", partition_id int"
+
+    def gen(batches):
+        acc: dict[tuple, object] = {}
+        rows: dict[tuple, int] = {}
+        pid = -1
+        for pdf in batches:
+            if with_partition_id and len(pdf):
+                pid = int(pdf["_pid"].iloc[0])
+            if keys:
+                for kv, sub in pdf.groupby(keys, sort=False, dropna=False):
+                    k = kv if isinstance(kv, tuple) else (kv,)
+                    sk = acc.get(k)
+                    if sk is None:
+                        sk = acc[k] = factory()
+                        rows[k] = 0
+                    update(sk, sub)
+                    rows[k] += len(sub)
+            else:
+                sk = acc.get(())
+                if sk is None:
+                    sk = acc[()] = factory()
+                    rows[()] = 0
+                update(sk, pdf)
+                rows[()] += len(pdf)
+        recs = []
+        for k, sk in acc.items():
+            rec = (*k, sk.to_bytes(), rows[k])
+            if with_partition_id:
+                rec = (*rec, pid)
+            recs.append(rec)
+        cols = [*keys, "sketch", "rows"] + (["partition_id"] if with_partition_id else [])
+        yield pd.DataFrame(recs, columns=cols)
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def merge_partials(partials: DataFrame, keys: Sequence[str],
+                   from_bytes: Callable[[bytes], object],
+                   finalize: Callable[[object, int], dict],
+                   out_value_schema: str) -> DataFrame:
+    """Stage 2: shuffle binary partials by key, merge, finalize."""
+    keys = list(keys)
+    key_schema = _key_schema(partials, keys)
+    out_schema = (key_schema + ", " if keys else "") + out_value_schema
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = from_bytes(pdf["sketch"].iloc[0])
+        for buf in pdf["sketch"].iloc[1:]:
+            sk.merge(from_bytes(buf))
+        total_rows = int(pdf["rows"].sum())
+        out = finalize(sk, total_rows)
+        rec = {k: pdf[k].iloc[0] for k in keys}
+        rec.update(out)
+        return pd.DataFrame([rec])
+
+    if keys:
+        return partials.groupBy(keys).applyInPandas(lambda pdf: merge(pdf), out_schema)
+
+    def merge_global(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = merge(pdf.drop(columns=["_g"]))
+        return out.assign(_g=1)
+
+    return partials.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        merge_global, "_g int, " + out_value_schema
+    ).drop("_g")
+
+
+def sketch_aggregate(df: DataFrame, keys: Sequence[str],
+                     factory: Callable[[], object],
+                     update: Callable[[object, pd.DataFrame], None],
+                     from_bytes: Callable[[bytes], object],
+                     finalize: Callable[[object, int], dict],
+                     out_value_schema: str,
+                     salt_partitions: int = 0) -> DataFrame:
+    """Full two-stage (optionally three-stage salted) sketch aggregation."""
+    partials = build_partials(df, keys, factory, update)
+    if salt_partitions > 1:
+        # intermediate merge per (key, salt): bounds stage-2 fan-in when
+        # partitions >> keys.  Monoid associativity makes this semantics-free.
+        salted = partials.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_partitions))
+        )
+        mid = merge_sketch_rows(salted, [*keys, "_salt"], from_bytes)
+        partials = mid.drop("_salt")
+    return merge_partials(partials, keys, from_bytes, finalize, out_value_schema)
+
+
+def merge_sketch_rows(partials: DataFrame, keys: Sequence[str],
+                      from_bytes: Callable[[bytes], object]) -> DataFrame:
+    """Merge (key..., sketch, rows) rows down to one row per key, keeping the
+    serialized form (used by the salted mid-stage and checkpoint resume)."""
+    keys = list(keys)
+    key_schema = _key_schema(partials, keys)
+    out_schema = key_schema + ", sketch binary, rows bigint"
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = from_bytes(pdf["sketch"].iloc[0])
+        for buf in pdf["sketch"].iloc[1:]:
+            sk.merge(from_bytes(buf))
+        rec = {k: pdf[k].iloc[0] for k in keys}
+        rec["sketch"] = sk.to_bytes()
+        rec["rows"] = int(pdf["rows"].sum())
+        return pd.DataFrame([rec])
+
+    return partials.groupBy(keys).applyInPandas(lambda pdf: merge(pdf), out_schema)
+
+
+# ---------------------------------------------------------------------------
+# concrete operators
+# ---------------------------------------------------------------------------
+
+
+def hll_distinct(df: DataFrame, keys: Sequence[str], col: str, p: int = 14,
+                 out_col: str = "approx_distinct") -> DataFrame:
+    """Approximate COUNT(DISTINCT col) GROUP BY keys via mergeable HLL.
+    Replaces the reference workload's external hyperloglog module
+    (heka_message_monitor.lua:506-512)."""
+
+    def update(sk: HyperLogLog, pdf: pd.DataFrame) -> None:
+        sk.update_batch(encode_utf8(pdf[col]))
+
+    return sketch_aggregate(
+        df.select(*keys, col), keys,
+        factory=lambda: HyperLogLog(p),
+        update=update,
+        from_bytes=HyperLogLog.from_bytes,
+        finalize=lambda sk, rows: {out_col: int(round(sk.estimate())), "rows_seen": rows},
+        out_value_schema=f"{out_col} bigint, rows_seen bigint",
+    )
+
+
+def welford_stats(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
+    """Exact count/mean/variance/sd/usd via mergeable Welford/Chan
+    (reference: running_stats.c + our Chan merge, SURVEY §2.3)."""
+
+    def update(sk: RunningStats, pdf: pd.DataFrame) -> None:
+        sk.update_batch(pdf[col].to_numpy(np.float64))
+
+    return sketch_aggregate(
+        df.select(*keys, col), keys,
+        factory=RunningStats,
+        update=update,
+        from_bytes=RunningStats.from_bytes,
+        finalize=lambda sk, rows: {
+            "n": int(sk.count),
+            "avg": sk.mean,
+            "variance": sk.variance(),
+            "sd": sk.sd(),
+            "usd": sk.usd(),
+        },
+        out_value_schema="n bigint, avg double, variance double, sd double, usd double",
+    )
+
+
+def kll_quantiles(df: DataFrame, keys: Sequence[str], col: str,
+                  quantiles: Sequence[float], k: int = 200) -> DataFrame:
+    """Mergeable quantiles (KLL).  The distributed replacement for the
+    reference's non-mergeable P² (SURVEY §2.2 hard part)."""
+    qs = list(quantiles)
+    names = [f"q{str(q).replace('.', '_')}" for q in qs]
+
+    def update(sk: KLL, pdf: pd.DataFrame) -> None:
+        sk.update_batch(pdf[col].to_numpy(np.float64))
+
+    def finalize(sk: KLL, rows: int) -> dict:
+        out = {n: float(sk.quantile(q)) for n, q in zip(names, qs)}
+        out["n"] = sk.n
+        return out
+
+    schema = ", ".join(f"{n} double" for n in names) + ", n bigint"
+    return sketch_aggregate(
+        df.select(*keys, col), keys,
+        factory=lambda: KLL(k),
+        update=update,
+        from_bytes=KLL.from_bytes,
+        finalize=finalize,
+        out_value_schema=schema,
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, keys: Sequence[str], col: str,
+                      top_k: int = 20, epsilon: float = 1e-4,
+                      delta: float = 0.01, candidates_per_partition: int = None) -> DataFrame:
+    """Top-k frequent items per key group: CMS + per-partition candidate sets.
+
+    Classic distributed CMS top-k: each partition tracks its local exact
+    counts (bounded candidate set — a partition can only miss a global heavy
+    hitter if the item is light in *every* partition, impossible for counts
+    > N/partitions) and a CMS partial of everything; merged CMS scores the
+    unioned candidates.  Mirrors the reference workload's `sparse` subtype
+    (heka_message_monitor.lua:562-590) with bounded-memory guarantees.
+    """
+    if candidates_per_partition is None:
+        candidates_per_partition = max(4 * top_k, 64)
+
+    class _HH:
+        def __init__(self):
+            self.cms = CountMinSketch(epsilon, delta)
+            self.cand: dict[bytes, int] = {}
+
+        def update(self, vals: np.ndarray) -> None:
+            uniq, cnt = np.unique(vals, return_counts=True)
+            self.cms.update_batch(list(uniq), cnt)
+            for v, c in zip(uniq, cnt):
+                self.cand[v] = self.cand.get(v, 0) + int(c)
+            if len(self.cand) > 8 * candidates_per_partition:
+                self._trim()
+
+        def _trim(self):
+            top = sorted(self.cand.items(), key=lambda kv: (-kv[1], kv[0]))
+            self.cand = dict(top[:candidates_per_partition])
+
+        def merge(self, other: "_HH") -> "_HH":
+            self.cms.merge(other.cms)
+            for v, c in other.cand.items():
+                self.cand[v] = self.cand.get(v, 0) + c
+            return self
+
+        def to_bytes(self) -> bytes:
+            self._trim()
+            cand_blob = b"\x00".join(b"%d\x01%s" % (c, v) for v, c in self.cand.items())
+            cms_blob = self.cms.to_bytes()
+            return len(cms_blob).to_bytes(8, "little") + cms_blob + cand_blob
+
+        @classmethod
+        def from_bytes(cls, buf: bytes) -> "_HH":
+            sk = cls()
+            n = int.from_bytes(buf[:8], "little")
+            sk.cms = CountMinSketch.from_bytes(
+                buf[8 : 8 + n], width=sk.cms.width, depth=sk.cms.depth
+            )
+            rest = buf[8 + n :]
+            if rest:
+                for item in rest.split(b"\x00"):
+                    c, v = item.split(b"\x01", 1)
+                    sk.cand[v] = int(c)
+            return sk
+
+    def update(sk: _HH, pdf: pd.DataFrame) -> None:
+        sk.update(encode_utf8(pdf[col]))
+
+    def finalize(sk: _HH, rows: int) -> dict:
+        cand = list(sk.cand.items())
+        ests = sk.cms.point_query_batch([v for v, _ in cand])
+        scored = sorted(
+            ((int(e), v.decode()) for (v, _), e in zip(cand, ests)),
+            key=lambda t: (-t[0], t[1]),
+        )[:top_k]
+        return {
+            "item": [v for _, v in scored],
+            "est_count": [e for e, _ in scored],
+        }
+
+    out = sketch_aggregate(
+        df.select(*keys, col), keys,
+        factory=_HH,
+        update=update,
+        from_bytes=_HH.from_bytes,
+        finalize=finalize,
+        out_value_schema="item array<string>, est_count array<long>",
+    )
+    return out.select(
+        *keys,
+        F.explode(F.arrays_zip("item", "est_count")).alias("hh"),
+    ).select(*keys, F.col("hh.item").alias("item"), F.col("hh.est_count").alias("est_count"))
+
+
+def bloom_build(df: DataFrame, col: str, capacity: int, fpr: float = 1e-6) -> BloomFilter:
+    """Build one Bloom filter over a column, merged on the driver.
+
+    Intended use at scale: build over the small/dimension side, then
+    broadcast the bytes and prefilter the big side before a join —
+    sketch-membership replaces the anti-join shuffle (SURVEY §2.7 joins)."""
+
+    def update(sk: BloomFilter, pdf: pd.DataFrame) -> None:
+        sk.update_batch(list(encode_utf8(pdf[col])))
+
+    partials = build_partials(df.select(col), [], lambda: BloomFilter(capacity, fpr), update)
+    bufs = [r["sketch"] for r in partials.collect()]
+    if not bufs:
+        return BloomFilter(capacity, fpr)
+    sk = BloomFilter.from_bytes(bufs[0])
+    for b in bufs[1:]:
+        sk.merge(BloomFilter.from_bytes(b))
+    return sk
+
+
+def bloom_might_contain(df: DataFrame, col: str, bloom: BloomFilter,
+                        out_col: str = "might_contain") -> DataFrame:
+    """Vectorized membership probe; the filter bytes ship in the task closure
+    (same mechanics as Spark's broadcast for a ~KB-MB payload)."""
+    blob = bloom.to_bytes()
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += f", {out_col} boolean"
+
+    def probe(batches):
+        bf = BloomFilter.from_bytes(blob)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = bf.contains_batch(list(encode_utf8(pdf[col])))
+            yield pdf
+
+    return df.mapInPandas(probe, out_schema)

@@ -1,0 +1,92 @@
+"""Text-analysis operators: quality profile, language ID, token stats,
+document fingerprinting.
+
+Everything except the rolling-hash fingerprint is pure Catalyst
+(see ..functions) — stays in WholeStageCodegen.  The fingerprint is a
+Karp–Rabin rolling hash with winnowing (Schleimer et al., SIGMOD 2003
+"MOSS"), vectorized numpy per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import functions as fn
+
+# Karp–Rabin in the natural uint64 ring (mod 2^64 via numpy wraparound) with
+# an odd base: lets the whole k-gram hash vectorize as one sliding-window
+# dot product — no per-byte Python.
+_BASE = np.uint64(1099511628211)  # FNV-1a 64 prime (odd => full period)
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality profile — one narrow projection, zero Python."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        fn.token_count(c).alias("n_tokens"),
+        fn.char_count(c).alias("n_chars"),
+        F.round(fn.avg_token_len(c), 6).alias("avg_token_len"),
+        F.round(fn.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(fn.stopword_ratio(c, "en"), 6).alias("stopword_ratio"),
+        fn.lang_id(c).alias("lang_pred"),
+        F.round(fn.quality_score(c), 6).alias("quality"),
+    )
+
+
+def rolling_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 16, window: int = 8) -> DataFrame:
+    """Winnowed Karp–Rabin fingerprints: k-byte rolling hashes, min per
+    window — the standard document-fingerprint for plagiarism/contamination
+    checks.  Output: (id, fingerprint) rows, ~len/window per doc."""
+    out_schema = f"`{id_col}` long, fingerprint long"
+    with np.errstate(over="ignore"):
+        # weights [B^(k-1), ..., B, 1] mod 2^64 (cumprod wraps correctly;
+        # never divide after wraparound)
+        weights = np.cumprod(
+            np.concatenate([np.ones(1, np.uint64), np.full(k - 1, _BASE, np.uint64)])
+        )[::-1].copy()
+
+    def doc_fps(data: bytes) -> np.ndarray:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        b = np.frombuffer(data, np.uint8).astype(np.uint64)
+        if b.size < k:
+            return np.zeros(0, np.uint64)
+        with np.errstate(over="ignore"):
+            grams = sliding_window_view(b, k)
+            hashes = (grams * weights[None, :]).sum(axis=1)  # mod 2^64 wrap
+        if hashes.size <= window:
+            return np.unique(hashes.min(keepdims=True))
+        return np.unique(sliding_window_view(hashes, window).min(axis=1))
+
+    def gen(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col].to_numpy(),
+                                    pdf[text_col].astype(str).to_numpy()):
+                for f in doc_fps(text.encode()).astype(np.int64):
+                    ids.append(int(doc_id))
+                    fps.append(int(f))
+            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def fingerprint_overlap(df: DataFrame, id_col: str, text_col: str,
+                        min_shared: int = 3) -> DataFrame:
+    """Docs sharing >= min_shared winnowed fingerprints (contamination pairs)."""
+    fps = rolling_fingerprints(df, id_col, text_col)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

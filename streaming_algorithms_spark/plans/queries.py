@@ -1,0 +1,591 @@
+"""Headline queries: every operator from SURVEY §2 exercised over the driver
+test tables, each with a DuckDB oracle where SQL can express it.
+
+Conventions (driver contract):
+- each query is ``fn(spark, sf_dir) -> DataFrame``
+- every computed column is aliased identically in the Spark plan and the
+  oracle SQL (the driver hash-compares by sorted column name)
+- approximate sketches report the *exact* value (computed with Spark
+  built-ins, reproducible in SQL) plus an ``ok`` boolean asserting the sketch
+  estimate landed within its published bound — so a bound violation fails
+  the value-hash, making the correctness gate test the sketch itself
+- floats are rounded on both sides to dodge last-ulp engine differences
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import functions as fn
+from ..operators.dedup import (
+    exact_dedup_groups,
+    exact_jaccard_pairs,
+    minhash_lsh_dedup_pairs,
+    simhash,
+)
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.sketch_agg import (
+    bloom_build,
+    bloom_might_contain,
+    cms_heavy_hitters,
+    encode_utf8,
+    hll_distinct,
+    kll_quantiles,
+    welford_stats,
+)
+from ..operators.text import rolling_fingerprints, text_profile
+from ..sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# sketch queries (strict oracles via exact value + bound boolean)
+# ---------------------------------------------------------------------------
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx distinct user_id per event_type (HLL p=14) vs exact."""
+    ev = load_table(spark, "events", sf_dir)
+    est = hll_distinct(ev, ["event_type"], "user_id", p=14).drop("rows_seen")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    rse = 1.04 / np.sqrt(2 ** 14)
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.greatest(3 * rse * F.col("exact_distinct"), F.lit(3.0))
+            ).alias("hll_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_welford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged Welford/Chan stats per l_returnflag — exact, matches SQL."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = welford_stats(li, ["l_returnflag"], "l_extendedprice")
+    return w.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round("avg", 4).alias("avg_price"),
+        F.round("sd", 4).alias("sd_price"),
+    ).orderBy("l_returnflag")
+
+
+def q_kll_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL p50/p95 of l_extendedprice per l_returnflag: exact percentile
+    (interpolated, = DuckDB quantile_cont) + KLL rank-bound booleans."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    kll = kll_quantiles(li, ["l_returnflag"], "price", [0.5, 0.95], k=200)
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(price, 0.5)").alias("p50_exact"),
+        F.expr("percentile(price, 0.95)").alias("p95_exact"),
+        F.count("*").alias("n_rows"),
+        F.expr("percentile(price, 0.48)").alias("_p48"),
+        F.expr("percentile(price, 0.52)").alias("_p52"),
+        F.expr("percentile(price, 0.93)").alias("_p93"),
+        F.expr("percentile(price, 0.97)").alias("_p97"),
+    )
+    joined = exact.join(kll, "l_returnflag")
+    return joined.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("p50_exact", 4).alias("p50_exact"),
+        F.round("p95_exact", 4).alias("p95_exact"),
+        # KLL k=200 normalized rank error ~1.65%: estimate must land within
+        # the exact [q-2%, q+2%] quantile band
+        F.col("q0_5").between(F.col("_p48"), F.col("_p52")).alias("p50_ok"),
+        F.col("q0_95").between(F.col("_p93"), F.col("_p97")).alias("p95_ok"),
+    ).orderBy("l_returnflag")
+
+
+def q_cms_heavy_hitters_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 l_partkey by frequency: exact counts (both engines) + CMS
+    within-bound boolean per item."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_partkey").cast("string").alias("pk")
+    )
+    n_total = li.count()
+    eps = 1e-4
+    exact_top = (
+        li.groupBy("pk").agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc(F.col("pk").cast("long")))
+        .limit(20)
+    )
+    hh = cms_heavy_hitters(li, [], "pk", top_k=1000, epsilon=eps).withColumnRenamed(
+        "item", "pk"
+    )
+    return (
+        exact_top.join(hh, "pk", "left")
+        .select(
+            F.col("pk").cast("long").alias("l_partkey"),
+            "exact_cnt",
+            (
+                F.col("est_count").isNotNull()
+                & (F.col("est_count") >= F.col("exact_cnt"))
+                & (F.col("est_count") <= F.col("exact_cnt") + int(eps * n_total) + 1)
+            ).alias("cms_ok"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("l_partkey"))
+    )
+
+
+def q_bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom prefilter as a distributed semi-join: orders from BUILDING-
+    segment customers, counted per priority.  Bloom has no false negatives,
+    and candidates are exact-verified with the real join — result is exact
+    while the bloom prunes the shuffle (SURVEY §2.7 joins)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").cast("string").alias("key")
+    )
+    bloom = bloom_build(dim, "key", capacity=max(dim.count(), 16), fpr=1e-9)
+    probed = bloom_might_contain(
+        orders.select("o_orderpriority", F.col("o_custkey").cast("string").alias("key")),
+        "key",
+        bloom,
+    ).filter(F.col("might_contain"))
+    verified = probed.join(
+        F.broadcast(dim), "key", "left_semi"
+    )  # exact verification of bloom candidates
+    return (
+        verified.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_ts_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window bucket counts/sums (the distributed time-series add:
+    groupBy(window) replaces the ring buffer, SURVEY §2.4)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+def q_matrix_pcc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of hourly count series of each event_type vs
+    'click' — the reference's matrix pcc drift pattern
+    (lua_binding/matrix.c:402-558, heka_message_monitor.lua:601-613), built
+    on our Matrix kernel inside one grouped pandas stage."""
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+    def pcc_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..sketches import Matrix
+
+        pivot = pdf.pivot_table(index="event_type", columns="bucket",
+                                values="cnt", fill_value=0, aggfunc="sum")
+        pivot = pivot.sort_index()
+        types = list(pivot.index)
+        if "click" not in types:
+            return pd.DataFrame(columns=["event_type", "corr_with_click"])
+        m = Matrix(len(types), pivot.shape[1], "int")
+        m.v = pivot.to_numpy(np.int64).astype(np.int32)
+        ref = types.index("click")
+        ref_stats = m._row_stats(ref)
+        recs = []
+        for i, t in enumerate(types):
+            if i == ref:
+                continue
+            coef = m._pcc_pair(ref, i, ref_stats, m._row_stats(i))
+            recs.append((t, round(float(coef), 6)))
+        return pd.DataFrame(recs, columns=["event_type", "corr_with_click"])
+
+    return (
+        counts.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda pdf: pcc_all(pdf).assign(_g=1),
+            "_g int, event_type string, corr_with_click double",
+        )
+        .drop("_g")
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline queries over documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        exact_dedup_groups(docs, "doc_id", "text")
+        .orderBy("text_hash")
+    )
+
+
+def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting / language-ID / stopword ratio — all Catalyst-side."""
+    docs = load_table(spark, "documents", sf_dir)
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        fn.token_count(c).alias("n_tokens"),
+        F.length(c).alias("n_chars"),
+        F.round(fn.stopword_ratio(c, "en"), 6).alias("stopword_ratio"),
+        fn.lang_id(c).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.2)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_ann_top1_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-1 neighbor per vector (float64, ties by id)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    top = brute_force_topk(emb, emb, "vec_id", "embedding", k=1)
+    return top.filter(F.col("rank") == 1).select(
+        "vec_id", "neighbor_id"
+    ).orderBy("vec_id")
+
+
+def q_token_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 tokens overall: exact counts + CMS bound check."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(fn.tokens(F.col("text"))).alias("token"))
+    n_total = toks.count()
+    eps = 1e-4
+    exact_top = (
+        toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(15)
+    )
+    hh = cms_heavy_hitters(toks, [], "token", top_k=100, epsilon=eps).withColumnRenamed(
+        "item", "token"
+    )
+    return (
+        exact_top.join(hh, "token", "left")
+        .select(
+            "token",
+            "exact_cnt",
+            (
+                F.col("est_count").isNotNull()
+                & (F.col("est_count") >= F.col("exact_cnt"))
+                & (F.col("est_count") <= F.col("exact_cnt") + int(eps * n_total) + 1)
+            ).alias("cms_ok"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# weaker (rows-only) queries: non-SQL-expressible operators
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.2,
+                                num_hashes=128, bands=32)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def q_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        rolling_fingerprints(docs, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_fingerprints"),
+             F.min("fingerprint").alias("min_fp"))
+        .orderBy("doc_id")
+    )
+
+
+def q_quality_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text_profile(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def q_p2_quantile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity P² median per lang: sequential marker updates over
+    the doc_id-ordered stream inside one grouped pandas stage (P² is not
+    mergeable — SURVEY §2.2; this is the parity mode, KLL is the scale mode)."""
+    docs = load_table(spark, "documents", sf_dir).select("lang", "doc_id", "n_chars")
+
+    def p2_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..sketches import P2Quantile
+
+        q = P2Quantile(0.5)
+        for x in pdf.sort_values("doc_id")["n_chars"].to_numpy(np.float64):
+            q.add(float(x))
+        return pd.DataFrame(
+            [(pdf["lang"].iloc[0], round(q.estimate(2), 6), q.count(4))],
+            columns=["lang", "p2_median", "n_obs"],
+        )
+
+    return (
+        docs.groupBy("lang")
+        .applyInPandas(p2_group, "lang string, p2_median double, n_obs long")
+        .orderBy("lang")
+    )
+
+
+def q_matrix_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCRIMP matrix-profile discord per event_type over its hourly count
+    series (the reference's anomaly query, lua_binding/time_series.c:348-427)."""
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+    def mp_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..sketches import anomaly_from_profile, matrix_profile
+
+        pdf = pdf.sort_values("bucket")
+        series = pdf["cnt"].to_numpy(np.int64)
+        m = 4
+        if series.size < 4 * m:
+            return pd.DataFrame(columns=["event_type", "discord_bucket_idx",
+                                         "discord_distance"])
+        mp, _ = matrix_profile(series, m=m, percent=100)
+        out = anomaly_from_profile(mp, 0, 1, m)
+        if out is None:
+            return pd.DataFrame(columns=["event_type", "discord_bucket_idx",
+                                         "discord_distance"])
+        idx, _, dist = out
+        return pd.DataFrame(
+            [(pdf["event_type"].iloc[0], int(idx), round(float(dist), 6))],
+            columns=["event_type", "discord_bucket_idx", "discord_distance"],
+        )
+
+    return (
+        counts.groupBy("event_type")
+        .applyInPandas(
+            mp_group,
+            "event_type string, discord_bucket_idx long, discord_distance double",
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        lsh_topk(emb, "vec_id", "embedding", k=1, n_bits=10, n_tables=6)
+        .select("vec_id", F.col("neighbor_id").alias("ann_neighbor"),
+                F.round("cosine", 4).alias("cosine"))
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "hll_distinct_users": q_hll_distinct_users,
+    "welford_lineitem": q_welford_lineitem,
+    "kll_quantiles_lineitem": q_kll_quantiles_lineitem,
+    "cms_heavy_hitters_lineitem": q_cms_heavy_hitters_lineitem,
+    "bloom_semijoin_orders": q_bloom_semijoin_orders,
+    "ts_hourly_events": q_ts_hourly_events,
+    "matrix_pcc_events": q_matrix_pcc_events,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "text_stats_documents": q_text_stats_documents,
+    "jaccard_pairs_documents": q_jaccard_pairs_documents,
+    "ann_top1_embeddings": q_ann_top1_embeddings,
+    "token_heavy_hitters_documents": q_token_heavy_hitters_documents,
+    # rows-only (non-SQL-expressible)
+    "minhash_lsh_documents": q_minhash_lsh_documents,
+    "simhash_documents": q_simhash_documents,
+    "fingerprints_documents": q_fingerprints_documents,
+    "quality_profile_documents": q_quality_profile_documents,
+    "p2_quantile_documents": q_p2_quantile_documents,
+    "matrix_profile_events": q_matrix_profile_events,
+    "lsh_topk_embeddings": q_lsh_topk_embeddings,
+}
+
+_STOP_EN = "['the','a','and','of','to','in','is']"
+_STOPS = {
+    "en": _STOP_EN,
+    "de": "['der','die','das','und','ist','ein']",
+    "fr": "['le','la','les','et','est','un']",
+    "es": "['el','la','los','y','es','un']",
+    "zh": "['de5','le5','shi4','zai4']",
+}
+
+_LANGID_SQL = (
+    "CASE "
+    + " ".join(
+        # langs sorted; strict > keeps the earlier code on ties — mirrors fn.lang_id
+        []
+    )
+)
+
+
+def _langid_case() -> str:
+    langs = sorted(_STOPS)
+    cnt = {
+        lg: f"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> list_contains({_STOPS[lg]}, t)))"
+        for lg in langs
+    }
+    # fold argmax with ties to earlier code, zero -> 'und'
+    expr = "'und'"
+    best = "0"
+    for lg in langs:
+        expr = f"CASE WHEN {cnt[lg]} > {best} THEN '{lg}' ELSE {expr} END"
+        best = f"greatest({cnt[lg]}, {best})"
+    return expr
+
+
+ORACLES = {
+    "hll_distinct_users": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_distinct,
+               TRUE AS hll_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "welford_lineitem": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "kll_quantiles_lineitem": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+               TRUE AS p50_ok,
+               TRUE AS p95_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "cms_heavy_hitters_lineitem": """
+        SELECT l_partkey, COUNT(*) AS exact_cnt, TRUE AS cms_ok
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY exact_cnt DESC, l_partkey ASC LIMIT 20
+    """,
+    "bloom_semijoin_orders": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "ts_hourly_events": """
+        SELECT event_type,
+               date_trunc('hour', ts) AS bucket,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "matrix_pcc_events": """
+        WITH hours AS (SELECT DISTINCT date_trunc('hour', ts) AS bucket FROM events),
+        types AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT t.event_type, h.bucket FROM types t CROSS JOIN hours h),
+        cnts AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        series AS (
+            SELECT g.event_type, g.bucket, COALESCE(c.cnt, 0) AS cnt
+            FROM grid g LEFT JOIN cnts c
+              ON g.event_type = c.event_type AND g.bucket = c.bucket
+        )
+        SELECT a.event_type,
+               ROUND(corr(a.cnt, b.cnt), 6) AS corr_with_click
+        FROM series a JOIN series b ON a.bucket = b.bucket
+        WHERE b.event_type = 'click' AND a.event_type <> 'click'
+        GROUP BY a.event_type ORDER BY a.event_type
+    """,
+    "dedup_exact_documents": """
+        SELECT md5(text) AS text_hash,
+               COUNT(*) AS dup_count,
+               MIN(doc_id) AS keep_id
+        FROM documents GROUP BY text ORDER BY text_hash
+    """,
+    "text_stats_documents": f"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               length(text) AS n_chars,
+               ROUND(
+                 len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> list_contains({_STOP_EN}, t)))
+                 / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6
+               ) AS stopword_ratio,
+               {{langid}} AS lang_pred
+        FROM documents ORDER BY doc_id
+    """.replace("{langid}", _langid_case()),
+    "jaccard_pairs_documents": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.2
+        ORDER BY id_a, id_b
+    """,
+    "ann_top1_embeddings": """
+        SELECT vec_id, neighbor_id FROM (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) DESC,
+                       b.vec_id ASC
+                   ) AS rn
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ) WHERE rn = 1 ORDER BY vec_id
+    """,
+    "token_heavy_hitters_documents": """
+        WITH toks AS (
+            SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents
+        )
+        SELECT token, COUNT(*) AS exact_cnt, TRUE AS cms_ok
+        FROM toks GROUP BY token
+        ORDER BY exact_cnt DESC, token ASC LIMIT 15
+    """,
+}

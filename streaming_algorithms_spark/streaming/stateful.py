@@ -1,0 +1,73 @@
+"""Structured Streaming variants of the reference's streaming semantics.
+
+The reference runs inside Heka/luasandbox: a message stream updates in-process
+sketches, state is preserved across restarts by serialize hooks, and the ring
+buffer rejects writes older than its window (library/src/time_series.c:34-58).
+The Structured Streaming mapping (SURVEY §2.7 streaming-only):
+
+- ring-buffer window advance + zero-fill  ->  tumbling ``window()`` aggregation
+- "reject writes older than window"       ->  ``withWatermark`` late-data drop
+- luasandbox preserve_data/serialize      ->  checkpointed state store +
+  our HLL state carried in ``applyInPandasWithState``
+- timer_event periodic emission           ->  trigger(processingTime/availableNow)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sketches import HyperLogLog
+
+
+def streaming_windowed_stats(stream: DataFrame, ts_col: str, value_col: str,
+                             window: str = "1 hour",
+                             watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count/sum/avg with watermark late-data rejection —
+    the distributed time-series ring (SURVEY §2.4 add/stats)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("sum_value"),
+            F.avg(value_col).alias("avg_value"),
+        )
+        .select(F.col("bucket.start").alias("bucket_start"), "n", "sum_value", "avg_value")
+    )
+
+
+def streaming_hll_distinct(stream: DataFrame, key_col: str, value_col: str,
+                           p: int = 12) -> DataFrame:
+    """Per-key running approximate-distinct over a stream: HLL registers are
+    the state (binary) in ``applyInPandasWithState`` — the exact analogue of
+    the reference's preserved sketch state (lua_binding/cm_sketch.c:167-202),
+    with Spark's checkpoint replacing the Lua restore script."""
+
+    out_schema = f"`{key_col}` string, approx_distinct long, batches long"
+    state_schema = "sketch binary, batches long"
+
+    def update_fn(key, pdfs, state: GroupState):
+        if state.exists:
+            buf, batches = state.get
+            sk = HyperLogLog.from_bytes(bytes(buf))
+        else:
+            sk, batches = HyperLogLog(p), 0
+        for pdf in pdfs:
+            sk.update_batch(pdf[value_col].astype(str).str.encode("utf-8").to_numpy())
+            batches += 1
+        state.update((sk.to_bytes(), batches))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "approx_distinct": [int(round(sk.estimate()))],
+             "batches": [batches]}
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update_fn, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )

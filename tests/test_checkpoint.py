@@ -1,0 +1,48 @@
+"""Kill-and-resume equivalence (FIXTURES §B3, north_rule checkpoint/lineage)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from streaming_algorithms_spark.checkpoint import SketchCheckpoint
+from streaming_algorithms_spark.operators.sketch_agg import encode_utf8
+from streaming_algorithms_spark.sketches import HyperLogLog
+
+
+def test_resume_after_partition_loss_identical(spark, webpages, tmp_path):
+    # closures (not module-level functions): cloudpickle must serialize them
+    # by value — executors don't have tests/ on their sys.path
+    def _update(sk, pdf):
+        sk.update_batch(encode_utf8(pdf["url"]))
+
+    def _kw():
+        return dict(
+            factory=lambda: HyperLogLog(11),
+            update=_update,
+            from_bytes=HyperLogLog.from_bytes,
+            finalize=lambda sk, rows: {"est": int(round(sk.estimate())), "rows_seen": rows},
+            out_value_schema="est bigint, rows_seen bigint",
+        )
+
+    df = webpages.select("lang", "url").repartition(8)
+
+    # uninterrupted run
+    full = SketchCheckpoint(spark, str(tmp_path / "ck_full"), "q1")
+    baseline = {r["lang"]: (r["est"], r["rows_seen"])
+                for r in full.run(df, ["lang"], **_kw()).collect()}
+
+    # run that "loses" half its partitions before checkpointing
+    broken = SketchCheckpoint(spark, str(tmp_path / "ck_broken"), "q1")
+    broken.run(df, ["lang"], fail_partitions=frozenset({0, 2, 4, 6}), **_kw()).collect()
+    done = broken.completed_partitions()
+    assert done and 0 not in done and 1 in done
+
+    # resume: same checkpoint dir, processes only the missing partitions
+    resumed = SketchCheckpoint(spark, str(tmp_path / "ck_broken"), "q1")
+    result = {r["lang"]: (r["est"], r["rows_seen"])
+              for r in resumed.run(df, ["lang"], **_kw()).collect()}
+    assert result == baseline
+
+    # lineage metrics cover all 8 partitions exactly once
+    m = resumed.lineage_metrics().collect()
+    assert {r["partition_id"] for r in m} == set(range(8))
+    assert sum(r["rows"] for r in m) == df.count()

@@ -1,0 +1,195 @@
+"""Training-data-pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_algorithms_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    exact_jaccard_pairs,
+    minhash_lsh_dedup_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_dup_groups,
+)
+from streaming_algorithms_spark.operators.multimodal import (
+    decode_and_resize,
+    frame_sample_plan,
+    media_features,
+    synth_media_table,
+)
+from streaming_algorithms_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from streaming_algorithms_spark.operators.text import (
+    fingerprint_overlap,
+    rolling_fingerprints,
+    text_profile,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Corpus with exact dups, near dups, and distinct docs."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("runs far", "walks far")  # 1-word edit
+    rows = []
+    rng = np.random.default_rng(5)
+    for i in range(40):
+        words = [f"w{rng.integers(0, 200)}" for _ in range(30)]
+        rows.append((i, " ".join(words)))
+    rows += [(100, base), (101, base), (102, near), (103, base + " extra")]
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(4).cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup_groups(docs, "doc_id", "text")
+    dups = {r["keep_id"]: r["dup_count"] for r in groups.filter("dup_count > 1").collect()}
+    assert dups == {100: 2}
+    kept = exact_dedup(docs, "doc_id", "text")
+    assert kept.count() == docs.count() - 1
+    assert kept.filter("doc_id = 101").count() == 0
+    assert kept.filter("doc_id = 100").count() == 1
+
+
+def test_exact_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()}
+    assert pairs[(100, 101)] == pytest.approx(1.0)  # exact dup
+    assert (100, 102) in pairs and 0.3 < pairs[(100, 102)] < 1.0  # near dup
+    assert (100, 103) in pairs  # superset doc
+    # random docs share no 3-gram shingles
+    assert all(a >= 100 for (a, b) in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in minhash_lsh_dedup_pairs(
+               docs, "doc_id", "text", threshold=0.5,
+               num_hashes=128, bands=32).collect()}
+    assert (100, 101) in got and got[(100, 101)] == pytest.approx(1.0)
+    assert (100, 102) in got  # J ~ 0.66 found via banding
+    # estimates near exact values
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in exact_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+    for pair, est in got.items():
+        if pair in exact:
+            assert abs(est - exact[pair]) < 0.2
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    a = {r["doc_id"]: tuple(r["signature"])
+         for r in minhash_signatures(docs, "doc_id", "text", 64).collect()}
+    b = {r["doc_id"]: tuple(r["signature"])
+         for r in minhash_signatures(docs.repartition(7), "doc_id", "text", 64).collect()}
+    assert a == b
+    assert a[100] == a[101]  # identical text -> identical signature
+
+
+def test_simhash(spark, docs):
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert h[100] == h[101]
+    # near-dup hamming distance small
+    ham = bin((h[100] ^ h[102]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 12
+    groups = {r["keep_id"]: r["dup_count"]
+              for r in simhash_dup_groups(docs, "doc_id", "text").collect()}
+    assert groups.get(100) == 2
+
+
+def test_text_profile(spark, docs):
+    prof = {r["doc_id"]: r for r in text_profile(docs, "doc_id", "text").collect()}
+    p = prof[100]
+    assert p["n_tokens"] == 14
+    assert p["lang_pred"] == "en"  # 'the' x2, 'and', 'over'
+    assert p["punct_ratio"] == 0.0
+    assert 0 < p["quality"] <= 1.0
+
+
+def test_fingerprints_detect_containment(spark, docs):
+    fps = rolling_fingerprints(docs, "doc_id", "text")
+    assert fps.count() > 0
+    overlaps = {(r["id_a"], r["id_b"]) for r in
+                fingerprint_overlap(docs, "doc_id", "text", min_shared=3).collect()}
+    assert (100, 101) in overlaps and (100, 103) in overlaps
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    ).repartition(4)
+    got = brute_force_topk(df, df, "vec_id", "embedding", k=3).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm.astype(np.float64) @ norm.astype(np.float64).T
+    for r in got:
+        i = r["vec_id"]
+        s = sims[i].copy()
+        s[i] = -np.inf
+        expect_order = np.lexsort((np.arange(60), -s))
+        assert r["neighbor_id"] == expect_order[r["rank"] - 1]
+        assert r["cosine"] == pytest.approx(s[expect_order[r["rank"] - 1]], abs=1e-5)
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.default_rng(13)
+    # clustered vectors so LSH buckets are meaningful
+    centers = rng.normal(size=(8, 16)) * 4
+    vecs = np.concatenate([c + rng.normal(size=(12, 16)) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs.astype(np.float32))],
+        "vec_id long, embedding array<float>",
+    )
+    got = lsh_topk(df, "vec_id", "embedding", k=1, n_bits=8, n_tables=6).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    np.fill_diagonal(sims, -np.inf)
+    true_nn = sims.argmax(axis=1)
+    hits = sum(1 for r in got if r["rank"] == 1 and true_nn[r["vec_id"]] == r["neighbor_id"])
+    assert len(got) >= 90  # nearly every vector got a candidate
+    assert hits / len(got) > 0.7  # recall of true top-1 among returned
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media_table(spark, 24)
+    decoded = decode_and_resize(media, out_h=8, out_w=8)
+    rows = decoded.collect()
+    assert len(rows) == 24
+    assert all(len(r["pixels"]) == 8 * 8 * 3 for r in rows)
+    feats = {r["media_id"]: r for r in media_features(media).collect()}
+    assert all(0 <= r["byte_entropy"] <= 8 for r in feats.values())
+    plan = frame_sample_plan(media, every_ms=500)
+    assert plan.count() > 24
+
+
+def test_frame_plan_prunes_payload_from_parquet_scan(spark, tmp_path):
+    """Column pruning must reach the scan: the metadata-only frame plan on a
+    parquet media table reads ONLY media_id/duration_ms (ReadSchema check —
+    same property keeps `html` unread in webpages sketch jobs)."""
+    import io
+    from contextlib import redirect_stdout
+
+    path = str(tmp_path / "media_parquet")
+    synth_media_table(spark, 24).write.parquet(path)
+    plan = frame_sample_plan(spark.read.parquet(path), every_ms=500)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan.explain(True)
+    phys = buf.getvalue().split("== Physical Plan ==")[-1]
+    read_schema = [ln.split("ReadSchema:")[1] for ln in phys.splitlines()
+                   if "ReadSchema" in ln]
+    assert read_schema and "payload" not in read_schema[0]
+    assert "duration_ms" in read_schema[0]
+
+
+def test_multimodal_strict_mode_raises(spark):
+    media = synth_media_table(spark, 4)
+    import pyspark.errors
+
+    with pytest.raises(Exception) as ei:
+        decode_and_resize(media, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "image decode" in str(ei.value)

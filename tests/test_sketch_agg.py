@@ -1,0 +1,153 @@
+"""Distributed correctness of the two-stage sketch aggregation (FIXTURES §B2/§B3).
+
+- estimates vs exact Spark built-ins, within published bounds
+- merge associativity/commutativity: repartition(2/8/32) + shuffled row
+  order -> byte-identical merged sketch (north_rule requirement)
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_algorithms_spark.operators import (
+    bloom_build,
+    bloom_might_contain,
+    build_partials,
+    cms_heavy_hitters,
+    hll_distinct,
+    kll_quantiles,
+    merge_sketch_rows,
+    welford_stats,
+)
+from streaming_algorithms_spark.sketches import HyperLogLog
+
+
+def test_hll_distinct_urls_per_lang_within_bound(spark, webpages):
+    est = {r["lang"]: r["approx_distinct"]
+           for r in hll_distinct(webpages, ["lang"], "url", p=12).collect()}
+    exact = {r["lang"]: r["exact"]
+             for r in webpages.groupBy("lang")
+                 .agg(F.countDistinct("url").alias("exact")).collect()}
+    assert set(est) == set(exact)
+    rse = 1.04 / np.sqrt(2 ** 12)
+    for lang, ex in exact.items():
+        assert abs(est[lang] - ex) <= max(3 * rse * ex, 3), (lang, ex, est[lang])
+
+
+def test_hll_global_distinct(spark, webpages):
+    row = hll_distinct(webpages, [], "url", p=14).collect()[0]
+    exact = webpages.select("url").distinct().count()
+    assert abs(row["approx_distinct"] - exact) / exact < 3 * 1.04 / np.sqrt(2 ** 14)
+    assert row["rows_seen"] == webpages.count()
+
+
+def test_welford_exact_vs_builtin(spark, webpages):
+    df = webpages.withColumn("text_len", F.length("text"))
+    ours = {r["lang"]: r for r in welford_stats(df, ["lang"], "text_len").collect()}
+    ref = {r["lang"]: r for r in df.groupBy("lang").agg(
+        F.count("text_len").alias("n"),
+        F.avg("text_len").alias("avg"),
+        F.var_samp("text_len").alias("variance"),
+        F.stddev_samp("text_len").alias("sd"),
+        F.stddev_pop("text_len").alias("usd"),
+    ).collect()}
+    for lang, r in ref.items():
+        o = ours[lang]
+        assert o["n"] == r["n"]
+        assert o["avg"] == pytest.approx(r["avg"], rel=1e-9)
+        if r["n"] > 1:
+            assert o["variance"] == pytest.approx(r["variance"], rel=1e-6)
+            assert o["usd"] == pytest.approx(r["usd"], rel=1e-6)
+
+
+def test_kll_quantiles_within_rank_bound(spark, webpages):
+    df = webpages.withColumn("text_len", F.length("text").cast("double"))
+    res = {r["lang"]: r for r in
+           kll_quantiles(df, ["lang"], "text_len", [0.5, 0.95]).collect()}
+    pdf = df.select("lang", "text_len").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        xs = grp["text_len"].to_numpy()
+        if len(xs) < 50:
+            continue
+        for q, col in [(0.5, "q0_5"), (0.95, "q0_95")]:
+            est = res[lang][col]
+            rank = (xs <= est).mean()
+            assert abs(rank - q) < 0.03, (lang, q, rank)
+
+
+def test_cms_heavy_hitters_vs_exact(spark, webpages):
+    tokens = webpages.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("lang") == "en")
+    hh = cms_heavy_hitters(tokens, ["lang"], "token", top_k=10, epsilon=1e-4)
+    got = [(r["item"], r["est_count"]) for r in hh.collect()]
+    exact = {r["token"]: r["cnt"] for r in tokens.groupBy("token")
+             .agg(F.count("*").alias("cnt")).collect()}
+    n_total = sum(exact.values())
+    top_exact = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    # every reported estimate within [true, true + eps*N]
+    for item, est in got:
+        assert exact[item] <= est <= exact[item] + 1e-4 * n_total + 1
+    # the true top-5 must all be reported (CMS overestimate can reorder the tail)
+    got_items = {i for i, _ in got}
+    for tok, _ in top_exact[:5]:
+        assert tok in got_items
+
+
+def test_bloom_prefilter_semi_join(spark, webpages):
+    seen = webpages.filter(F.col("lang") == "en").select("url").distinct()
+    bloom = bloom_build(seen, "url", capacity=max(seen.count(), 10), fpr=1e-6)
+    probed = bloom_might_contain(webpages.select("url", "lang"), "url", bloom)
+    # no false negatives: every actually-seen url must pass the filter
+    missed = probed.join(seen, "url", "inner").filter(~F.col("might_contain")).count()
+    assert missed == 0
+    # filter is selective: passes ~ |seen| + tiny FP margin
+    passed = probed.filter(F.col("might_contain")).select("url").distinct().count()
+    assert passed <= seen.count() * 1.01 + 5
+
+
+# ---------------------------------------------------------------------------
+# §B3 merge/partitioning properties
+# ---------------------------------------------------------------------------
+
+
+def _merged_hll_bytes(df, n_parts):
+    def update(sk, pdf):
+        sk.update_batch(pdf["url"].str.encode("utf-8").to_numpy())
+
+    parts = build_partials(
+        df.repartition(n_parts), ["lang"], lambda: HyperLogLog(10), update
+    )
+    merged = merge_sketch_rows(parts, ["lang"], HyperLogLog.from_bytes)
+    return {r["lang"]: bytes(r["sketch"]) for r in merged.collect()}
+
+
+def test_merge_bytes_identical_across_partitionings(spark, webpages):
+    """north_rule: sketch merge associative/commutative across partition
+    orders — merged bytes identical for repartition(2/8/32) and shuffled rows."""
+    df = webpages.select("lang", "url")
+    a = _merged_hll_bytes(df, 2)
+    b = _merged_hll_bytes(df, 8)
+    c = _merged_hll_bytes(df.orderBy(F.rand(7)), 32)
+    assert a == b == c
+
+
+def test_salted_two_stage_equals_unsalted(spark, webpages):
+    from streaming_algorithms_spark.operators import sketch_aggregate
+    from streaming_algorithms_spark.operators.sketch_agg import encode_utf8
+
+    def update(sk, pdf):
+        sk.update_batch(encode_utf8(pdf["url"]))
+
+    kw = dict(
+        factory=lambda: HyperLogLog(10),
+        update=update,
+        from_bytes=HyperLogLog.from_bytes,
+        finalize=lambda sk, rows: {"est": int(round(sk.estimate()))},
+        out_value_schema="est bigint",
+    )
+    plain = {r["lang"]: r["est"]
+             for r in sketch_aggregate(webpages, ["lang"], **kw).collect()}
+    salted = {r["lang"]: r["est"]
+              for r in sketch_aggregate(webpages, ["lang"], salt_partitions=16, **kw).collect()}
+    assert plain == salted

@@ -1,0 +1,71 @@
+"""Structured Streaming stateful variants: multi-batch state continuity and
+watermark late-data semantics."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_algorithms_spark.streaming import (
+    streaming_hll_distinct,
+    streaming_windowed_stats,
+)
+
+
+@pytest.fixture()
+def stream_dir(spark, webpages, tmp_path):
+    """Two parquet 'micro-batches' of the webpages stream."""
+    d = tmp_path / "stream_in"
+    a, b = webpages.limit(6000), webpages.subtract(webpages.limit(6000))
+    a.write.parquet(str(d / "batch=0"))
+    b.write.parquet(str(d / "batch=1"))
+    return str(d)
+
+
+def test_streaming_hll_state_accumulates(spark, webpages, stream_dir, tmp_path):
+    schema = webpages.schema
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(stream_dir)
+    out = streaming_hll_distinct(stream.select("lang", "url"), "lang", "url", p=12)
+    q = (
+        out.writeStream.format("memory").queryName("hll_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = {r["lang"]: r["approx_distinct"]
+           for r in spark.sql(
+               "select lang, max_by(approx_distinct, batches) approx_distinct "
+               "from hll_stream group by lang").collect()}
+    exact = {r["lang"]: r["exact"] for r in
+             webpages.groupBy("lang").agg(F.countDistinct("url").alias("exact")).collect()}
+    rse = 1.04 / (2 ** 12) ** 0.5
+    for lang, ex in exact.items():
+        assert abs(res[lang] - ex) <= max(3 * rse * ex, 3), (lang, ex, res[lang])
+
+
+def test_streaming_windowed_stats(spark, webpages, stream_dir, tmp_path):
+    schema = webpages.schema
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(stream_dir)
+    out = streaming_windowed_stats(
+        stream.withColumn("one", F.lit(1.0)), "warc_ts", "one", "1 day", "2 days"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("win_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {str(r["bucket_start"]): r["n"] for r in spark.sql(
+        "select * from win_stream").collect()}
+    exact = {str(r["d"]): r["n"] for r in
+             webpages.groupBy(F.date_trunc("day", "warc_ts").alias("d"))
+             .agg(F.count("*").alias("n")).collect()}
+    assert got == exact
