@@ -1,0 +1,73 @@
+"""Distributed SCRIMP matrix-profile anomaly detection per series.
+
+The reference's EP2 query (SURVEY §3): ``ts:matrix_profile(...)`` + P²-based
+discord scoring (lua_binding/time_series.c:348-427), re-expressed as one
+grouped-pandas stage: the group shuffle is the only node boundary, the SCRIMP
+sweep runs vectorized numpy per series.
+
+Scaling shape: each series is an independent O(n²) float kernel over a
+cache-resident window — pure ALU work, embarrassingly parallel across
+executors.  This is the compute kernel used for the bench scaling-efficiency
+evidence (bench.py): unlike scan-/factorize-bound jobs it is not limited by
+the sandbox VM's memory bandwidth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def matrix_profile_per_series(df: DataFrame, series_col: str, order_col: str,
+                              value_col: str, ms=(64,),
+                              max_points: int = 4096,
+                              percent: float = 100.0) -> DataFrame:
+    """For every series: sort by order_col, run SCRIMP at each subsequence
+    length in ``ms`` (multi-resolution motif/discord search) over up to
+    max_points values, emit the discord (max matrix-profile distance) per m.
+
+    Output: (series, m, n_points, discord_idx, discord_distance, mp_mean)."""
+
+    out_schema = (
+        f"`{series_col}` long, m long, n_points long, discord_idx long, "
+        "discord_distance double, mp_mean double"
+    )
+    cols = [series_col, "m", "n_points", "discord_idx",
+            "discord_distance", "mp_mean"]
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..sketches import matrix_profile
+
+        pdf = pdf.sort_values(order_col)
+        vals = pdf[value_col].to_numpy(np.float64)[:max_points]
+        sid = int(pdf[series_col].iloc[0])
+        recs = []
+        for m in ms:
+            if vals.size < 4 * m:
+                continue
+            mp, _ = matrix_profile(vals, m=m, percent=percent, seed=0)
+            finite = mp[np.isfinite(mp)]
+            if not finite.size:
+                continue
+            idx = int(np.nanargmax(np.where(np.isfinite(mp), mp, -np.inf)))
+            recs.append((sid, m, int(vals.size), idx, float(mp[idx]),
+                         float(finite.mean())))
+        return pd.DataFrame(recs, columns=cols)
+
+    return df.groupBy(series_col).applyInPandas(per_series, out_schema)
+
+
+def url_series_anomaly(df: DataFrame, n_series: int = 256, ms=(64,),
+                       max_points: int = 4096) -> DataFrame:
+    """Bench/demo wrapper over a webpages-shaped table: series = url-hash
+    bucket, value = text length, order = crawl timestamp.  JVM computes the
+    bucket + length; Python sees (long, long, long)."""
+    prepped = df.select(
+        F.pmod(F.xxhash64("url"), F.lit(n_series)).alias("series_id"),
+        F.unix_micros("warc_ts").alias("ts_us"),
+        F.length("text").alias("v"),
+    )
+    return matrix_profile_per_series(prepped, "series_id", "ts_us", "v",
+                                     ms=ms, max_points=max_points)

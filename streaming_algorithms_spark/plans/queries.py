@@ -298,6 +298,140 @@ def q_token_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_token_sketch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang token sketches (CMS + HLL over tokens): exact totals + HLL
+    within-bound boolean — the compute-dense kernel used for the scaling
+    benchmark, correctness-gated here."""
+    from ..operators.token_sketch import token_sketch_build
+
+    docs = load_table(spark, "documents", sf_dir)
+    # the sketch's token total is exact by construction — emit IT as
+    # `total_tokens` so the oracle compare gates the tokenizer too
+    sk = token_sketch_build(docs, ["lang"], "text", p=14)
+    toks = docs.select("lang", F.explode(fn.tokens(F.col("text"))).alias("token"))
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").alias("exact_distinct_tokens"),
+    )
+    rse = 1.04 / np.sqrt(2 ** 14)
+    return (
+        exact.join(sk, "lang")
+        .select(
+            "lang",
+            "exact_distinct_tokens",
+            "total_tokens",
+            (
+                F.abs(F.col("distinct_tokens") - F.col("exact_distinct_tokens"))
+                <= F.greatest(3 * rse * F.col("exact_distinct_tokens"), F.lit(3.0))
+            ).alias("hll_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_hll_hierarchy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical group-by (the Heka monitor's nested-key pattern,
+    heka_message_monitor.lua:70-72): approx distinct text per (lang, source)."""
+    docs = load_table(spark, "documents", sf_dir)
+    est = hll_distinct(docs, ["lang", "source"], "text", p=14).drop("rows_seen")
+    exact = docs.groupBy("lang", "source").agg(
+        F.countDistinct("text").alias("exact_distinct")
+    )
+    rse = 1.04 / np.sqrt(2 ** 14)
+    return (
+        exact.join(est, ["lang", "source"])
+        .select(
+            "lang", "source", "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.greatest(3 * rse * F.col("exact_distinct"), F.lit(3.0))
+            ).alias("hll_ok"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def q_dup_pct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-percentage monitoring per day (the Heka monitor's HLL
+    dedup-% alert, heka_message_monitor.lua:359-410): % of events whose
+    user_id repeats within the day, exact + HLL bound check."""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    est = hll_distinct(ev, ["day"], "user_id", p=14)
+    exact = ev.groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    rse = 1.04 / np.sqrt(2 ** 14)
+    return (
+        exact.join(est, "day")
+        .select(
+            "day",
+            "n_events",
+            F.round(
+                (F.col("n_events") - F.col("exact_distinct"))
+                / F.col("n_events") * 100, 4
+            ).alias("dup_pct"),
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.greatest(3 * rse * F.col("exact_distinct"), F.lit(3.0))
+            ).alias("hll_ok"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_column_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-column subtype classification (the Heka monitor's
+    range/set/unique/sparse typing, heka_message_monitor.lua:482-523):
+    classify each string column of documents by distinct-ratio."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.count()
+    out = []
+    for col in ("text", "lang", "source"):
+        d = docs.select(F.countDistinct(col).alias("d")).first()["d"]
+        ratio = d / n
+        if ratio > 0.9:
+            subtype = "unique"
+        elif d <= 64:
+            subtype = "set"
+        else:
+            subtype = "sparse"
+        out.append((col, int(d), subtype))
+    return spark.createDataFrame(
+        sorted(out), "column string, n_distinct long, subtype string"
+    )
+
+
+def q_ts_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed stats over the hourly bucket series per event_type —
+    the reference's ts stats sum/min/max/avg/sd/usd (include_zero=true
+    over observed buckets; lua_binding/time_series.c:198-345) via the
+    mergeable Welford path."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    w = welford_stats(hourly, ["event_type"], "cnt")
+    mm = hourly.groupBy("event_type").agg(
+        F.sum("cnt").alias("sum_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return (
+        mm.join(w, "event_type")
+        .select(
+            "event_type",
+            "sum_cnt", "min_cnt", "max_cnt",
+            F.col("n").alias("n_buckets"),
+            F.round("avg", 6).alias("avg_cnt"),
+            F.round("sd", 6).alias("sd_cnt"),
+            F.round("usd", 6).alias("usd_cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # weaker (rows-only) queries: non-SQL-expressible operators
 # ---------------------------------------------------------------------------
@@ -423,6 +557,11 @@ QUERIES = {
     "jaccard_pairs_documents": q_jaccard_pairs_documents,
     "ann_top1_embeddings": q_ann_top1_embeddings,
     "token_heavy_hitters_documents": q_token_heavy_hitters_documents,
+    "token_sketch_documents": q_token_sketch_documents,
+    "hll_hierarchy_documents": q_hll_hierarchy_documents,
+    "dup_pct_events": q_dup_pct_events,
+    "column_profile_documents": q_column_profile_documents,
+    "ts_stats_events": q_ts_stats_events,
     # rows-only (non-SQL-expressible)
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "simhash_documents": q_simhash_documents,
@@ -587,5 +726,61 @@ ORACLES = {
         SELECT token, COUNT(*) AS exact_cnt, TRUE AS cms_ok
         FROM toks GROUP BY token
         ORDER BY exact_cnt DESC, token ASC LIMIT 15
+    """,
+    "token_sketch_documents": """
+        WITH toks AS (
+            SELECT lang, UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(DISTINCT token) AS exact_distinct_tokens,
+               COUNT(*) AS total_tokens,
+               TRUE AS hll_ok
+        FROM toks GROUP BY lang ORDER BY lang
+    """,
+    "hll_hierarchy_documents": """
+        SELECT lang, source,
+               COUNT(DISTINCT text) AS exact_distinct,
+               TRUE AS hll_ok
+        FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+    "dup_pct_events": """
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(*) AS n_events,
+               ROUND((COUNT(*) - COUNT(DISTINCT user_id)) * 100.0 / COUNT(*), 4)
+                   AS dup_pct,
+               TRUE AS hll_ok
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "column_profile_documents": """
+        WITH d AS (
+            SELECT 'text' AS "column", COUNT(DISTINCT text) AS n_distinct,
+                   COUNT(*) AS n FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(DISTINCT lang), COUNT(*) FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(DISTINCT source), COUNT(*) FROM documents
+        )
+        SELECT "column", n_distinct,
+               CASE WHEN n_distinct * 1.0 / n > 0.9 THEN 'unique'
+                    WHEN n_distinct <= 64 THEN 'set'
+                    ELSE 'sparse' END AS subtype
+        FROM d ORDER BY "column"
+    """,
+    "ts_stats_events": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               SUM(cnt) AS sum_cnt,
+               MIN(cnt) AS min_cnt,
+               MAX(cnt) AS max_cnt,
+               COUNT(*) AS n_buckets,
+               ROUND(AVG(cnt), 6) AS avg_cnt,
+               ROUND(STDDEV_SAMP(cnt), 6) AS sd_cnt,
+               ROUND(STDDEV_POP(cnt), 6) AS usd_cnt
+        FROM hourly GROUP BY event_type ORDER BY event_type
     """,
 }

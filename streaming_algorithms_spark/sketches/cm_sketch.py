@@ -102,6 +102,41 @@ class CountMinSketch:
         self.counts = merged.astype(np.uint32)
         self.item_count += int(counts.sum())
 
+    def _indices_from_h64(self, h64: np.ndarray) -> np.ndarray:
+        """(depth, n) indices from precomputed 64-bit hashes: h1/h2 = low/high
+        32 bits (Kirsch–Mitzenmacher from one hash — scale path; NOT
+        reference-parity hashing, which uses XXH32 seeds 1,2)."""
+        h = h64.astype(np.uint64)
+        h1 = (h & np.uint64(0xFFFFFFFF))
+        h2 = (h >> np.uint64(32))
+        i = np.arange(self.depth, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            idx = (h1[None, :] + i * h2[None, :] + i * i) % np.uint64(self.width)
+        return idx.astype(np.int64)
+
+    def update_hashes(self, h64: np.ndarray, counts: np.ndarray = None) -> None:
+        """Vectorized standard CM update from precomputed 64-bit key hashes
+        (e.g. Spark's JVM-side xxhash64).  Mergeable; bound unchanged."""
+        assert self.mode == "standard"
+        h64 = np.asarray(h64)
+        if h64.size == 0:
+            return
+        if counts is None:
+            counts = np.ones(h64.size, np.int64)
+        idx = self._indices_from_h64(h64)
+        acc = np.zeros((self.depth, self.width), np.int64)
+        rows = np.repeat(np.arange(self.depth), idx.shape[1])
+        np.add.at(acc, (rows, idx.ravel()), np.tile(np.asarray(counts, np.int64), self.depth))
+        merged = self.counts.astype(np.int64) + acc
+        np.clip(merged, 0, _U32_MAX, out=merged)
+        self.counts = merged.astype(np.uint32)
+        self.item_count += int(np.asarray(counts).sum())
+
+    def point_query_hashes(self, h64: np.ndarray) -> np.ndarray:
+        idx = self._indices_from_h64(np.asarray(h64))
+        vals = self.counts[np.arange(self.depth)[:, None], idx]
+        return vals.min(axis=0)
+
     def point_query_batch(self, keys) -> np.ndarray:
         keys = [key_bytes(k) for k in keys]
         if not keys:

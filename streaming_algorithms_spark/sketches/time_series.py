@@ -83,25 +83,41 @@ def matrix_profile(values: np.ndarray, m: int, percent: float = 100.0,
     rng.shuffle(diags)
     stop = int(percent / 100 * mp_len + 1)
 
-    for ri, diag in enumerate(diags):
-        # z_j = dot(v[j:j+m], v[j-diag:j-diag+m]) for j in [diag, mp_len)
-        prod = v[diag:] * v[: n - diag]
-        zc = np.concatenate([[0.0], np.cumsum(prod)])
-        z = zc[m : mp_len - diag + m] - zc[: mp_len - diag]
-        j = np.arange(diag, mp_len)
-        i = j - diag
-        with np.errstate(divide="ignore", invalid="ignore"):
-            d = 2 * (m - (z - m * mean[j] * mean[i]) / (sd[j] * sd[i]))
-        # replay the reference's sequential argmin along the diagonal: both
-        # endpoints take the min; ties keep the earlier value (strict <)
-        better_j = d < mp[j]
-        mp[j] = np.where(better_j, d, mp[j])
-        mpi[j] = np.where(better_j, i, mpi[j])
-        better_i = d < mp[i]
-        mp[i] = np.where(better_i, d, mp[i])
-        mpi[i] = np.where(better_i, j, mpi[i])
-        if ri == stop:
-            break
+    # preallocated work buffers: the diagonal sweep is O(n^2) — fresh
+    # allocations per diagonal turn a cache-resident kernel into a memory-
+    # bandwidth-bound one (matters at high executor counts)
+    prod = np.empty(n)
+    zc = np.empty(n + 1)
+    zc[0] = 0.0
+    dbuf = np.empty(mp_len)
+    idx = np.arange(mp_len)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for ri, diag in enumerate(diags):
+            # z_j = dot(v[j:j+m], v[j-diag:j-diag+m]) for j in [diag, mp_len)
+            L = mp_len - diag  # number of (i, j=i+diag) pairs
+            nd = n - diag
+            np.multiply(v[diag:], v[:nd], out=prod[:nd])
+            np.cumsum(prod[:nd], out=zc[1 : nd + 1])
+            d = dbuf[:L]
+            # d = 2*(m - (z - m*mu_j*mu_i)/(sd_j*sd_i)), z via prefix sums
+            np.subtract(zc[m : L + m], zc[:L], out=d)
+            d -= m * mean[diag:] * mean[:L]
+            d /= sd[diag:] * sd[:L]
+            np.subtract(m, d, out=d)
+            d *= 2.0
+            # replay the reference's sequential argmin along the diagonal:
+            # both endpoints take the min; ties keep the earlier value
+            mj, ij = mp[diag:], mpi[diag:]
+            better = d < mj
+            mj[better] = d[better]
+            ij[better] = idx[:L][better]
+            mi, ii = mp[:L], mpi[:L]
+            better = d < mi
+            mi[better] = d[better]
+            ii[better] = idx[diag:][better]
+            if ri == stop:
+                break
     return np.sqrt(np.abs(mp)), mpi
 
 

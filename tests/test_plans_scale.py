@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the scale properties the engine promises.
+
+These read `.explain` output — cheap, no job execution — and pin down:
+- column pruning reaches the parquet scan (never reads `html`)
+- predicate pushdown reaches the scan (PushedFilters)
+- the two-stage sketch aggregate shuffles ONLY binary partial rows
+  (the Exchange sits above the mapInPandas stage, not below it)
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_algorithms_spark.operators import hll_distinct
+from streaming_algorithms_spark.sources.webpages import generate_webpages
+
+
+def _physical_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    return buf.getvalue().split("== Physical Plan ==")[-1]
+
+
+@pytest.fixture(scope="module")
+def webpages_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("wp") / "webpages")
+    generate_webpages(spark, 2000, n_hosts=50, partitions=4).write.parquet(path)
+    return path
+
+
+def test_sketch_scan_prunes_html(spark, webpages_parquet):
+    df = spark.read.parquet(webpages_parquet)
+    plan = _physical_plan(hll_distinct(df, ["lang"], "url", p=10))
+    read_schema = [ln.split("ReadSchema:")[1] for ln in plan.splitlines()
+                   if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "html" not in read_schema[0] and "text" not in read_schema[0]
+    assert "url" in read_schema[0] and "lang" in read_schema[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, webpages_parquet):
+    df = spark.read.parquet(webpages_parquet).filter(F.col("lang") == "en")
+    plan = _physical_plan(hll_distinct(df, ["lang"], "url", p=10))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "EqualTo(lang,en)" in pushed[0].replace(" ", "").replace(
+        "EqualTo(lang,en)", "EqualTo(lang,en)"
+    )
+    assert "EqualTo" in pushed[0]
+
+
+def test_only_partial_rows_are_shuffled(spark, webpages_parquet):
+    """The Exchange must consume the partial-building python stage's output
+    (key, sketch, rows), never the raw table: plan order is
+    scan -> mapInPandas (partials) -> Exchange -> merge python stage."""
+    df = spark.read.parquet(webpages_parquet)
+    plan = _physical_plan(hll_distinct(df, ["lang"], "url", p=10))
+    lines = plan.splitlines()
+    scan_i = min(i for i, l in enumerate(lines) if "Scan parquet" in l or "FileScan" in l)
+    exch_i = [i for i, l in enumerate(lines) if "Exchange" in l]
+    mapinpandas_i = [i for i, l in enumerate(lines) if "MapInPandas" in l]
+    assert exch_i and mapinpandas_i
+    # physical plans print top-down: the scan is LAST, the first (outermost)
+    # python stage is the merge; the exchange must sit between the two python
+    # stages — i.e. some MapInPandas appears BELOW the exchange (closer to
+    # the scan) producing the tiny partial rows that get shuffled
+    below_exchange = [i for i in mapinpandas_i if i > max(exch_i)]
+    assert below_exchange, plan
+    assert scan_i > max(below_exchange)
+
+
+def test_no_exchange_below_partial_stage(spark, webpages_parquet):
+    """Nothing between the scan and the partial-builder shuffles raw rows."""
+    df = spark.read.parquet(webpages_parquet)
+    plan = _physical_plan(hll_distinct(df, ["lang"], "url", p=10))
+    lines = plan.splitlines()
+    mapinpandas_i = [i for i, l in enumerate(lines) if "MapInPandas" in l]
+    last_py = max(mapinpandas_i)  # partial builder (deepest python stage)
+    assert not any("Exchange" in l for l in lines[last_py:]), plan
