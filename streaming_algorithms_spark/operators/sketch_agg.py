@@ -38,6 +38,8 @@ from ..sketches import (
     CountMinSketch,
     HyperLogLog,
     RunningStats,
+    SpaceSaving,
+    TDigest,
 )
 
 # ---------------------------------------------------------------------------
@@ -243,6 +245,67 @@ def kll_quantiles(df: DataFrame, keys: Sequence[str], col: str,
         finalize=finalize,
         out_value_schema=schema,
     )
+
+
+def tdigest_quantiles(df: DataFrame, keys: Sequence[str], col: str,
+                      quantiles: Sequence[float], delta: float = 200.0) -> DataFrame:
+    """Mergeable quantiles via t-digest (the second distributed-quantile
+    engine next to KLL; rank error ~1/delta mid-range, tighter at tails)."""
+    qs = list(quantiles)
+    names = [f"q{str(q).replace('.', '_')}" for q in qs]
+
+    def update(sk: TDigest, pdf: pd.DataFrame) -> None:
+        sk.update_batch(pdf[col].to_numpy(np.float64))
+
+    def finalize(sk: TDigest, rows: int) -> dict:
+        out = {n: float(sk.quantile(q)) for n, q in zip(names, qs)}
+        out["n"] = int(sk.n)
+        return out
+
+    schema = ", ".join(f"{n} double" for n in names) + ", n bigint"
+    return sketch_aggregate(
+        df.select(*keys, col), keys,
+        factory=lambda: TDigest(delta),
+        update=update,
+        from_bytes=TDigest.from_bytes,
+        finalize=finalize,
+        out_value_schema=schema,
+    )
+
+
+def space_saving_topk(df: DataFrame, keys: Sequence[str], col: str,
+                      top_k: int = 10, k_counters: int = 256) -> DataFrame:
+    """Bounded-memory heavy hitters via mergeable Space-Saving — the
+    reference workload's `sparse` subtype (heka_message_monitor.lua:562-590)
+    with the Metwally guarantee: items with count > N/k are always reported;
+    per-item bounds [hi - err, hi] ride along."""
+
+    def update(sk: SpaceSaving, pdf: pd.DataFrame) -> None:
+        vals = encode_utf8(pdf[col])
+        uniq, cnt = np.unique(vals, return_counts=True)
+        sk.update_batch(list(uniq), cnt)
+
+    def finalize(sk: SpaceSaving, rows: int) -> dict:
+        top = sk.top_k(top_k)
+        return {
+            "item": [t[0].decode() for t in top],
+            "hi": [t[1] for t in top],
+            "err": [t[2] for t in top],
+        }
+
+    out = sketch_aggregate(
+        df.select(*keys, col), keys,
+        factory=lambda: SpaceSaving(k_counters),
+        update=update,
+        from_bytes=SpaceSaving.from_bytes,
+        finalize=finalize,
+        out_value_schema="item array<string>, hi array<long>, err array<long>",
+    )
+    return out.select(
+        *keys, F.explode(F.arrays_zip("item", "hi", "err")).alias("t")
+    ).select(*keys, F.col("t.item").alias("item"),
+             F.col("t.hi").alias("count_hi"),
+             (F.col("t.hi") - F.col("t.err")).alias("count_lo"))
 
 
 def cms_heavy_hitters(df: DataFrame, keys: Sequence[str], col: str,

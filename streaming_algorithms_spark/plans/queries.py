@@ -34,6 +34,8 @@ from ..operators.sketch_agg import (
     encode_utf8,
     hll_distinct,
     kll_quantiles,
+    space_saving_topk,
+    tdigest_quantiles,
     welford_stats,
 )
 from ..operators.text import rolling_fingerprints, text_profile
@@ -328,6 +330,63 @@ def q_token_sketch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdigest_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest p50/p99 of o_totalprice per o_orderpriority: exact
+    percentile values + t-digest rank-bound booleans."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    td = tdigest_quantiles(orders, ["o_orderpriority"], "price", [0.5, 0.99], delta=200)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(price, 0.5)").alias("p50_exact"),
+        F.expr("percentile(price, 0.99)").alias("p99_exact"),
+        F.count("*").alias("n_rows"),
+        F.expr("percentile(price, 0.48)").alias("_p48"),
+        F.expr("percentile(price, 0.52)").alias("_p52"),
+        F.expr("percentile(price, 0.985)").alias("_p985"),
+        F.expr("percentile(price, 0.995)").alias("_p995"),
+    )
+    return (
+        exact.join(td, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            F.round("p50_exact", 4).alias("p50_exact"),
+            F.round("p99_exact", 4).alias("p99_exact"),
+            F.col("q0_5").between(F.col("_p48"), F.col("_p52")).alias("p50_ok"),
+            F.col("q0_99").between(F.col("_p985"), F.col("_p995")).alias("p99_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_space_saving_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by order count via mergeable Space-Saving: exact
+    counts (both engines) + the sketch's [lo, hi] bound booleans."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").cast("string").alias("ck")
+    )
+    ss = space_saving_topk(orders, [], "ck", top_k=50, k_counters=4096)
+    exact_top = (
+        orders.groupBy("ck").agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc(F.col("ck").cast("long")))
+        .limit(10)
+    )
+    return (
+        exact_top.join(ss, exact_top["ck"] == ss["item"], "left")
+        .select(
+            F.col("ck").cast("long").alias("o_custkey"),
+            "exact_cnt",
+            (
+                F.col("count_lo").isNotNull()
+                & (F.col("count_lo") <= F.col("exact_cnt"))
+                & (F.col("exact_cnt") <= F.col("count_hi"))
+            ).alias("ss_ok"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("o_custkey"))
+    )
+
+
 def q_hll_hierarchy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical group-by (the Heka monitor's nested-key pattern,
     heka_message_monitor.lua:70-72): approx distinct text per (lang, source)."""
@@ -559,6 +618,8 @@ QUERIES = {
     "token_heavy_hitters_documents": q_token_heavy_hitters_documents,
     "token_sketch_documents": q_token_sketch_documents,
     "hll_hierarchy_documents": q_hll_hierarchy_documents,
+    "tdigest_quantiles_orders": q_tdigest_quantiles_orders,
+    "space_saving_customers": q_space_saving_customers,
     "dup_pct_events": q_dup_pct_events,
     "column_profile_documents": q_column_profile_documents,
     "ts_stats_events": q_ts_stats_events,
@@ -737,6 +798,20 @@ ORACLES = {
                COUNT(*) AS total_tokens,
                TRUE AS hll_ok
         FROM toks GROUP BY lang ORDER BY lang
+    """,
+    "tdigest_quantiles_orders": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_rows,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+               ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99_exact,
+               TRUE AS p50_ok,
+               TRUE AS p99_ok
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "space_saving_customers": """
+        SELECT o_custkey, COUNT(*) AS exact_cnt, TRUE AS ss_ok
+        FROM orders GROUP BY o_custkey
+        ORDER BY exact_cnt DESC, o_custkey ASC LIMIT 10
     """,
     "hll_hierarchy_documents": """
         SELECT lang, source,

@@ -7,16 +7,22 @@ Each sketch is a commutative monoid: ``zero`` (constructor), vectorized
 
 from .bloom import BloomFilter
 from .cm_sketch import CountMinSketch, key_bytes
+from .cuckoo import CuckooFilter
 from .hll import HyperLogLog
 from .kll import KLL
 from .matrix import Matrix
 from .p2 import P2Histogram, P2Quantile
 from .running_stats import RunningStats
+from .space_saving import SpaceSaving
+from .tdigest import TDigest
 from .time_series import TimeSeries, anomaly_from_profile, matrix_profile
 from .xxhash import xxh32, xxh32_batch, xxh64, xxh64_batch
 
 __all__ = [
     "BloomFilter",
+    "CuckooFilter",
+    "SpaceSaving",
+    "TDigest",
     "CountMinSketch",
     "HyperLogLog",
     "KLL",

@@ -1,0 +1,129 @@
+"""Extended sketches: t-digest, Space-Saving, Cuckoo filter."""
+
+import numpy as np
+import pytest
+
+from streaming_algorithms_spark.sketches import CuckooFilter, SpaceSaving, TDigest
+
+
+# --------------------------------------------------------------------------
+# t-digest
+# --------------------------------------------------------------------------
+
+
+def test_tdigest_rank_error_within_bound():
+    rng = np.random.default_rng(5)
+    xs = rng.lognormal(2, 1.2, 100_000)
+    td = TDigest(delta=200)
+    td.update_batch(xs)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99, 0.999):
+        est = td.quantile(q)
+        true_rank = (xs <= est).mean()
+        # k1 scale: rank error <= ~1/delta near median, tighter at tails
+        tol = 0.01 if 0.1 <= q <= 0.9 else 0.003
+        assert abs(true_rank - q) < tol, (q, true_rank)
+
+
+def test_tdigest_merge_preserves_bound():
+    rng = np.random.default_rng(6)
+    xs = rng.normal(100, 15, 60_000)
+    parts = [TDigest(200) for _ in range(6)]
+    for i, p in enumerate(parts):
+        p.update_batch(xs[i::6])
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.n == len(xs)
+    for q in (0.05, 0.5, 0.95):
+        est = merged.quantile(q)
+        assert abs((xs <= est).mean() - q) < 0.015
+    back = TDigest.from_bytes(merged.to_bytes())
+    assert back.quantile(0.5) == merged.quantile(0.5)
+    with pytest.raises(ValueError):
+        TDigest.from_bytes(merged.to_bytes()[:-1])
+
+
+def test_tdigest_extremes_exact():
+    td = TDigest(100)
+    td.update_batch([5.0, 1.0, 9.0, 3.0])
+    assert td.quantile(0.0) == 1.0
+    assert td.quantile(1.0) == 9.0
+
+
+# --------------------------------------------------------------------------
+# Space-Saving
+# --------------------------------------------------------------------------
+
+
+def test_space_saving_tracks_heavy_hitters():
+    rng = np.random.default_rng(7)
+    zipf = np.minimum(rng.zipf(1.3, 50_000), 10_000)
+    keys = [f"k{z}".encode() for z in zipf]
+    ss = SpaceSaving(k=64)
+    ss.update_batch(keys)
+    from collections import Counter
+
+    exact = Counter(keys)
+    n = len(keys)
+    # every item with true count > N/k must be tracked with valid bounds
+    for key, true in exact.items():
+        if true > n / 64:
+            est = ss.estimate(key)
+            assert est is not None, key
+            hi, lo = est
+            assert lo <= true <= hi
+    # top-5 of the sketch should be the exact top-5 (clear Zipf head)
+    got = [k for k, _, _ in ss.top_k(5)]
+    want = [k for k, _ in sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    assert got == want
+
+
+def test_space_saving_merge_preserves_bound():
+    rng = np.random.default_rng(8)
+    zipf = np.minimum(rng.zipf(1.25, 40_000), 5000)
+    keys = [f"k{z}".encode() for z in zipf]
+    parts = [SpaceSaving(k=64) for _ in range(4)]
+    for i, p in enumerate(parts):
+        p.update_batch(keys[i::4])
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.n == len(keys)
+    from collections import Counter
+
+    exact = Counter(keys)
+    for key, hi, err in merged.top_k(10):
+        true = exact[key]
+        assert hi - err <= true <= hi, (key, true, hi, err)
+    back = SpaceSaving.from_bytes(merged.to_bytes())
+    assert back.top_k(5) == merged.top_k(5)
+
+
+# --------------------------------------------------------------------------
+# Cuckoo filter
+# --------------------------------------------------------------------------
+
+
+def test_cuckoo_membership_and_delete():
+    keys = [f"in-{i}".encode() for i in range(10_000)]
+    cf = CuckooFilter(capacity=10_000)
+    cf.update_batch(keys)
+    assert cf.contains_batch(keys).all()  # no false negatives
+    probes = [f"out-{i}".encode() for i in range(20_000)]
+    fpr = cf.contains_batch(probes).mean()
+    assert fpr < 0.01  # 16-bit fingerprints, 4 slots: ~2*4/2^16 ~ 1.2e-4
+    # deletion support (the feature Bloom lacks)
+    assert cf.delete(b"in-42")
+    assert not cf.contains(b"in-42")
+    assert cf.contains(b"in-43")
+    assert not cf.delete(b"never-inserted-xyzzy") or True  # may hit FP slot
+
+
+def test_cuckoo_serialize_roundtrip():
+    cf = CuckooFilter(1000)
+    cf.update_batch([f"x{i}".encode() for i in range(800)])
+    back = CuckooFilter.from_bytes(cf.to_bytes())
+    assert back.contains(b"x1") and back.contains(b"x799")
+    assert np.array_equal(back.table, cf.table)
+    with pytest.raises(ValueError):
+        CuckooFilter.from_bytes(cf.to_bytes()[:-2])
