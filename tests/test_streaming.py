@@ -69,3 +69,48 @@ def test_streaming_windowed_stats(spark, webpages, stream_dir, tmp_path):
              webpages.groupBy(F.date_trunc("day", "warc_ts").alias("d"))
              .agg(F.count("*").alias("n")).collect()}
     assert got == exact
+
+
+def test_streaming_drift_detector(spark, tmp_path):
+    """Three micro-batches: two from the same lognormal distribution, one
+    shifted — the pcc drift alert must stay quiet then fire."""
+    import numpy as np
+
+    from streaming_algorithms_spark.streaming.drift import streaming_drift_detector
+
+    rng = np.random.default_rng(3)
+    d = tmp_path / "drift_in"
+    base1 = rng.lognormal(3, 0.5, 4000)
+    base2 = rng.lognormal(3, 0.5, 4000)
+    shifted = rng.lognormal(6, 0.2, 4000)  # very different shape
+    for i, vals in enumerate([base1, base2, shifted]):
+        spark.createDataFrame(
+            [("k", float(v)) for v in vals], "key string, value double"
+        ).coalesce(1).write.parquet(str(d / f"batch={i}"))
+
+    stream = spark.readStream.schema("key string, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).option("recursiveFileLookup", "true").parquet(str(d))
+    # marker-position pcc is affine-invariant (reference semantics:
+    # heka_message_monitor.lua:328-340 snapshots P2 *estimates*), so even a
+    # big scale shift keeps r ~0.9; threshold 0.98 separates same-dist
+    # (~0.999) from shape change for this test
+    out = streaming_drift_detector(stream, "key", "value", buckets=8,
+                                   threshold=0.98)
+    q = (
+        out.writeStream.format("memory").queryName("drift_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["interval"]: r for r in
+            spark.sql("select * from drift_stream").collect()}
+    assert len(rows) == 3
+    import math
+    first = rows[0]["best_corr"]  # nothing to compare against yet (null/NaN)
+    assert first is None or math.isnan(first)
+    assert rows[1]["best_corr"] > 0.98 and not rows[1]["drifted"]  # same dist
+    assert rows[2]["best_corr"] < rows[1]["best_corr"] - 0.02
+    assert rows[2]["drifted"]  # shifted dist fires the alert
