@@ -79,3 +79,27 @@ def test_no_exchange_below_partial_stage(spark, webpages_parquet):
     mapinpandas_i = [i for i, l in enumerate(lines) if "MapInPandas" in l]
     last_py = max(mapinpandas_i)  # partial builder (deepest python stage)
     assert not any("Exchange" in l for l in lines[last_py:]), plan
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Hive/Iceberg-style partitioned layout: a lang filter must become a
+    PartitionFilter (prunes directories), not a data filter."""
+    path = str(tmp_path / "wp_partitioned")
+    generate_webpages(spark, 3000, n_hosts=50, partitions=4).write.partitionBy(
+        "lang"
+    ).parquet(path)
+    df = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = _physical_plan(hll_distinct(df, ["lang"], "url", p=10))
+    part_filters = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_filters, plan
+    assert "lang" in part_filters[0] and "isnotnull(lang" in part_filters[0].replace(") ", "(")
+
+
+def test_dim_join_is_broadcast(spark, webpages_parquet):
+    """Small dimension joins must be BroadcastHashJoin, not sort-merge."""
+    df = spark.read.parquet(webpages_parquet)
+    dim = df.select("lang").distinct().limit(5)
+    joined = df.join(dim.hint("broadcast"), "lang")
+    plan = _physical_plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
