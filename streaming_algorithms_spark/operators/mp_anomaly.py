@@ -56,7 +56,15 @@ def matrix_profile_per_series(df: DataFrame, series_col: str, order_col: str,
                          float(finite.mean())))
         return pd.DataFrame(recs, columns=cols)
 
-    return df.groupBy(series_col).applyInPandas(per_series, out_schema)
+    # explicit (user-specified) hash repartitioning: satisfies the groupBy's
+    # distribution requirement AND is exempt from AQE shuffle coalescing,
+    # which would otherwise collapse this compute-dense stage to 1-2 tasks
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.repartition(n_parts, series_col)
+        .groupBy(series_col)
+        .applyInPandas(per_series, out_schema)
+    )
 
 
 def url_series_anomaly(df: DataFrame, n_series: int = 256, ms=(64,),

@@ -136,7 +136,14 @@ def merge_partials(partials: DataFrame, keys: Sequence[str],
         return pd.DataFrame([rec])
 
     if keys:
-        return partials.groupBy(keys).applyInPandas(lambda pdf: merge(pdf), out_schema)
+        # user-specified repartition: exempt from AQE coalescing so the merge
+        # parallelism tracks the key count even though partial rows are tiny
+        n_parts = int(partials.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        return (
+            partials.repartition(n_parts, *keys)
+            .groupBy(keys)
+            .applyInPandas(lambda pdf: merge(pdf), out_schema)
+        )
 
     def merge_global(pdf: pd.DataFrame) -> pd.DataFrame:
         out = merge(pdf.drop(columns=["_g"]))

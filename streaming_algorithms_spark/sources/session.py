@@ -34,11 +34,14 @@ def get_spark(app_name: str = "streaming_algorithms_spark",
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        # AQE coalescing is byte-based; our grouped-pandas stages carry huge
+        # AQE coalescing is byte-based; grouped-pandas stages carry huge
         # Python compute per shuffled byte, so coalescing them to 1-2 tasks
         # serializes the cluster (measured 0.29 -> 0.77 scaling efficiency on
-        # the matrix-profile stage when disabled).  Skew-join stays on.
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # the matrix-profile stage).  Rather than disabling coalescing
+        # globally (it helps join-heavy relational plans), the python-heavy
+        # operators use explicit `repartition(n, keys)` — user-specified
+        # partitioning that AQE never coalesces.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
