@@ -66,6 +66,21 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     return corpus.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.95) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-duplicate dedup).
+    Brute-force float64 block matmul via the broadcast pattern — the
+    correctness baseline; LSH (lsh_topk) is the scale path."""
+    topk = brute_force_topk(df, df, id_col, vec_col, k=64)
+    return (
+        topk.filter(F.col("cosine") >= threshold)
+        .filter(F.col(id_col) < F.col("neighbor_id"))
+        .select(F.col(id_col).alias("id_a"),
+                F.col("neighbor_id").alias("id_b"),
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
                           n_bits: int = 16, seed: int = 42) -> DataFrame:
     """Random-hyperplane LSH signature (sign pattern) per vector."""

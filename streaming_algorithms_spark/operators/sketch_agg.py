@@ -452,6 +452,42 @@ def bloom_build(df: DataFrame, col: str, capacity: int, fpr: float = 1e-6) -> Bl
     return sk
 
 
+def cuckoo_build(df: DataFrame, col: str, capacity: int) -> "CuckooFilter":
+    """Build a Cuckoo filter over a column.  Cuckoo filters are NOT monoids
+    (insert order + eviction state matter), so unlike Bloom the build
+    collects the raw key bytes per partition and inserts driver-side —
+    correct for dimension-sized key sets, which is the broadcast-probe use
+    case; use Bloom when the key set itself is huge."""
+    from ..sketches import CuckooFilter
+
+    rows = df.select(col).distinct().collect()
+    cf = CuckooFilter(max(capacity, len(rows), 16))
+    cf.update_batch([key_bytes_of(r[col]) for r in rows])
+    return cf
+
+
+def key_bytes_of(v) -> bytes:
+    return v.encode("utf-8") if isinstance(v, str) else str(v).encode("utf-8")
+
+
+def cuckoo_might_contain(df: DataFrame, col: str, cf, out_col: str = "might_contain") -> DataFrame:
+    """Vectorized Cuckoo membership probe (deletion-capable Bloom analogue)."""
+    from ..sketches import CuckooFilter
+
+    blob = cf.to_bytes()
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += f", {out_col} boolean"
+
+    def probe(batches):
+        filt = CuckooFilter.from_bytes(blob)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = filt.contains_batch(list(encode_utf8(pdf[col])))
+            yield pdf
+
+    return df.mapInPandas(probe, out_schema)
+
+
 def bloom_might_contain(df: DataFrame, col: str, bloom: BloomFilter,
                         out_col: str = "might_contain") -> DataFrame:
     """Vectorized membership probe; the filter bytes ship in the task closure

@@ -286,6 +286,15 @@ def q_ann_top1_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.8, float64)."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding",
+                                    threshold=0.8).orderBy("id_a", "id_b")
+
+
 def q_token_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 tokens overall: exact counts + CMS bound check."""
     docs = load_table(spark, "documents", sf_dir)
@@ -645,6 +654,7 @@ QUERIES = {
     "text_stats_documents": q_text_stats_documents,
     "jaccard_pairs_documents": q_jaccard_pairs_documents,
     "ann_top1_embeddings": q_ann_top1_embeddings,
+    "embedding_near_dups": q_embedding_near_dups,
     "token_heavy_hitters_documents": q_token_heavy_hitters_documents,
     "token_sketch_documents": q_token_sketch_documents,
     "hll_hierarchy_documents": q_hll_hierarchy_documents,
@@ -809,6 +819,16 @@ ORACLES = {
                    ) AS rn
             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         ) WHERE rn = 1 ORDER BY vec_id
+    """,
+    "embedding_near_dups": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+                   AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.8
+        ORDER BY id_a, id_b
     """,
     "token_heavy_hitters_documents": """
         WITH toks AS (

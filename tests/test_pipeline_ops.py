@@ -193,3 +193,19 @@ def test_multimodal_strict_mode_raises(spark):
     with pytest.raises(Exception) as ei:
         decode_and_resize(media, strict=True).collect()
     assert "NotImplementedError" in str(ei.value) or "image decode" in str(ei.value)
+
+
+def test_cuckoo_broadcast_probe(spark):
+    from streaming_algorithms_spark.operators import cuckoo_build, cuckoo_might_contain
+
+    dim = spark.createDataFrame([(f"k{i}",) for i in range(500)], "key string")
+    probe_df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(400, 900)], "key string"
+    )
+    cf = cuckoo_build(dim, "key", capacity=600)
+    probed = cuckoo_might_contain(probe_df, "key", cf)
+    hits = {r["key"] for r in probed.filter("might_contain").collect()}
+    # no false negatives on the 100 overlapping keys
+    assert all(f"k{i}" in hits for i in range(400, 500))
+    # essentially no false positives on the 400 unseen keys
+    assert len(hits - {f"k{i}" for i in range(400, 500)}) <= 2
