@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Single-node kernel throughput in the REFERENCE's own benchmark shapes
+(library/tests/test_*.c harnesses), for the matches-or-beats comparison in
+BASELINE.md.  The reference is single-threaded C; our kernels are
+batch-vectorized numpy — the fair comparison is ops/sec on one core for the
+same workload shape.  Run: PYTHONPATH=. python scripts/kernel_bench.py"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from streaming_algorithms_spark.sketches import (
+    KLL,
+    CountMinSketch,
+    HyperLogLog,
+    P2Histogram,
+    P2Quantile,
+    RunningStats,
+    TDigest,
+    TimeSeries,
+    matrix_profile,
+)
+from streaming_algorithms_spark.sketches.xxhash import xxh64_batch
+
+
+def rate(n, fn, *args):
+    t0 = time.perf_counter()
+    fn(*args)
+    dt = time.perf_counter() - t0
+    return n / dt, dt
+
+
+def main():
+    out = {}
+    rng = np.random.default_rng(42)
+
+    # CMS: 200k updates, eps=1e-5 (width=271829), delta=0.01 (depth=5),
+    # 8-byte double keys (test_cm_sketch.c:123-139)
+    n = 200_000
+    keys = [np.float64(x).tobytes() for x in rng.random(n)]
+    cms = CountMinSketch(1e-5, 0.01)
+    out["cms_update_batch_keys"], _ = rate(n, cms.update_batch, keys)
+    h = xxh64_batch(keys)
+    cms2 = CountMinSketch(1e-5, 0.01)
+    out["cms_update_hashes"], _ = rate(n, cms2.update_hashes, h)
+
+    # P2 quantile/histogram: 200k adds (test_p2.c:239-274) — sequential
+    # parity mode (the distributed path is KLL/t-digest)
+    xs = rng.random(n)
+    q = P2Quantile(0.5)
+    out["p2_quantile_add_seq"], _ = rate(n, q.update_batch, xs)
+    hgram = P2Histogram(10)
+    out["p2_histogram_add_seq"], _ = rate(n, hgram.update_batch, xs)
+
+    # distributed-quantile replacements on the same stream
+    kll = KLL(200)
+    out["kll_update_batch"], _ = rate(n, kll.update_batch, xs)
+    td = TDigest(200)
+    out["tdigest_update_batch"], _ = rate(n, td.update_batch, xs)
+
+    # running stats: 200k adds (test_running_stats.c:105-119)
+    rs = RunningStats()
+    out["running_stats_update_batch"], _ = rate(n, rs.update_batch, xs)
+
+    # HLL (extension): 200k keys
+    hll = HyperLogLog(14)
+    out["hll_add_hashes"], _ = rate(n, hll.add_hashes, h)
+
+    # time series: 1M adds, 2-row ring (test_time_series.c:813-829) —
+    # sequential ring parity; the distributed path is groupBy(window)
+    ts = TimeSeries(2, 1)
+    t0 = time.perf_counter()
+    for i in range(100_000):  # 10x fewer, python-loop parity mode
+        ts.add(i, 1)
+    out["time_series_add_seq"] = 100_000 / (time.perf_counter() - t0)
+
+    # matrix profile: ~11500-pt series, m=60, percent 100 (test_time_series.c:832-859)
+    series = rng.integers(0, 1000, 11500)
+    t0 = time.perf_counter()
+    matrix_profile(series, m=60, percent=100)
+    out["matrix_profile_11500_m60_sec"] = time.perf_counter() - t0
+
+    print(json.dumps({k: (round(v) if v > 100 else round(v, 4))
+                      for k, v in out.items()}))
+
+
+if __name__ == "__main__":
+    main()
