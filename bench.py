@@ -160,6 +160,7 @@ def main() -> None:
     from streaming_algorithms_spark.plans.queries import QUERIES
 
     spark = _new_spark(CPUS)
+    _warm_python_workers(spark, CPUS)  # worker spawn/imports out of the timings
     timings = {}
     t_all = time.perf_counter()
     for name in HEADLINE:
