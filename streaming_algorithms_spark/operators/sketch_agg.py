@@ -284,6 +284,34 @@ def kll_quantiles(df: DataFrame, keys: Sequence[str], col: str,
     )
 
 
+def bottomk_sample(df: DataFrame, keys: Sequence[str], col: str,
+                   k: int = 64) -> DataFrame:
+    """Deterministic distributed sample of distinct values per key group
+    (bottom-k by key hash — content-deterministic, stable across retries)
+    plus the KMV distinct estimate.  Output: keys + (n_sampled,
+    kmv_distinct, sample array<string>)."""
+    from ..sketches import BottomKSample
+
+    def update(sk: BottomKSample, pdf: pd.DataFrame) -> None:
+        sk.update_batch(list(encode_utf8(pdf[col])))
+
+    def finalize(sk: BottomKSample, rows: int) -> dict:
+        return {
+            "n_sampled": len(sk.keys),
+            "kmv_distinct": float(sk.distinct_estimate()),
+            "sample": sorted(key.decode() for key in sk.sample()),
+        }
+
+    return sketch_aggregate(
+        ensure_parallelism(df.select(*keys, col)), keys,
+        factory=lambda: BottomKSample(k),
+        update=update,
+        from_bytes=BottomKSample.from_bytes,
+        finalize=finalize,
+        out_value_schema="n_sampled int, kmv_distinct double, sample array<string>",
+    )
+
+
 def tdigest_quantiles(df: DataFrame, keys: Sequence[str], col: str,
                       quantiles: Sequence[float], delta: float = 200.0) -> DataFrame:
     """Mergeable quantiles via t-digest (the second distributed-quantile

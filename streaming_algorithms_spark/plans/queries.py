@@ -286,6 +286,31 @@ def q_ann_top1_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_bottomk_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k distinct sample + KMV estimate per lang."""
+    from ..operators.sketch_agg import bottomk_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    sk = bottomk_sample(docs, ["lang"], "text", k=32)
+    exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("exact_distinct"))
+    return (
+        exact.join(sk, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            "n_sampled",
+            (
+                # KMV exact below k; 3/sqrt(k-2) relative bound above
+                F.abs(F.col("kmv_distinct") - F.col("exact_distinct"))
+                <= F.greatest(
+                    3.0 / np.sqrt(32 - 2) * F.col("exact_distinct"), F.lit(0.5)
+                )
+            ).alias("kmv_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.8, float64)."""
     from ..operators.similarity import embedding_near_dup_pairs
@@ -655,6 +680,7 @@ QUERIES = {
     "jaccard_pairs_documents": q_jaccard_pairs_documents,
     "ann_top1_embeddings": q_ann_top1_embeddings,
     "embedding_near_dups": q_embedding_near_dups,
+    "bottomk_sample_documents": q_bottomk_sample_documents,
     "token_heavy_hitters_documents": q_token_heavy_hitters_documents,
     "token_sketch_documents": q_token_sketch_documents,
     "hll_hierarchy_documents": q_hll_hierarchy_documents,
@@ -819,6 +845,13 @@ ORACLES = {
                    ) AS rn
             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         ) WHERE rn = 1 ORDER BY vec_id
+    """,
+    "bottomk_sample_documents": """
+        SELECT lang,
+               COUNT(DISTINCT text) AS exact_distinct,
+               LEAST(32, COUNT(DISTINCT text)) AS n_sampled,
+               TRUE AS kmv_ok
+        FROM documents GROUP BY lang ORDER BY lang
     """,
     "embedding_near_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

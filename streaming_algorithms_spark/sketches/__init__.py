@@ -6,6 +6,7 @@ Each sketch is a commutative monoid: ``zero`` (constructor), vectorized
 """
 
 from .bloom import BloomFilter
+from .bottomk import BottomKSample
 from .cm_sketch import CountMinSketch, key_bytes
 from .cuckoo import CuckooFilter
 from .hll import HyperLogLog
@@ -20,6 +21,7 @@ from .xxhash import xxh32, xxh32_batch, xxh64, xxh64_batch
 
 __all__ = [
     "BloomFilter",
+    "BottomKSample",
     "CuckooFilter",
     "SpaceSaving",
     "TDigest",

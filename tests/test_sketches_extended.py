@@ -127,3 +127,49 @@ def test_cuckoo_serialize_roundtrip():
     assert np.array_equal(back.table, cf.table)
     with pytest.raises(ValueError):
         CuckooFilter.from_bytes(cf.to_bytes()[:-2])
+
+
+# --------------------------------------------------------------------------
+# Bottom-k sample / KMV
+# --------------------------------------------------------------------------
+
+
+def test_bottomk_merge_bytes_identical_and_deterministic():
+    from streaming_algorithms_spark.sketches import BottomKSample
+
+    keys = [f"key-{i}".encode() for i in range(5000)]
+    whole = BottomKSample(64)
+    whole.update_batch(keys)
+    import random
+
+    shuffled = keys[:]
+    random.Random(3).shuffle(shuffled)
+    parts = [BottomKSample(64) for _ in range(4)]
+    for i in range(4):
+        parts[i].update_batch(shuffled[i::4])
+    m1 = BottomKSample(64)
+    for p in parts:
+        m1.merge(p)
+    m2 = BottomKSample(64)
+    for p in reversed(parts):
+        m2.merge(p)
+    assert m1.to_bytes() == m2.to_bytes() == whole.to_bytes()
+    assert len(m1.sample()) == 64
+    back = BottomKSample.from_bytes(m1.to_bytes())
+    assert back.sample() == m1.sample()
+
+
+def test_bottomk_kmv_distinct_within_bound():
+    from streaming_algorithms_spark.sketches import BottomKSample
+
+    sk = BottomKSample(512)
+    n = 80_000
+    sk.update_batch([f"u{i}".encode() for i in range(n)])
+    # duplicates don't change the sketch
+    sk.update_batch([f"u{i}".encode() for i in range(1000)])
+    est = sk.distinct_estimate()
+    assert abs(est - n) / n < 3 * sk.relative_error
+    # small cardinality -> exact
+    small = BottomKSample(512)
+    small.update_batch([b"a", b"b", b"b", b"c"])
+    assert small.distinct_estimate() == 3.0
