@@ -212,6 +212,8 @@ def hll_distinct(df: DataFrame, keys: Sequence[str], col: str, p: int = 14,
     JVM (measured 5.5x faster).  jvm_hash=False hashes raw utf-8 bytes with
     our own XXH64 (useful when the sketch must be probed with external keys)."""
 
+    # SQL DISTINCT/aggregate semantics: NULL keys don't count
+    df = df.filter(F.col(col).isNotNull())
     if jvm_hash:
         hashed = df.select(*keys, F.xxhash64(col).alias("_h"))
 
@@ -292,6 +294,8 @@ def bottomk_sample(df: DataFrame, keys: Sequence[str], col: str,
     kmv_distinct, sample array<string>)."""
     from ..sketches import BottomKSample
 
+    df = df.filter(F.col(col).isNotNull())
+
     def update(sk: BottomKSample, pdf: pd.DataFrame) -> None:
         sk.update_batch(list(encode_utf8(pdf[col])))
 
@@ -344,6 +348,8 @@ def space_saving_topk(df: DataFrame, keys: Sequence[str], col: str,
     reference workload's `sparse` subtype (heka_message_monitor.lua:562-590)
     with the Metwally guarantee: items with count > N/k are always reported;
     per-item bounds [hi - err, hi] ride along."""
+
+    df = df.filter(F.col(col).isNotNull())
 
     def update(sk: SpaceSaving, pdf: pd.DataFrame) -> None:
         vals = encode_utf8(pdf[col])
@@ -430,6 +436,8 @@ def cms_heavy_hitters(df: DataFrame, keys: Sequence[str], col: str,
                     c, v = item.split(b"\x01", 1)
                     sk.cand[v] = int(c)
             return sk
+
+    df = df.filter(F.col(col).isNotNull())
 
     def update(sk: _HH, pdf: pd.DataFrame) -> None:
         sk.update(encode_utf8(pdf[col]))
