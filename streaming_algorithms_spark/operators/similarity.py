@@ -81,6 +81,101 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               n_lists: int = 16, sample: int = 2048, iters: int = 8,
+               seed: int = 42):
+    """IVF coarse quantizer: k-means centroids fitted on a driver-side sample
+    (deterministic seed), broadcast; every row assigned its nearest list.
+    Returns (assigned_df with `list_id`, centroids ndarray)."""
+    rows = df.select(vec_col).limit(sample).collect()
+    mat = _normalize(np.array([r[vec_col] for r in rows]))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(mat.shape[0], size=min(n_lists, mat.shape[0]),
+                          replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(cent.shape[0]):
+            members = mat[assign == c]
+            if members.size:
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cent[c] = v / norm
+    sc = df.sparkSession.sparkContext
+    b_cent = sc.broadcast(cent)
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", list_id int"
+
+    def gen(batches):
+        C = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = _normalize(np.stack(pdf[vec_col].to_numpy()))
+            pdf = pdf.copy()
+            pdf["list_id"] = (vm @ C.T).argmax(axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema), cent
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
+             n_lists: int = 16, n_probe: int = 3, seed: int = 42) -> DataFrame:
+    """Self-join ANN via IVF: queries probe their n_probe nearest lists,
+    exact cosine reranks within the probed lists only.  Work is
+    ~(n_probe/n_lists) of brute force; recall tested in
+    tests/test_pipeline_ops.py.  The alternative scale path to lsh_topk."""
+    assigned, cent = ivf_assign(df, id_col, vec_col, n_lists, seed=seed)
+    assigned = assigned.cache()
+    sc = df.sparkSession.sparkContext
+    b_cent = sc.broadcast(cent)
+
+    probe_schema = f"`{id_col}` long, list_id int"
+
+    def probes(batches):
+        C = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = _normalize(np.stack(pdf[vec_col].to_numpy()))
+            sims = vm @ C.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
+            yield pd.DataFrame({id_col: ids,
+                                "list_id": top.ravel().astype(np.int32)})
+
+    probe_df = df.select(id_col, vec_col).mapInPandas(probes, probe_schema)
+    qv = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    cv = assigned.select(F.col(id_col).alias("id_b"),
+                         F.col(vec_col).alias("vec_b"), "list_id")
+    cands = (
+        probe_df.withColumnRenamed(id_col, "id_a")
+        .join(cv, "list_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .join(qv, "id_a")
+    )
+    from ..functions import cosine_similarity
+    from pyspark.sql import Window
+
+    scored = (
+        cands.join(cv.drop("list_id"), "id_b")
+        .withColumn("cosine",
+                    cosine_similarity(F.col("vec_a").cast("array<double>"),
+                                      F.col("vec_b").cast("array<double>")))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id_a").alias(id_col),
+                F.col("id_b").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
                           n_bits: int = 16, seed: int = 42) -> DataFrame:
     """Random-hyperplane LSH signature (sign pattern) per vector."""

@@ -653,6 +653,19 @@ def q_matrix_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (coarse k-means quantizer, n_probe lists)."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        ivf_topk(emb, "vec_id", "embedding", k=1, n_lists=8, n_probe=2)
+        .select("vec_id", F.col("neighbor_id").alias("ivf_neighbor"),
+                F.round("cosine", 4).alias("cosine"))
+        .orderBy("vec_id")
+    )
+
+
 def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return (
@@ -698,6 +711,7 @@ QUERIES = {
     "p2_histogram_documents": q_p2_histogram_documents,
     "matrix_profile_events": q_matrix_profile_events,
     "lsh_topk_embeddings": q_lsh_topk_embeddings,
+    "ivf_topk_embeddings": q_ivf_topk_embeddings,
 }
 
 _STOP_EN = "['the','a','and','of','to','in','is']"

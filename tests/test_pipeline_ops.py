@@ -209,3 +209,24 @@ def test_cuckoo_broadcast_probe(spark):
     assert all(f"k{i}" in hits for i in range(400, 500))
     # essentially no false positives on the 400 unseen keys
     assert len(hits - {f"k{i}" for i in range(400, 500)}) <= 2
+
+
+def test_ivf_topk_recall(spark):
+    from streaming_algorithms_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(8, 16)) * 4
+    vecs = np.concatenate([c + rng.normal(size=(12, 16)) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs.astype(np.float32))],
+        "vec_id long, embedding array<float>",
+    )
+    got = ivf_topk(df, "vec_id", "embedding", k=1, n_lists=8, n_probe=2).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    np.fill_diagonal(sims, -np.inf)
+    true_nn = sims.argmax(axis=1)
+    top1 = {r["vec_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    assert len(top1) >= 90
+    hits = sum(1 for vid, nid in top1.items() if true_nn[vid] == nid)
+    assert hits / len(top1) > 0.85  # probing the home cluster finds the NN
