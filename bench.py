@@ -32,14 +32,19 @@ HEADLINE = [
     "hll_distinct_users",
     "welford_lineitem",
     "kll_quantiles_lineitem",
+    "tdigest_quantiles_orders",
     "cms_heavy_hitters_lineitem",
+    "space_saving_customers",
     "bloom_semijoin_orders",
     "ts_hourly_events",
     "matrix_pcc_events",
     "dedup_exact_documents",
     "jaccard_pairs_documents",
     "minhash_lsh_documents",
+    "token_sketch_documents",
     "ann_top1_embeddings",
+    "embedding_near_dups",
+    "bottomk_sample_documents",
     "matrix_profile_events",
 ]
 
