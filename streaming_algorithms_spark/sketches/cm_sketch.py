@@ -72,12 +72,14 @@ class CountMinSketch:
     # -- hashing ------------------------------------------------------------
 
     def _indices(self, keys) -> np.ndarray:
-        """(depth, n) column indices for a batch of byte keys."""
-        h1 = xxh32_batch(keys, 1).astype(np.uint64)
-        h2 = xxh32_batch(keys, 2).astype(np.uint64)
-        i = np.arange(self.depth, dtype=np.uint64)[:, None]
+        """(depth, n) column indices for a batch of byte keys.  The enhanced
+        double hash runs in uint32 arithmetic (wraps at 2^32) exactly like the
+        C reference (cm_sketch.c:78) — byte-parity requires the wrap."""
+        h1 = xxh32_batch(keys, 1)
+        h2 = xxh32_batch(keys, 2)
+        i = np.arange(self.depth, dtype=np.uint32)[:, None]
         with np.errstate(over="ignore"):
-            idx = (h1[None, :] + i * h2[None, :] + i * i) % np.uint64(self.width)
+            idx = (h1[None, :] + i * h2[None, :] + i * i) % np.uint32(self.width)
         return idx.astype(np.int64)
 
     # -- standard (mergeable) path -------------------------------------------

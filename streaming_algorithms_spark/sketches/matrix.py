@@ -146,24 +146,23 @@ class Matrix:
             self.v[:r, :c] = out
         return self
 
-    # -- serialization: LE i32 rows, i32 cols, u8 dtype flag, cells ---------------
+    # -- serialization: LE i32 rows, i32 cols, cells — byte-identical to the
+    # reference layout (matrix.c:185-235); the cell dtype is a restore-time
+    # parameter, exactly like the reference's separate int/flt entry points
 
     def to_bytes(self) -> bytes:
-        flag = b"\x00" if self.dtype == "int" else b"\x01"
         dt = "<i4" if self.dtype == "int" else "<f4"
         return (
             np.array([self.rows, self.cols], "<i4").tobytes()
-            + flag
             + self.v.astype(dt).tobytes()
         )
 
     @classmethod
-    def from_bytes(cls, buf: bytes) -> "Matrix":
+    def from_bytes(cls, buf: bytes, dtype: str = "int") -> "Matrix":
         rows, cols = np.frombuffer(buf[:8], "<i4")
-        dtype = "int" if buf[8] == 0 else "float"
         m = cls(int(rows), int(cols), dtype)
         dt = "<i4" if dtype == "int" else "<f4"
-        cells = np.frombuffer(buf[9:], dt)
+        cells = np.frombuffer(buf[8:], dt)
         if cells.size != rows * cols:
             raise ValueError("bad matrix buffer")
         m.v = cells.reshape(int(rows), int(cols)).astype(m.v.dtype)

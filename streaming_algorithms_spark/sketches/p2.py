@@ -187,24 +187,30 @@ class P2Histogram:
             return 0
         return int(self.n[marker])
 
-    # layout mirrors p2.c:358-407: u16 cnt, u16 b, f64 q[b+1], f64 n[b+1], LE
+    # layout mirrors p2.c:364-383 byte-for-byte: u16 cnt, f64 q[b+1] n[b+1],
+    # LE; the bucket count is a restore-time parameter (deserialize validates
+    # the length against it — p2.c:391 rc 1)
     def to_bytes(self) -> bytes:
         return (
-            np.array([self.cnt, self.b], "<u2").tobytes()
+            np.array([self.cnt], "<u2").tobytes()
             + np.array(self.q + self.n, "<f8").tobytes()
         )
 
     @classmethod
-    def from_bytes(cls, buf: bytes) -> "P2Histogram":
-        if len(buf) < 4:
-            raise ValueError("bad p2 histogram buffer")
-        cnt, b = np.frombuffer(buf[:4], "<u2")
-        b = int(b)
-        if len(buf) != 4 + 2 * (b + 1) * 8:
-            raise ValueError("bad p2 histogram buffer")
-        vals = np.frombuffer(buf[4:], "<f8")
-        sk = cls(b)
-        sk.cnt = int(cnt)
-        sk.q = list(vals[: b + 1])
-        sk.n = list(vals[b + 1 :])
+    def from_bytes(cls, buf: bytes, buckets: int = None) -> "P2Histogram":
+        if buckets is None:
+            # infer from length: 2 + 16*(b+1)
+            if (len(buf) - 2) % 16:
+                raise ValueError("bad p2 histogram buffer")
+            buckets = (len(buf) - 2) // 16 - 1
+        if len(buf) != 2 + 2 * (buckets + 1) * 8:
+            raise ValueError("bad p2 histogram buffer")  # rc 1
+        cnt = int(np.frombuffer(buf[:2], "<u2")[0])
+        if cnt > buckets + 1:
+            raise ValueError("bad marker count")  # rc 2
+        vals = np.frombuffer(buf[2:], "<f8")
+        sk = cls(buckets)
+        sk.cnt = cnt
+        sk.q = list(vals[: buckets + 1])
+        sk.n = list(vals[buckets + 1 :])
         return sk

@@ -272,21 +272,24 @@ class TimeSeries:
         return anomaly_from_profile(mp, ns_eff, self.ns_per_row, m, current_only)
 
     # LE layout mirrors time_series.c:314-339: u64 current_time, u64 ns_per_row,
-    # i32 rows, i32 v[rows]
+    # i32 rows, i32 v[rows], + 4 trailing pad bytes (the C buffer is sized by
+    # sizeof(struct) which includes 4 bytes of alignment padding the reference
+    # never initializes; we zero them, and accept buffers with or without them)
     def to_bytes(self) -> bytes:
         return (
             np.array([self.current_time, self.ns_per_row], "<u8").tobytes()
             + np.array([self.rows], "<i4").tobytes()
             + self.v.astype("<i4").tobytes()
+            + b"\x00" * 4
         )
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "TimeSeries":
         ct, npr = np.frombuffer(buf[:16], "<u8")
         rows = int(np.frombuffer(buf[16:20], "<i4")[0])
-        if len(buf) != 20 + 4 * rows:
+        if len(buf) not in (20 + 4 * rows, 24 + 4 * rows):
             raise ValueError("bad time series buffer")
         ts = cls(rows, int(npr))
         ts.current_time = int(ct)
-        ts.v = np.frombuffer(buf[20:], "<i4").copy()
+        ts.v = np.frombuffer(buf[20 : 20 + 4 * rows], "<i4").copy()
         return ts

@@ -42,7 +42,7 @@ def streaming_drift_detector(stream: DataFrame, key_col: str, value_col: str,
     def update_fn(key, pdfs, state: GroupState):
         if state.exists:
             buf, interval = state.get
-            m = Matrix.from_bytes(bytes(buf))
+            m = Matrix.from_bytes(bytes(buf), dtype="float")
         else:
             m = Matrix(max_intervals, buckets + 1, "float")
             interval = 0

@@ -362,7 +362,7 @@ def test_matrix_serialize_roundtrip():
     back = Matrix.from_bytes(m.to_bytes())
     assert np.array_equal(back.v, m.v)
     f = _pcc_matrix("float")
-    fb = Matrix.from_bytes(f.to_bytes())
+    fb = Matrix.from_bytes(f.to_bytes(), dtype="float")
     assert np.array_equal(np.isnan(fb.v), np.isnan(f.v))
 
 
