@@ -419,7 +419,13 @@ def cms_heavy_hitters(df: DataFrame, keys: Sequence[str], col: str,
 
         def to_bytes(self) -> bytes:
             self._trim()
-            cand_blob = b"\x00".join(b"%d\x01%s" % (c, v) for v, c in self.cand.items())
+            # length-prefixed records: keys are arbitrary bytes, no separators
+            parts = [len(self.cand).to_bytes(4, "little")]
+            for v, c in self.cand.items():
+                parts.append(len(v).to_bytes(4, "little"))
+                parts.append(v)
+                parts.append(int(c).to_bytes(8, "little"))
+            cand_blob = b"".join(parts)
             cms_blob = self.cms.to_bytes()
             return len(cms_blob).to_bytes(8, "little") + cms_blob + cand_blob
 
@@ -430,11 +436,18 @@ def cms_heavy_hitters(df: DataFrame, keys: Sequence[str], col: str,
             sk.cms = CountMinSketch.from_bytes(
                 buf[8 : 8 + n], width=sk.cms.width, depth=sk.cms.depth
             )
-            rest = buf[8 + n :]
-            if rest:
-                for item in rest.split(b"\x00"):
-                    c, v = item.split(b"\x01", 1)
-                    sk.cand[v] = int(c)
+            off = 8 + n
+            cnt = int.from_bytes(buf[off : off + 4], "little")
+            off += 4
+            for _ in range(cnt):
+                klen = int.from_bytes(buf[off : off + 4], "little")
+                off += 4
+                key = bytes(buf[off : off + klen])
+                off += klen
+                sk.cand[key] = int.from_bytes(buf[off : off + 8], "little")
+                off += 8
+            if off != len(buf):
+                raise ValueError("bad heavy-hitter buffer")
             return sk
 
     df = df.filter(F.col(col).isNotNull())
