@@ -68,7 +68,11 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold.  Exact (quadratic in
-    co-shingled docs) — the correctness oracle for MinHash-LSH."""
+    co-shingled docs) — the correctness oracle for MinHash-LSH.
+
+    The size tables are broadcast-hinted: they are one row per doc and this
+    exact path is only for verification-scale inputs by construction (the
+    scale path is MinHash-LSH), so the hint is always safe here."""
     sh = word_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -82,7 +86,7 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
         .withColumn("jaccard",
                     F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
@@ -161,10 +165,20 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
 
 
 def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame,
-                             id_col: str) -> DataFrame:
-    """Estimated Jaccard = fraction of agreeing minhash positions."""
-    sa = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+                             id_col: str, broadcast_signatures: bool = True) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing minhash positions.
+
+    broadcast_signatures=True hints the signature table broadcast — right
+    when the candidate set is the big side (typical dedup).  Pass False at
+    the scale where signatures themselves exceed executor memory (they are
+    ~1 KB/doc: fine to ~10M docs per executor GB)."""
+    bcast = F.broadcast if broadcast_signatures else (lambda x: x)
+    sa = bcast(
+        signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    )
+    sb = bcast(
+        signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    )
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
