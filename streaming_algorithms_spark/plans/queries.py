@@ -201,42 +201,34 @@ def q_ts_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_matrix_pcc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation of hourly count series of each event_type vs
     'click' — the reference's matrix pcc drift pattern
-    (lua_binding/matrix.c:402-558, heka_message_monitor.lua:601-613), built
-    on our Matrix kernel inside one grouped pandas stage."""
+    (lua_binding/matrix.c:402-558, heka_message_monitor.lua:601-613).
+
+    Fully Catalyst: zero-filled (type x hour) grid via a broadcast cross
+    join of the two tiny dimension sets, then per-type F.corr against the
+    click series — the corr stage parallelizes across event_type shuffle
+    partitions (no single-task pivot funnel).  The Matrix kernel itself
+    (pcc max/min, NaN rules) keeps its 1e-10 goldens in
+    tests/test_sketches_golden.py."""
     ev = load_table(spark, "events", sf_dir)
     counts = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.count("*").alias("cnt"))
-
-    def pcc_all(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..sketches import Matrix
-
-        pivot = pdf.pivot_table(index="event_type", columns="bucket",
-                                values="cnt", fill_value=0, aggfunc="sum")
-        pivot = pivot.sort_index()
-        types = list(pivot.index)
-        if "click" not in types:
-            return pd.DataFrame(columns=["event_type", "corr_with_click"])
-        m = Matrix(len(types), pivot.shape[1], "int")
-        m.v = pivot.to_numpy(np.int64).astype(np.int32)
-        ref = types.index("click")
-        ref_stats = m._row_stats(ref)
-        recs = []
-        for i, t in enumerate(types):
-            if i == ref:
-                continue
-            coef = m._pcc_pair(ref, i, ref_stats, m._row_stats(i))
-            recs.append((t, round(float(coef), 6)))
-        return pd.DataFrame(recs, columns=["event_type", "corr_with_click"])
-
+    hours = counts.select("bucket").distinct()
+    types = counts.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    series = (
+        grid.join(counts, ["event_type", "bucket"], "left")
+        .select("event_type", "bucket",
+                F.coalesce("cnt", F.lit(0)).cast("double").alias("cnt"))
+    )
+    click = series.filter(F.col("event_type") == "click").select(
+        "bucket", F.col("cnt").alias("click_cnt")
+    )
     return (
-        counts.withColumn("_g", F.lit(1))
-        .groupBy("_g")
-        .applyInPandas(
-            lambda pdf: pcc_all(pdf).assign(_g=1),
-            "_g int, event_type string, corr_with_click double",
-        )
-        .drop("_g")
+        series.filter(F.col("event_type") != "click")
+        .join(F.broadcast(click), "bucket")
+        .groupBy("event_type")
+        .agg(F.round(F.corr("cnt", "click_cnt"), 6).alias("corr_with_click"))
         .orderBy("event_type")
     )
 
@@ -617,14 +609,23 @@ def q_p2_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_matrix_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCRIMP matrix-profile discord per event_type over its hourly count
-    series (the reference's anomaly query, lua_binding/time_series.c:348-427)."""
+    series (the reference's anomaly query, lua_binding/time_series.c:348-427).
+
+    Count series always contain flat m-windows (sd=0 -> non-finite profile
+    cells); the reference's parity scorer nil-checks an infinite discord and
+    returns nothing on such data, so the *workload* query uses the robust
+    scorer (mask non-finite cells, argmax over the finite ones — same as
+    operators/mp_anomaly.py).  The parity scorer stays golden-tested in
+    tests/test_sketches_golden.py.  Oracle: the full O(n^2) matrix profile
+    re-derived in SQL (windowed mean/usd + diagonal dot products), so the
+    discord value AND index are value-hash-gated."""
     ev = load_table(spark, "events", sf_dir)
     counts = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.count("*").alias("cnt"))
 
     def mp_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..sketches import anomaly_from_profile, matrix_profile
+        from ..sketches import matrix_profile
 
         pdf = pdf.sort_values("bucket")
         series = pdf["cnt"].to_numpy(np.int64)
@@ -633,13 +634,13 @@ def q_matrix_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(columns=["event_type", "discord_bucket_idx",
                                          "discord_distance"])
         mp, _ = matrix_profile(series, m=m, percent=100)
-        out = anomaly_from_profile(mp, 0, 1, m)
-        if out is None:
+        finite = np.isfinite(mp)
+        if not finite.any():
             return pd.DataFrame(columns=["event_type", "discord_bucket_idx",
                                          "discord_distance"])
-        idx, _, dist = out
+        idx = int(np.argmax(np.where(finite, mp, -np.inf)))
         return pd.DataFrame(
-            [(pdf["event_type"].iloc[0], int(idx), round(float(dist), 6))],
+            [(pdf["event_type"].iloc[0], int(idx), round(float(mp[idx]), 6))],
             columns=["event_type", "discord_bucket_idx", "discord_distance"],
         )
 
@@ -722,15 +723,6 @@ _STOPS = {
     "es": "['el','la','los','y','es','un']",
     "zh": "['de5','le5','shi4','zai4']",
 }
-
-_LANGID_SQL = (
-    "CASE "
-    + " ".join(
-        # langs sorted; strict > keeps the earlier code on ties — mirrors fn.lang_id
-        []
-    )
-)
-
 
 def _langid_case() -> str:
     langs = sorted(_STOPS)
@@ -947,7 +939,7 @@ ORACLES = {
             FROM events GROUP BY 1, 2
         )
         SELECT event_type,
-               SUM(cnt) AS sum_cnt,
+               CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
                MIN(cnt) AS min_cnt,
                MAX(cnt) AS max_cnt,
                COUNT(*) AS n_buckets,
@@ -955,5 +947,75 @@ ORACLES = {
                ROUND(STDDEV_SAMP(cnt), 6) AS sd_cnt,
                ROUND(STDDEV_POP(cnt), 6) AS usd_cnt
         FROM hourly GROUP BY event_type ORDER BY event_type
+    """,
+    # Full O(n^2) SCRIMP re-derivation: per-window mean/usd (windowed AVG of
+    # v and v*v — exact for integer counts), diagonal dot products z via a
+    # windowed SUM along each diagonal (exclusion zone m//4=1 -> diag >= 2),
+    # d = 2*(m - (z - m*mu_j*mu_i)/(sd_j*sd_i)) with the same fp operation
+    # order as the numpy kernel, min over both endpoints of each pair,
+    # sqrt(abs(.)), mask non-finite cells, argmax (ties -> earliest index).
+    "matrix_profile_events": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS i,
+                   CAST(cnt AS DOUBLE) AS v
+            FROM hourly
+        ),
+        sn AS (SELECT event_type, COUNT(*) AS n FROM s GROUP BY 1),
+        w AS (
+            SELECT event_type, i,
+                   AVG(v) OVER win AS mu,
+                   SQRT(GREATEST(AVG(v*v) OVER win
+                                 - (AVG(v) OVER win) * (AVG(v) OVER win), 0)) AS sd
+            FROM s
+            WINDOW win AS (PARTITION BY event_type ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+        ),
+        prod AS (
+            SELECT a.event_type, a.i AS i, b.i - a.i AS diag, a.v * b.v AS p
+            FROM s a JOIN s b
+              ON a.event_type = b.event_type AND b.i - a.i >= 2
+        ),
+        z AS (
+            SELECT event_type, i, diag,
+                   SUM(p) OVER dw AS z,
+                   COUNT(*) OVER dw AS np
+            FROM prod
+            WINDOW dw AS (PARTITION BY event_type, diag ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+        ),
+        d AS (
+            SELECT z.event_type, z.i AS i, z.i + z.diag AS j,
+                   CASE WHEN wj.sd * wi.sd = 0 THEN
+                        CASE WHEN z.z - 4*wj.mu*wi.mu > 0
+                             THEN CAST('-infinity' AS DOUBLE) ELSE NULL END
+                        ELSE 2*(4 - (z.z - 4*wj.mu*wi.mu) / (wj.sd * wi.sd))
+                   END AS d_raw
+            FROM z
+            JOIN w wi ON wi.event_type = z.event_type AND wi.i = z.i
+            JOIN w wj ON wj.event_type = z.event_type AND wj.i = z.i + z.diag
+            JOIN sn ON sn.event_type = z.event_type
+            WHERE z.np = 4 AND sn.n >= 16
+        ),
+        mp AS (
+            SELECT event_type, i, SQRT(ABS(MIN(d_raw))) AS mp
+            FROM (SELECT event_type, i, d_raw FROM d
+                  UNION ALL
+                  SELECT event_type, j AS i, d_raw FROM d)
+            GROUP BY 1, 2
+            HAVING MIN(d_raw) IS NOT NULL AND isfinite(SQRT(ABS(MIN(d_raw))))
+        )
+        SELECT event_type,
+               i AS discord_bucket_idx,
+               ROUND(mp, 6) AS discord_distance
+        FROM (SELECT event_type, i, mp,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY mp DESC, i ASC) AS rn
+              FROM mp)
+        WHERE rn = 1 ORDER BY event_type
     """,
 }

@@ -173,3 +173,46 @@ def test_bottomk_kmv_distinct_within_bound():
     small = BottomKSample(512)
     small.update_batch([b"a", b"b", b"b", b"c"])
     assert small.distinct_estimate() == 3.0
+
+
+def test_robust_discord_matches_exact_bruteforce_on_flat_series():
+    """The workload discord (mask non-finite profile cells, argmax over the
+    finite ones — plans/queries.py:q_matrix_profile_events) against an exact
+    O(n^2) all-pairs z-normalized distance recomputation, on a count-like
+    series that CONTAINS flat m-windows (sd=0 -> non-finite cells).  This is
+    the case where the reference's parity scorer returns nothing
+    (lua_binding/time_series.c:395 isinf nil-check)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from streaming_algorithms_spark.sketches import matrix_profile
+
+    rng = np.random.default_rng(3)
+    series = np.concatenate([
+        rng.integers(50, 80, 200),
+        np.full(20, 60),            # flat stretch: sd=0 windows
+        rng.integers(50, 80, 100),
+    ]).astype(np.float64)
+    m = 4
+    mp, _ = matrix_profile(series, m=m, percent=100)
+
+    # exact all-pairs: d_ij = 2*(m - (z - m*mu_i*mu_j)/(sd_i*sd_j)),
+    # exclusion |i-j| <= m//4, nan pairs never update (-> +inf)
+    wins = sliding_window_view(series, m)
+    mu = wins.mean(axis=1)
+    sd = np.sqrt(np.maximum((wins * wins).mean(axis=1) - mu * mu, 0.0))
+    Z = wins @ wins.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        D = 2.0 * (m - (Z - m * np.outer(mu, mu)) / np.outer(sd, sd))
+    D = np.where(np.isnan(D), np.inf, D)
+    L = len(mu)
+    ii, jj = np.indices((L, L))
+    D[np.abs(ii - jj) <= m // 4] = np.inf
+    exact_mp = np.sqrt(np.abs(D.min(axis=1)))
+
+    finite = np.isfinite(mp)
+    assert finite.any() and not finite.all()  # flat stretch produced inf cells
+    assert np.array_equal(finite, np.isfinite(exact_mp))
+    assert np.allclose(mp[finite], exact_mp[finite], atol=1e-9)
+    idx = int(np.argmax(np.where(finite, mp, -np.inf)))
+    exact_idx = int(np.argmax(np.where(finite, exact_mp, -np.inf)))
+    assert idx == exact_idx
