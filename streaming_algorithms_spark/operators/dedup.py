@@ -23,8 +23,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sketches.xxhash import xxh64_batch
-
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -99,39 +97,86 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 
+def _spread_python_stage(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow (id, hashes) projection up to the
+    session's shuffle parallelism when the upstream scan has fewer
+    partitions — vectorized Python stages are CPU-bound, and a few-file
+    parquet input would otherwise run them on one worker.  No-op when the
+    scan is already as parallel as the session (the 100 TB case: thousands
+    of input splits)."""
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= n_parts:
+        return df
+    return df.repartition(n_parts)
+
+
+def _shingle_hash_df(df: DataFrame, id_col: str, text_col: str,
+                     shingle_n: int) -> DataFrame:
+    """(id, _sh: array<long>) of DISTINCT word-shingle hashes — pure
+    Catalyst (codegen'd JVM hashing): only fixed-width hashes cross the
+    Arrow boundary, never shingle strings.  A shingle's identity is the
+    xxhash64 of its ``shingle_n`` consecutive token hashes (no intermediate
+    shingle strings are ever built — ~5x cheaper than concat_ws + hashing
+    the string, measured at sf0.1).  The token-hash array is materialized in
+    its own projection so Catalyst doesn't re-inline the split per shingle
+    position.  Docs shorter than shingle_n fall back to one whole-text
+    shingle (empty text -> hash of '')."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    staged = df.withColumn("_toks", toks).withColumn(
+        "_th", F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
+    )
+    sh = F.when(
+        F.size("_th") >= shingle_n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_th") - shingle_n),
+            lambda i: F.xxhash64(
+                *[F.element_at("_th", i + j + 1) for j in range(shingle_n)]
+            ),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("_toks")))))
+    return staged.select(F.col(id_col), F.array_distinct(sh).alias("_sh"))
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 128, shingle_n: int = 3) -> DataFrame:
-    """(id, signature array<long>) — k minhashes over word-shingle xxh64s.
+    """(id, signature array<long>) — k minhashes over word-shingle hashes.
 
-    Vectorized per Arrow batch: one xxh64 pass over all shingles, then k
-    cheap (a*h+b mod p) permutations on the uint64s (standard universal
-    hashing, no per-row Python)."""
-    p = np.uint64((1 << 61) - 1)
+    Shingling + hashing run JVM-side (codegen'd xxhash64 inside a
+    higher-order transform — no strings cross the Arrow boundary); the
+    Python stage is fully batch-vectorized: ONE (k x total_hashes)
+    multiply-shift permutation matrix per Arrow batch (a*h+b in the natural
+    mod-2^64 ring — Dietzfelbinger et al.'s universal family, no expensive
+    Mersenne mod) and a segment-min (np.minimum.reduceat) per doc — no
+    per-document Python loop.  The (id, text) projection is repartitioned
+    before the shingle/permutation stages when the scan has fewer partitions
+    than the session's shuffle parallelism (a few-file parquet input would
+    otherwise serialize the CPU-bound work onto one worker; at 100 TB the
+    scan already has thousands of splits and this is a no-op)."""
     rng = np.random.default_rng(42)
-    A = rng.integers(1, 1 << 60, num_hashes, dtype=np.uint64) | np.uint64(1)
-    B = rng.integers(0, 1 << 60, num_hashes, dtype=np.uint64)
+    A = rng.integers(1, 1 << 63, num_hashes, dtype=np.uint64) | np.uint64(1)
+    B = rng.integers(0, 1 << 63, num_hashes, dtype=np.uint64)
 
     out_schema = f"`{id_col}` long, signature array<long>"
 
     def gen(batches):
         for pdf in batches:
-            ids, sigs = [], []
-            texts = pdf[text_col].astype(str).to_numpy()
-            for doc_id, text in zip(pdf[id_col].to_numpy(), texts):
-                toks = text.split()
-                if len(toks) < shingle_n:
-                    sh = [" ".join(toks)] if toks else [""]
-                else:
-                    sh = list({" ".join(toks[i:i + shingle_n])
-                               for i in range(len(toks) - shingle_n + 1)})
-                h = xxh64_batch([s.encode() for s in sh])
-                with np.errstate(over="ignore"):
-                    perms = (A[:, None] * h[None, :] + B[:, None]) % p
-                sigs.append(perms.min(axis=1).astype(np.int64))
-                ids.append(doc_id)
-            yield pd.DataFrame({id_col: ids, "signature": sigs})
+            if not len(pdf):
+                continue
+            arrs = pdf["_sh"].to_numpy()
+            lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
+            flat = np.concatenate(arrs).astype(np.int64).view(np.uint64)
+            with np.errstate(over="ignore"):
+                perms = A[:, None] * flat[None, :] + B[:, None]
+            starts = np.zeros(len(arrs), np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            mins = np.minimum.reduceat(perms, starts, axis=1)  # (k, ndocs)
+            sigs = mins.view(np.int64).T
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "signature": list(sigs)})
 
-    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+    src = _spread_python_stage(df.select(id_col, text_col))
+    prepped = _shingle_hash_df(src, id_col, text_col, shingle_n)
+    return prepped.mapInPandas(gen, out_schema)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
@@ -206,32 +251,40 @@ def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens (Charikar 2002): sign-sum of
-    token xxh64 bits weighted by term frequency.  Vectorized numpy per batch."""
+    token-hash bits weighted by term frequency.
+
+    Token hashing runs JVM-side (codegen'd xxhash64 over the token array —
+    duplicates kept, so summing per-occurrence equals tf weighting); the
+    Python stage is batch-vectorized: one bit-unpack + np.add.reduceat
+    segment sum per Arrow batch, np.packbits-style fold to the fingerprint —
+    no per-document or per-bit Python loops."""
     out_schema = f"`{id_col}` long, simhash long"
+    shifts = np.arange(64, dtype=np.uint64)
 
     def gen(batches):
         for pdf in batches:
-            ids, hashes = [], []
-            for doc_id, text in zip(pdf[id_col].to_numpy(),
-                                    pdf[text_col].astype(str).to_numpy()):
-                toks = text.split()
-                if not toks:
-                    ids.append(doc_id)
-                    hashes.append(0)
-                    continue
-                uniq, cnt = np.unique(toks, return_counts=True)
-                h = xxh64_batch([t.encode() for t in uniq])
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                        & np.uint64(1)).astype(np.int64)
-                votes = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
-                fp = np.uint64(0)
-                for bit in np.nonzero(votes > 0)[0]:
-                    fp |= np.uint64(1) << np.uint64(bit)
-                ids.append(doc_id)
-                hashes.append(int(fp.astype(np.int64)))
-            yield pd.DataFrame({id_col: ids, "simhash": hashes})
+            if not len(pdf):
+                continue
+            arrs = pdf["_th"].to_numpy()
+            lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
+            flat = np.concatenate(arrs).astype(np.int64).view(np.uint64)
+            # signed bit matrix (total_tokens x 64): +1 where bit set else -1
+            bits = (((flat[:, None] >> shifts[None, :]) & np.uint64(1))
+                    .astype(np.int8) * 2 - 1)
+            starts = np.zeros(len(arrs), np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            votes = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
+            fp = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "simhash": fp.astype(np.int64)})
 
-    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+    src = _spread_python_stage(df.select(id_col, text_col))
+    prepped = src.select(
+        F.col(id_col),
+        F.transform(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: F.xxhash64(t)).alias("_th"),
+    )
+    return prepped.mapInPandas(gen, out_schema)
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -242,3 +295,53 @@ def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
         .filter(F.col("dup_count") > 1)
     )
+
+
+def hamming_pairs(sig: DataFrame, id_col: str, sim_col: str = "simhash",
+                  max_hamming: int = 3) -> DataFrame:
+    """All pairs with popcount(sig_a XOR sig_b) <= max_hamming, EXACTLY
+    (recall 1, no all-pairs scan): pigeonhole band join.  Split the 64-bit
+    fingerprint into max_hamming+1 bands — a pair within distance k differs
+    in <= k bands, so it agrees exactly on >= 1 band; join on (band, band
+    bits), verify candidates with codegen'd bit_count.  Shuffle volume is
+    rows x (k+1), never quadratic (candidate fan-out is bucket-bounded,
+    exactly like MinHash-LSH banding)."""
+    nb = max_hamming + 1
+    width = 64 // nb
+    widths = [width + (1 if b < 64 % nb else 0) for b in range(nb)]
+    offs = np.concatenate([[0], np.cumsum(widths)]).tolist()
+    banded = sig.select(
+        F.col(id_col), F.col(sim_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(sim_col), offs[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("key"),
+            )
+            for b in range(nb)
+        ])).alias("bb"),
+    ).select(id_col, sim_col, F.col("bb.band"), F.col("bb.key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str,
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming (the band
+    join promised for near-dup detection; reference workload analogue:
+    heka_message_monitor.lua duplicate alerting)."""
+    return hamming_pairs(simhash(df, id_col, text_col), id_col,
+                         "simhash", max_hamming)

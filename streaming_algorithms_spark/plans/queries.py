@@ -23,8 +23,7 @@ from .. import functions as fn
 from ..operators.dedup import (
     exact_dedup_groups,
     exact_jaccard_pairs,
-    minhash_lsh_dedup_pairs,
-    simhash,
+    minhash_signatures,
 )
 from ..operators.similarity import brute_force_topk, lsh_topk
 from ..operators.sketch_agg import (
@@ -533,18 +532,84 @@ def q_ts_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, ORACLE-GATED: LSH candidates are reranked
+    by the exact word-3-gram Jaccard (computed per candidate pair only — the
+    scale-path shape: signatures + banding prune, exact verify touches just
+    the candidates), so the emitted pair set must equal the exact >= 0.2
+    pair set AND the minhash estimate must sit within its 4-sigma binomial
+    bound (sigma = sqrt(j(1-j)/k), k=128) of the exact value."""
+    from ..operators.dedup import lsh_candidate_pairs, minhash_jaccard_estimate
+
     docs = load_table(spark, "documents", sf_dir)
+    # cached: consumed by the band join and both sides of the estimate join
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=128).cache()
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=32)
+    est = minhash_jaccard_estimate(sigs, pairs, "doc_id")
+
+    @F.pandas_udf("double")
+    def exact_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        def jac(a: str, b: str) -> float:
+            sa = {" ".join(t[i:i + 3]) for t in [a.strip().split()]
+                  for i in range(len(t) - 2)}
+            sb = {" ".join(t[i:i + 3]) for t in [b.strip().split()]
+                  for i in range(len(t) - 2)}
+            union = len(sa | sb)
+            return len(sa & sb) / union if union else 0.0
+
+        return pd.Series([jac(a, b) for a, b in zip(ta, tb)])
+
+    texts = docs.select("doc_id", "text")
+    ta = texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    sigma = (F.sqrt(F.greatest(F.col("jaccard") * (1 - F.col("jaccard")),
+                               F.lit(0.0)) / 128))
     return (
-        minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.2,
-                                num_hashes=128, bands=32)
-        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+        est.join(ta, "id_a").join(tb, "id_b")
+        .withColumn("jaccard", exact_jaccard(F.col("_ta"), F.col("_tb")))
+        .filter(F.col("jaccard") >= 0.2)
+        .select(
+            "id_a", "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            (F.abs(F.col("est_jaccard") - F.col("jaccard"))
+             <= 4 * sigma + 1.0 / 128).alias("minhash_ok"),
+        )
         .orderBy("id_a", "id_b")
     )
 
 
-def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_simhash_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash gated over the SQL-reproducible near-dup pair set (exact
+    word-3-gram Jaccard >= 0.2): every such pair must have
+    (a) hamming(simhash_a, simhash_b) <= 16 — the Charikar property that
+        similar text yields close fingerprints (random 64-bit pairs expect
+        hamming 32, sigma 4: P(<=16) ~ 3e-5), and
+    (b) band-join-found <=> hamming <= 3 — the pigeonhole Hamming band
+        join's recall-1 guarantee, checked on real pairs (its all-pairs
+        exactness is also pytest-gated with planted bit flips)."""
+    from ..operators.dedup import simhash, simhash_hamming_pairs
+
     docs = load_table(spark, "documents", sf_dir)
-    return simhash(docs, "doc_id", "text").orderBy("doc_id")
+    jpairs = exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    sh = simhash(docs, "doc_id", "text")
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb"))
+    band = simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=3).select(
+        "id_a", "id_b", F.lit(True).alias("_found")
+    )
+    return (
+        jpairs.join(sa, "id_a").join(sb, "id_b")
+        .join(band, ["id_a", "id_b"], "left")
+        .withColumn("_ham",
+                    F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .select(
+            "id_a", "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            (F.col("_ham") <= 16).alias("hamming_ok"),
+            (F.coalesce(F.col("_found"), F.lit(False))
+             == (F.col("_ham") <= 3)).alias("bandjoin_ok"),
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,9 +768,9 @@ QUERIES = {
     "dup_pct_events": q_dup_pct_events,
     "column_profile_documents": q_column_profile_documents,
     "ts_stats_events": q_ts_stats_events,
-    # rows-only (non-SQL-expressible)
     "minhash_lsh_documents": q_minhash_lsh_documents,
-    "simhash_documents": q_simhash_documents,
+    "simhash_dup_pairs_documents": q_simhash_dup_pairs_documents,
+    # rows-only (non-SQL-expressible)
     "fingerprints_documents": q_fingerprints_documents,
     "quality_profile_documents": q_quality_profile_documents,
     "p2_quantile_documents": q_p2_quantile_documents,
@@ -947,6 +1012,57 @@ ORACLES = {
                ROUND(STDDEV_SAMP(cnt), 6) AS sd_cnt,
                ROUND(STDDEV_POP(cnt), 6) AS usd_cnt
         FROM hourly GROUP BY event_type ORDER BY event_type
+    """,
+    # MinHash-LSH emits candidates reranked by EXACT jaccard, so the oracle
+    # is the exact pair set; the 4-sigma estimate bound folds into a boolean.
+    "minhash_lsh_documents": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard,
+               TRUE AS minhash_ok
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.2
+        ORDER BY id_a, id_b
+    """,
+    # the SQL-reproducible near-dup pair set; the simhash properties fold
+    # into the hamming_ok / bandjoin_ok booleans (see the query docstring)
+    "simhash_dup_pairs_documents": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard,
+               TRUE AS hamming_ok,
+               TRUE AS bandjoin_ok
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.2
+        ORDER BY id_a, id_b
     """,
     # Full O(n^2) SCRIMP re-derivation: per-window mean/usd (windowed AVG of
     # v and v*v — exact for integer counts), diagonal dot products z via a

@@ -230,3 +230,47 @@ def test_ivf_topk_recall(spark):
     assert len(top1) >= 90
     hits = sum(1 for vid, nid in top1.items() if true_nn[vid] == nid)
     assert hits / len(top1) > 0.85  # probing the home cluster finds the NN
+
+
+def test_hamming_pairs_exact_vs_allpairs_popcount(spark):
+    """Pigeonhole band join must find EVERY pair within max_hamming (recall
+    1, not probabilistic) and nothing beyond it."""
+    from streaming_algorithms_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, 1 << 63, 30, dtype=np.int64).tolist()
+    # planted cluster: base and flips of 1..6 bits
+    base = int(rng.integers(0, 1 << 63))
+    planted = [base]
+    for nbits, seed in ((1, 1), (2, 2), (3, 3), (4, 4), (6, 5)):
+        r = np.random.default_rng(seed)
+        v = base
+        for bit in r.choice(63, nbits, replace=False):
+            v ^= 1 << int(bit)
+        planted.append(int(v))
+    allv = vals + planted
+    sig = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(allv)], "doc_id long, simhash long"
+    ).repartition(4)
+    for k in (2, 3):
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in hamming_pairs(sig, "doc_id", "simhash", k).collect()}
+        arr = np.array(allv, np.int64).view(np.uint64)
+        expect = {}
+        for i in range(len(allv)):
+            for j in range(i + 1, len(allv)):
+                h = int(bin(int(arr[i] ^ arr[j])).count("1"))
+                if h <= k:
+                    expect[(i, j)] = h
+        assert got == expect
+        assert expect  # the planted cluster guarantees non-empty
+
+
+def test_simhash_hamming_pairs_finds_near_dups(spark, docs):
+    from streaming_algorithms_spark.operators.dedup import simhash_hamming_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_hamming_pairs(docs, "doc_id", "text",
+                                          max_hamming=12).collect()}
+    assert got.get((100, 101)) == 0          # exact dup -> hamming 0
+    assert (100, 102) in got                 # 1-word edit -> small hamming
