@@ -613,12 +613,34 @@ def q_simhash_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def q_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed Karp–Rabin fingerprints per doc, oracle-gated via the
+    exact+bound pattern: `n_kgrams` (byte-length arithmetic, reproduced in
+    SQL) is value-hash-gated, and the distinct-fingerprint count folds into
+    `fp_density_ok` — winnowing guarantees >= n_windows/w selected positions
+    (Schleimer et al. 2003 §4) and <= one per window; expected density
+    2/(w+1) (~0.222 for w=8; measured 0.18-0.30 on this corpus, so the
+    [1/w, 4/(w+1)] gate has margin on both sides)."""
+    k, w = 16, 8
     docs = load_table(spark, "documents", sf_dir)
-    return (
-        rolling_fingerprints(docs, "doc_id", "text")
+    fps = (
+        rolling_fingerprints(docs, "doc_id", "text", k=k, window=w)
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_fingerprints"),
-             F.min("fingerprint").alias("min_fp"))
+        .agg(F.count("*").alias("n_fp"))
+    )
+    meta = docs.select(
+        "doc_id",
+        (F.octet_length("text") - F.lit(k - 1)).alias("n_kgrams"),
+    )
+    n_windows = F.greatest(F.col("n_kgrams") - F.lit(w - 1), F.lit(1))
+    return (
+        meta.join(fps, "doc_id")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            ((F.col("n_fp") >= n_windows / F.lit(w))
+             & (F.col("n_fp") <= n_windows * F.lit(4.0 / (w + 1)))
+             ).alias("fp_density_ok"),
+        )
         .orderBy("doc_id")
     )
 
@@ -631,44 +653,69 @@ def q_quality_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_p2_quantile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity P² median per lang: sequential marker updates over
     the doc_id-ordered stream inside one grouped pandas stage (P² is not
-    mergeable — SURVEY §2.2; this is the parity mode, KLL is the scale mode)."""
+    mergeable — SURVEY §2.2; this is the parity mode, KLL is the scale mode).
+
+    Oracle-gated via the exact+bound pattern: `exact_median` (linear-
+    interpolated, = DuckDB quantile_cont) is value-hash-gated; the P²
+    estimate folds into `p2_ok`.  P² publishes no hard error bound, so the
+    gate is the empirical 0.15*IQR envelope (measured worst |err| on this
+    corpus is 0.07*IQR across langs and SFs)."""
     docs = load_table(spark, "documents", sf_dir).select("lang", "doc_id", "n_chars")
 
     def p2_group(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..sketches import P2Quantile
 
+        xs = pdf.sort_values("doc_id")["n_chars"].to_numpy(np.float64)
         q = P2Quantile(0.5)
-        for x in pdf.sort_values("doc_id")["n_chars"].to_numpy(np.float64):
+        for x in xs:
             q.add(float(x))
+        exact = float(np.quantile(xs, 0.5, method="linear"))
+        iqr = float(np.quantile(xs, 0.75) - np.quantile(xs, 0.25))
+        ok = abs(q.estimate(2) - exact) <= 0.15 * max(iqr, 1.0)
         return pd.DataFrame(
-            [(pdf["lang"].iloc[0], round(q.estimate(2), 6), q.count(4))],
-            columns=["lang", "p2_median", "n_obs"],
+            [(pdf["lang"].iloc[0], round(exact, 6), q.count(4), bool(ok))],
+            columns=["lang", "exact_median", "n_obs", "p2_ok"],
         )
 
     return (
         docs.groupBy("lang")
-        .applyInPandas(p2_group, "lang string, p2_median double, n_obs long")
+        .applyInPandas(
+            p2_group, "lang string, exact_median double, n_obs long, p2_ok boolean"
+        )
         .orderBy("lang")
     )
 
 
 def q_p2_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity P² equiprobable histogram (b=8) of n_chars per lang,
-    sequential over doc_id order (p2.c:247-349 semantics)."""
+    sequential over doc_id order (p2.c:247-349 semantics).
+
+    Oracle-gated via the exact+bound pattern: exact quantiles q_0..q_8 at
+    m/8 are value-hash-gated against DuckDB quantile_cont; each P² marker
+    folds into ok_m.  Markers 0/8 are exact min/max in P² (equality gate);
+    middle markers use the empirical 0.12*range envelope (measured worst
+    marker error is 0.056*range on this corpus)."""
     docs = load_table(spark, "documents", sf_dir).select("lang", "doc_id", "n_chars")
 
     def p2h_group(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..sketches import P2Histogram
 
+        xs = pdf.sort_values("doc_id")["n_chars"].to_numpy(np.float64)
         h = P2Histogram(8)
-        for x in pdf.sort_values("doc_id")["n_chars"].to_numpy(np.float64):
+        for x in xs:
             h.add(float(x))
+        span = float(xs.max() - xs.min())
         rec = {"lang": pdf["lang"].iloc[0]}
         for m in range(9):
-            rec[f"marker_{m}"] = round(h.estimate(m), 6)
+            exact = float(np.quantile(xs, m / 8, method="linear"))
+            tol = 1e-9 if m in (0, 8) else 0.12 * max(span, 1.0)
+            rec[f"q_{m}"] = round(exact, 6)
+            rec[f"ok_{m}"] = bool(abs(h.estimate(m) - exact) <= tol)
         return pd.DataFrame([rec])
 
-    schema = "lang string, " + ", ".join(f"marker_{m} double" for m in range(9))
+    schema = "lang string, " + ", ".join(
+        f"q_{m} double, ok_{m} boolean" for m in range(9)
+    )
     return docs.groupBy("lang").applyInPandas(p2h_group, schema).orderBy("lang")
 
 
@@ -1063,6 +1110,65 @@ ORACLES = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE i / (sa.sz + sb.sz - i) >= 0.2
         ORDER BY id_a, id_b
+    """,
+    # byte-length arithmetic is value-hash-gated; the winnowing density
+    # bounds fold into fp_density_ok (see q_fingerprints_documents)
+    "fingerprints_documents": """
+        SELECT doc_id,
+               CAST(strlen(text) - 15 AS BIGINT) AS n_kgrams,
+               TRUE AS fp_density_ok
+        FROM documents
+        WHERE strlen(text) - 15 >= 1
+        ORDER BY doc_id
+    """,
+    # full SQL parity — every quality-profile column is pure Catalyst on the
+    # Spark side, re-derived verbatim here (unrounded pr/sr feed `quality`
+    # exactly as fn.quality_score composes them)
+    "quality_profile_documents": f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, text, toks, n_chars,
+                   len(toks) AS n_tokens,
+                   n_punct * 1.0 / greatest(n_chars, 1) AS pr,
+                   len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) * 1.0
+                       / greatest(len(toks), 1) AS sr
+            FROM t
+        )
+        SELECT doc_id, n_tokens, n_chars,
+               ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0
+                     / n_tokens, 6) AS avg_token_len,
+               ROUND(pr, 6) AS punct_ratio,
+               ROUND(sr, 6) AS stopword_ratio,
+               {{langid}} AS lang_pred,
+               ROUND((CASE WHEN n_tokens < 5 THEN 0.0
+                           WHEN n_tokens > 5000 THEN 0.2 ELSE 1.0 END) * 0.4
+                     + (CASE WHEN pr > 0.3 THEN 0.0 ELSE 1.0 END) * 0.3
+                     + LEAST(sr * 10.0, 1.0) * 0.3, 6) AS quality
+        FROM s ORDER BY doc_id
+    """.replace("{langid}", _langid_case()),
+    # exact linear-interpolated median is value-hash-gated; the P² estimate
+    # folds into p2_ok (empirical 0.15*IQR envelope — see the query docstring)
+    "p2_quantile_documents": """
+        SELECT lang,
+               ROUND(quantile_cont(n_chars, 0.5), 6) AS exact_median,
+               COUNT(*) AS n_obs,
+               TRUE AS p2_ok
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    # exact quantiles at m/8 are value-hash-gated; P² markers fold into ok_m
+    "p2_histogram_documents": """
+        SELECT lang,
+               """ + ",\n               ".join(
+        f"ROUND(quantile_cont(n_chars, {m}/8.0), 6) AS q_{m},\n"
+        f"               TRUE AS ok_{m}" for m in range(9)
+    ) + """
+        FROM documents GROUP BY lang ORDER BY lang
     """,
     # Full O(n^2) SCRIMP re-derivation: per-window mean/usd (windowed AVG of
     # v and v*v — exact for integer counts), diagonal dot products z via a
