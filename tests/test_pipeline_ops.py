@@ -274,3 +274,29 @@ def test_simhash_hamming_pairs_finds_near_dups(spark, docs):
                                           max_hamming=12).collect()}
     assert got.get((100, 101)) == 0          # exact dup -> hamming 0
     assert (100, 102) in got                 # 1-word edit -> small hamming
+
+
+def test_embedding_near_dup_lsh_matches_bruteforce(spark):
+    from streaming_algorithms_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_bruteforce,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(80, 32))
+    # plant 10 near-duplicate pairs (tiny perturbation -> cosine ~0.999)
+    dups = base[:10] + rng.normal(size=(10, 32)) * 0.02
+    vecs = np.concatenate([base, dups]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs_bruteforce(
+                 df, "vec_id", "embedding", threshold=0.95).collect()}
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in embedding_near_dup_pairs(
+               df, "vec_id", "embedding", threshold=0.95).collect()}
+    assert len(exact) >= 10          # the planted pairs qualify
+    assert got == exact              # exact rerank: no FPs; LSH found all
