@@ -84,6 +84,11 @@ def main():
     t0 = time.perf_counter()
     matrix_profile(series, m=60, percent=100)
     out["matrix_profile_11500_m60_sec"] = time.perf_counter() - t0
+    # mp-only workload path (native C sweep when a compiler is present,
+    # reduced-pass numpy sweep otherwise) — what queries/bench actually run
+    t0 = time.perf_counter()
+    matrix_profile(series, m=60, percent=100, with_index=False)
+    out["matrix_profile_fast_11500_m60_sec"] = time.perf_counter() - t0
 
     print(json.dumps({k: (round(v) if v > 100 else round(v, 4))
                       for k, v in out.items()}))

@@ -47,7 +47,8 @@ def matrix_profile_per_series(df: DataFrame, series_col: str, order_col: str,
         for m in ms:
             if vals.size < 4 * m:
                 continue
-            mp, _ = matrix_profile(vals, m=m, percent=percent, seed=0)
+            mp, _ = matrix_profile(vals, m=m, percent=percent, seed=0,
+                                   with_index=False)
             finite = mp[np.isfinite(mp)]
             if not finite.size:
                 continue

@@ -749,7 +749,7 @@ def q_matrix_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         if series.size < 4 * m:
             return pd.DataFrame(columns=["event_type", "discord_bucket_idx",
                                          "discord_distance"])
-        mp, _ = matrix_profile(series, m=m, percent=100)
+        mp, _ = matrix_profile(series, m=m, percent=100, with_index=False)
         finite = np.isfinite(mp)
         if not finite.any():
             return pd.DataFrame(columns=["event_type", "discord_bucket_idx",

@@ -216,3 +216,41 @@ def test_robust_discord_matches_exact_bruteforce_on_flat_series():
     idx = int(np.argmax(np.where(finite, mp, -np.inf)))
     exact_idx = int(np.argmax(np.where(finite, exact_mp, -np.inf)))
     assert idx == exact_idx
+
+
+def test_matrix_profile_fast_paths_bitwise_equal():
+    """mp-only fast path (native C sweep and numpy fallback) must match the
+    parity sweep bit-for-bit — same prefix-sum z, product order, division."""
+    import numpy as np
+    from streaming_algorithms_spark.sketches import matrix_profile
+    from streaming_algorithms_spark.sketches import _mp_native
+    from streaming_algorithms_spark.sketches.time_series import (
+        _mp_corr_diagonal, rolling_mean_usd,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (rng.integers(0, 1000, 500), 16),
+        # flat windows -> sd=0 -> ±inf/NaN cells
+        (np.concatenate([rng.integers(0, 5, 200), np.zeros(100, int),
+                         rng.integers(0, 5, 100)]), 16),
+        (rng.normal(size=77), 4),
+    ]
+    for series, m in cases:
+        mp_parity, mpi = matrix_profile(series, m=m, percent=100)
+        mp_fast, none = matrix_profile(series, m=m, percent=100,
+                                       with_index=False)
+        assert none is None and mpi is not None
+        np.testing.assert_array_equal(mp_parity, mp_fast)
+        # the numpy fallback sweep agrees too (native may or may not load)
+        v = np.asarray(series, np.float64)
+        mean, sd = rolling_mean_usd(v, m)
+        mp_len = v.size - m + 1
+        diags = np.arange(m // 4 + 1, mp_len)
+        corr = _mp_corr_diagonal(v, m, mean, sd, diags, len(diags) + 1)
+        np.testing.assert_array_equal(mp_parity, np.sqrt(np.abs(2.0 * (m - corr))))
+        # percent<100 anytime prefix: fast == parity for the same seed
+        mp_p, _ = matrix_profile(series, m=m, percent=50, seed=3)
+        mp_f, _ = matrix_profile(series, m=m, percent=50, seed=3,
+                                 with_index=False)
+        np.testing.assert_array_equal(mp_p, mp_f)
