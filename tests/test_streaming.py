@@ -114,3 +114,69 @@ def test_streaming_drift_detector(spark, tmp_path):
     assert rows[1]["best_corr"] > 0.98 and not rows[1]["drifted"]  # same dist
     assert rows[2]["best_corr"] < rows[1]["best_corr"] - 0.02
     assert rows[2]["drifted"]  # shifted dist fires the alert
+
+
+def test_streaming_hll_restart_parity(spark, webpages, tmp_path):
+    """Kill-and-restart equivalence for sketch state (the reference's EP3
+    serialize/restore hooks, lua_binding/cm_sketch.c:167-202): run phase 1
+    over half the stream, stop, add the second half, restart from the SAME
+    checkpoint — the restored HLL state must yield estimates identical to an
+    uninterrupted streaming run over the full data (HLL register-max is
+    order/partition-independent, so equality is exact)."""
+    schema = webpages.schema
+    d = tmp_path / "stream_in"
+    a = webpages.limit(6000)
+    b = webpages.subtract(a)
+    a.write.parquet(str(d / "batch=0"))
+
+    def run(ck, sink):
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(d))
+        out = streaming_hll_distinct(stream.select("lang", "url"),
+                                     "lang", "url", p=12)
+
+        def write_batch(batch_df, batch_id):  # memory sink can't recover;
+            batch_df.write.mode("append").parquet(sink)  # foreachBatch can
+
+        q = (
+            out.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    def final_by_lang(sink):
+        spark.read.parquet(sink).createOrReplaceTempView("hll_restart_out")
+        return {r["lang"]: (r["approx_distinct"], r["batches"])
+                for r in spark.sql(
+                    "select lang, max_by(approx_distinct, batches) "
+                    "approx_distinct, max(batches) batches "
+                    "from hll_restart_out group by lang").collect()}
+
+    ck, sink = str(tmp_path / "ck_restart"), str(tmp_path / "sink_restart")
+    run(ck, sink)                       # phase 1: first half only
+    b.write.parquet(str(d / "batch=1"))
+    run(ck, sink)                       # phase 2: restart, second half
+    got = final_by_lang(sink)
+
+    # uninterrupted reference: fresh checkpoint, all data in one run
+    ck2, sink2 = str(tmp_path / "ck_whole"), str(tmp_path / "sink_whole")
+    run(ck2, sink2)
+    ref = final_by_lang(sink2)
+
+    assert set(got) == set(ref)
+    for lang, (exp, _) in ref.items():
+        est, batches = got[lang]
+        assert est == exp, (lang, est, exp)   # exact: state was restored
+        assert batches >= 2                    # continued, not recomputed
+
+    # and the estimates are real: within the published HLL bound of exact
+    exact = {r["lang"]: r["exact"] for r in webpages.groupBy("lang").agg(
+        F.countDistinct("url").alias("exact")).collect()}
+    rse = 1.04 / (2 ** 12) ** 0.5
+    for lang, ex in exact.items():
+        assert abs(got[lang][0] - ex) <= max(3 * rse * ex, 3)
