@@ -231,9 +231,14 @@ def main() -> None:
                                n_series=8, ms=(32,), max_points=1024).collect()
 
             def mp_job():
+                # max_points=8192 (~7.8k actual at 2M docs/256 series) keeps
+                # the job compute-dense now that the native SCRIMP kernel is
+                # ~4x faster: O(n^2) kernel work must still dominate the
+                # fixed scan+shuffle cost for scaling to measure the engine,
+                # not this VM's shared memory bandwidth
                 rows = url_series_anomaly(
                     s.read.parquet(bench_path), n_series=256,
-                    ms=(32, 64, 128), max_points=4096,
+                    ms=(32, 64, 128), max_points=8192,
                 ).collect()
                 return int(sum(r["n_points"] for r in rows))
 

@@ -28,13 +28,25 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
-                     vec_col: str, k: int = 10,
-                     exclude_self: bool = True) -> DataFrame:
+                     vec_col: str, k: int = 10, exclude_self: bool = True,
+                     max_query_rows: int = 1_000_000) -> DataFrame:
     """Top-k cosine neighbors in `queries` for every corpus row.
 
     queries is the broadcast-small side (like a dimension table); ties break
-    on neighbor id ascending (deterministic)."""
-    qrows = queries.select(id_col, vec_col).collect()
+    on neighbor id ascending (deterministic).  Only the QUERY side is
+    driver-collected and broadcast — the corpus stays distributed, so cost
+    is O(corpus x queries / cluster) with zero shuffle.  `max_query_rows`
+    guards the collect: at 1M x 64-dim float64 the broadcast is ~0.5 GB,
+    the executor-memory ceiling of this pattern.  For self-join ANN where
+    queries == corpus at data scale, use lsh_topk / ivf_topk (bucketed, no
+    driver collect) — this operator is their exactness oracle."""
+    qrows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk: query side exceeds max_query_rows="
+            f"{max_query_rows}; use lsh_topk/ivf_topk for corpus-scale "
+            f"self-join ANN"
+        )
     q_ids = np.array([r[id_col] for r in qrows], np.int64)
     q_mat = _normalize(np.array([r[vec_col] for r in qrows]))
     sc = corpus.sparkSession.sparkContext
@@ -229,23 +241,57 @@ def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
     return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
+def lsh_bucket_table(df: DataFrame, id_col: str, vec_col: str,
+                     n_bits: int, n_tables: int, seed: int = 42) -> DataFrame:
+    """(id, table, bucket) rows for all n_tables hyperplane tables in ONE
+    Arrow pass: a single (n_tables*n_bits, dim) matmul per batch, sign bits
+    packed per table.  Table t's planes come from default_rng(seed+t) — the
+    same buckets as n_tables separate `hyperplane_signatures` calls, at 1/n
+    of the Python-stage passes."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = np.concatenate(
+        [np.random.default_rng(seed + t).normal(size=(n_bits, dim))
+         for t in range(n_tables)]
+    )
+    sc = df.sparkSession.sparkContext
+    b_planes = sc.broadcast(planes)
+    weights = (np.arange(n_bits, dtype=np.uint64) % np.uint64(64))
+
+    out_schema = f"`{id_col}` long, table int, bucket long"
+
+    def gen(batches):
+        P = b_planes.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (mat @ P.T) > 0                    # (rows, n_tables*n_bits)
+            signs = signs.reshape(len(pdf), n_tables, n_bits)
+            bucket = (signs.astype(np.uint64)
+                      << weights[None, None, :]).sum(axis=2)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            tables = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
+            yield pd.DataFrame({id_col: ids, "table": tables,
+                                "bucket": bucket.reshape(-1).astype(np.int64)})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
 def _lsh_candidates(df: DataFrame, id_col: str, vec_col: str,
                     n_bits: int, n_tables: int) -> DataFrame:
-    """Distinct directed candidate pairs (id_a, id_b), id_a != id_b, from the
-    union of bucket self-joins over n_tables independent hyperplane tables."""
-    cands = None
-    for t in range(n_tables):
-        sig = hyperplane_signatures(df, id_col, vec_col, n_bits, seed=42 + t)
-        a = sig.alias("a")
-        b = sig.alias("b")
-        pairs = (
-            a.join(b, "bucket")
-            .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-        )
-        cands = pairs if cands is None else cands.union(pairs)
-    return cands.distinct()
+    """Distinct directed candidate pairs (id_a, id_b), id_a != id_b, from
+    bucket self-joins over n_tables independent hyperplane tables — one
+    signature pass and ONE (table, bucket) join, not n_tables of each."""
+    sig = lsh_bucket_table(df, id_col, vec_col, n_bits, n_tables)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
 
 
 def lsh_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,

@@ -300,3 +300,15 @@ def test_embedding_near_dup_lsh_matches_bruteforce(spark):
                df, "vec_id", "embedding", threshold=0.95).collect()}
     assert len(exact) >= 10          # the planted pairs qualify
     assert got == exact              # exact rerank: no FPs; LSH found all
+
+
+def test_brute_force_topk_query_side_guard(spark):
+    from streaming_algorithms_spark.operators.similarity import brute_force_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        brute_force_topk(df, df, "vec_id", "embedding", k=1,
+                         max_query_rows=5).collect()
