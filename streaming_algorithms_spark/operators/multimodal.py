@@ -2,11 +2,14 @@
 
 Media ride as opaque ``binary`` columns plus typed metadata — the same shape
 the webpages table uses for ``html``.  The Spark-side plumbing (schemas,
-partition sizing, Arrow batch shapes, UDF signatures) is real and tested;
-the actual codec calls are stubbed because the sandbox ships no image/audio
-libraries — each stub is clearly marked and either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-(test mode), per the round-1 brief.
+partition sizing, Arrow batch shapes, UDF signatures) is real and tested.
+Codecs: simple container formats with public byte layouts are decoded for
+real in pure numpy — 24-bit uncompressed BMP (BITMAPINFOHEADER) and PCM16
+RIFF/WAVE — so decode → resize → feature-extract runs end-to-end with zero
+external libraries.  Compressed formats (JPEG/PNG/MP3/H.264) require real
+codec libs the sandbox doesn't ship: those payloads raise
+``NotImplementedError`` in strict mode or fall back to a clearly-marked
+deterministic fake.
 
 Scale notes baked into the design:
 - decode/feature-extract is mapInPandas with SMALL Arrow batches
@@ -19,6 +22,7 @@ Scale notes baked into the design:
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -31,9 +35,81 @@ MEDIA_SCHEMA = (
 )
 
 
+# ---------------------------------------------------------------------------
+# real pure-numpy codecs (public byte layouts; no external libs)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed bottom-up BMP bytes."""
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+    rows = np.zeros((h, row_bytes), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=h * row_bytes, offset=off)
+    img = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return img[::-1] if flip else img
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """1-D int16 PCM samples -> RIFF/WAVE (PCM16 mono) bytes."""
+    data = np.asarray(samples, np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE (PCM16) bytes -> (samples int16 ndarray, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, _ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant (not PCM16)")
+        elif cid == b"data":
+            samples = np.frombuffer(body, np.int16)
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("truncated WAV payload")
+    return samples, rate
+
+
+def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index gather (pure numpy)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ri[:, None], ci[None, :]]
+
+
 def _fake_decode_image(payload: bytes, out_hw: tuple) -> np.ndarray:
-    """STUB — deterministic fake decoder.  A real deployment swaps in
-    PIL/libvips here; the Spark plumbing around it is unchanged."""
+    """STUB — deterministic fake for compressed formats the sandbox can't
+    decode.  A real deployment swaps in PIL/libvips here; the Spark plumbing
+    around it is unchanged."""
     h = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(np.frombuffer(h[:8], np.uint64)[0])
     return rng.integers(0, 256, (*out_hw, 3), dtype=np.uint8)
@@ -43,20 +119,55 @@ def decode_and_resize(df: DataFrame, payload_col: str = "payload",
                       out_h: int = 64, out_w: int = 64,
                       strict: bool = False) -> DataFrame:
     """binary -> fixed-shape uint8 image tensor (flattened array<int> +
-    dims).  Batch shape: (batch, H, W, 3) built per Arrow batch."""
+    dims).  Batch shape: (batch, H, W, 3) built per Arrow batch.
+
+    BMP payloads decode for real (pure numpy, nearest-neighbor resize);
+    other formats raise in strict mode or produce the deterministic fake."""
     out_schema = "media_id long, pixels array<int>, h int, w int, c int"
 
     def gen(batches):
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires PIL/libvips — not in this container"
-                )
             recs = []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
-                img = _fake_decode_image(bytes(payload), (out_h, out_w))
+                raw = bytes(payload)
+                if raw[:2] == b"BM":
+                    img = _resize_nearest(decode_bmp(raw), out_h, out_w)
+                elif strict:
+                    raise NotImplementedError(
+                        "non-BMP image decode requires PIL/libvips — not in "
+                        "this container"
+                    )
+                else:
+                    img = _fake_decode_image(raw, (out_h, out_w))
                 recs.append((int(mid), img.ravel().tolist(), out_h, out_w, 3))
             yield pd.DataFrame(recs, columns=["media_id", "pixels", "h", "w", "c"])
+
+    return df.select("media_id", payload_col).mapInPandas(gen, out_schema)
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """PCM16 WAV payloads -> real audio features (duration, RMS, peak,
+    zero-crossing rate), decoded with the pure-numpy WAV parser."""
+    out_schema = ("media_id long, sample_rate int, n_samples long, "
+                  "duration_ms double, rms double, peak int, zcr double")
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                samples, rate = decode_wav(bytes(payload))
+                x = samples.astype(np.float64)
+                zc = np.count_nonzero(np.diff(np.signbit(samples))) if samples.size > 1 else 0
+                recs.append((
+                    int(mid), int(rate), int(samples.size),
+                    round(samples.size * 1000.0 / rate, 6),
+                    round(float(np.sqrt((x * x).mean())) if x.size else 0.0, 6),
+                    int(np.abs(samples).max()) if samples.size else 0,
+                    round(zc / max(samples.size - 1, 1), 6),
+                ))
+            yield pd.DataFrame(recs, columns=[
+                "media_id", "sample_rate", "n_samples", "duration_ms",
+                "rms", "peak", "zcr"])
 
     return df.select("media_id", payload_col).mapInPandas(gen, out_schema)
 
@@ -102,13 +213,31 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_media_table(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (binary payload + metadata)."""
+    """Deterministic media table for tests: image rows carry REAL 24-bit BMP
+    payloads, audio rows REAL PCM16 WAV payloads (both decodable by the pure-
+    numpy codecs above); video rows stay opaque bytes + metadata (no raw
+    video container is practical without codec libs)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n_rows):
-        size = int(rng.integers(100, 4000))
-        payload = bytes(rng.integers(0, 256, size, dtype=np.uint8))
         kind = ["image", "audio", "video"][i % 3]
-        rows.append((i, kind, payload, f"application/x-{kind}",
-                     64, 64, int(rng.integers(1000, 10000))))
+        if kind == "image":
+            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payload, mime = encode_bmp(img), "image/bmp"
+            width, height, dur = w, h, 0
+        elif kind == "audio":
+            rate = 8000
+            n = int(rng.integers(800, 4000))
+            t = np.arange(n)
+            freq = float(rng.uniform(100, 900))
+            samples = (3000 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+            payload, mime = encode_wav(samples, rate), "audio/wav"
+            width, height, dur = 0, 0, int(n * 1000 / rate)
+        else:
+            size = int(rng.integers(100, 4000))
+            payload = bytes(rng.integers(0, 256, size, dtype=np.uint8))
+            mime = "video/x-opaque"
+            width, height, dur = 64, 64, int(rng.integers(1000, 10000))
+        rows.append((i, kind, payload, mime, width, height, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

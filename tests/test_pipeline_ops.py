@@ -312,3 +312,44 @@ def test_brute_force_topk_query_side_guard(spark):
     with pytest.raises(ValueError, match="max_query_rows"):
         brute_force_topk(df, df, "vec_id", "embedding", k=1,
                          max_query_rows=5).collect()
+
+
+def test_multimodal_real_codecs(spark):
+    """BMP images and PCM16 WAV audio decode for REAL (pure-numpy codecs):
+    the decoded pixels must equal the encoded source, and audio features
+    must match a local numpy recomputation."""
+    from streaming_algorithms_spark.operators.multimodal import (
+        audio_features, decode_bmp, decode_wav, synth_media_table,
+    )
+
+    media = synth_media_table(spark, 24)
+    payloads = {r["media_id"]: (r["kind"], bytes(r["payload"]))
+                for r in media.select("media_id", "kind", "payload").collect()}
+
+    imgs = media.filter("kind = 'image'")
+    decoded = {r["media_id"]: r
+               for r in decode_and_resize(imgs, out_h=8, out_w=8).collect()}
+    assert len(decoded) == 8
+    for mid, r in decoded.items():
+        src = decode_bmp(payloads[mid][1])
+        # nearest-neighbor: every output pixel is some source pixel; check
+        # the (0,0) anchor exactly
+        got = np.array(r["pixels"], np.uint8).reshape(8, 8, 3)
+        assert (got[0, 0] == src[0, 0]).all()
+
+    # strict mode decodes BMP fine but refuses opaque video payloads
+    assert decode_and_resize(imgs, out_h=4, out_w=4, strict=True).count() == 8
+    with pytest.raises(Exception):
+        decode_and_resize(media.filter("kind = 'video'"),
+                          out_h=4, out_w=4, strict=True).collect()
+
+    feats = {r["media_id"]: r for r in
+             audio_features(media.filter("kind = 'audio'")).collect()}
+    assert len(feats) == 8
+    for mid, r in feats.items():
+        samples, rate = decode_wav(payloads[mid][1])
+        x = samples.astype(np.float64)
+        assert r["sample_rate"] == rate
+        assert r["n_samples"] == samples.size
+        assert r["rms"] == pytest.approx(float(np.sqrt((x * x).mean())), abs=1e-4)
+        assert r["peak"] == int(np.abs(samples).max())
