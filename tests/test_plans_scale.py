@@ -103,3 +103,30 @@ def test_dim_join_is_broadcast(spark, webpages_parquet):
     plan = _physical_plan(joined)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_near_dup_lsh_plan_one_python_pass_no_collect(spark):
+    """The embedding near-dup scale path must (a) run exactly ONE Python
+    signature stage (lsh_bucket_table computes every table's bucket in one
+    Arrow pass — not one MapInPandas per table) and (b) contain no
+    driver-collect pattern (no CollectLimit; candidates come from a
+    distributed (table, bucket) self-join)."""
+    import numpy as np
+
+    from streaming_algorithms_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(1)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in
+         enumerate(rng.normal(size=(50, 16)).astype(np.float32))],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _physical_plan(
+        embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.9)
+    )
+    # the signature stage appears once per join side of the self-join (Spark
+    # re-plans the shared lineage), never n_tables times
+    assert plan.count("MapInPandas") <= 2, plan
+    assert "CollectLimit" not in plan, plan
