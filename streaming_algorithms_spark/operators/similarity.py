@@ -49,6 +49,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         )
     q_ids = np.array([r[id_col] for r in qrows], np.int64)
     q_mat = _normalize(np.array([r[vec_col] for r in qrows]))
+    # pre-sort queries by id: a stable cosine-desc argsort then breaks ties
+    # by id ascending for free, so ranking vectorizes across the whole batch
+    q_order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[q_order], q_mat[q_order]
     sc = corpus.sparkSession.sparkContext
     b_ids = sc.broadcast(q_ids)
     b_mat = sc.broadcast(q_mat)
@@ -57,23 +61,34 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
     def gen(batches):
         ids_b, mat_b = b_ids.value, b_mat.value
+        kk = min(k, len(ids_b))
         for pdf in batches:
             if not len(pdf):
                 continue
             c_ids = pdf[id_col].to_numpy(np.int64)
             c_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
             sims = c_mat @ mat_b.T  # one BLAS call per Arrow batch
-            recs = []
-            for row_i, cid in enumerate(c_ids):
-                s = sims[row_i]
-                mask = ids_b != cid if exclude_self else np.ones(len(ids_b), bool)
-                # deterministic order: cosine desc, neighbor id asc
-                order = np.lexsort((ids_b[mask], -s[mask]))[:k]
-                cand_ids = ids_b[mask][order]
-                cand_sims = s[mask][order]
-                for rank, (nid, sim) in enumerate(zip(cand_ids, cand_sims), 1):
-                    recs.append((int(cid), int(nid), float(sim), rank))
-            yield pd.DataFrame(recs, columns=[id_col, "neighbor_id", "cosine", "rank"])
+            if exclude_self:
+                sims[ids_b[None, :] == c_ids[:, None]] = -np.inf
+            if kk == 1:
+                # argmax returns the FIRST max — with queries pre-sorted by
+                # id that IS the (cosine desc, id asc) tie-break, at O(Q)
+                order = np.argmax(sims, axis=1)[:, None]
+            else:
+                # one stable argsort for the batch: cosine desc, id asc
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            rows_idx = np.arange(len(c_ids))[:, None]
+            top_sims = sims[rows_idx, order]
+            top_ids = ids_b[order]
+            keep = np.isfinite(top_sims)  # drop masked self matches
+            n_keep = keep.sum(axis=1)
+            ranks = np.broadcast_to(np.arange(1, kk + 1), top_sims.shape)
+            yield pd.DataFrame({
+                id_col: np.repeat(c_ids, n_keep),
+                "neighbor_id": top_ids[keep],
+                "cosine": top_sims[keep],
+                "rank": ranks[keep].astype(np.int32),
+            })
 
     return corpus.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
