@@ -85,7 +85,10 @@ def main():
     matrix_profile(series, m=60, percent=100)
     out["matrix_profile_11500_m60_sec"] = time.perf_counter() - t0
     # mp-only workload path (native C sweep when a compiler is present,
-    # reduced-pass numpy sweep otherwise) — what queries/bench actually run
+    # reduced-pass numpy sweep otherwise) — what queries/bench actually run.
+    # Untimed warm-up first: a cold host would otherwise pay the one-time
+    # cc compile of the native kernel inside the measured interval.
+    matrix_profile(series[:512], m=60, percent=100, with_index=False)
     t0 = time.perf_counter()
     matrix_profile(series, m=60, percent=100, with_index=False)
     out["matrix_profile_fast_11500_m60_sec"] = time.perf_counter() - t0

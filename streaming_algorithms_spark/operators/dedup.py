@@ -97,6 +97,65 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 
+def _doc_chunks(lens: np.ndarray, max_items: int):
+    """Yield (lo, hi) doc-index ranges whose total item count stays under
+    ``max_items`` (always at least one doc per chunk) — bounds the Python
+    stage's temporaries independently of the Arrow batch size."""
+    lo, acc = 0, 0
+    for i, n in enumerate(lens):
+        if acc and acc + int(n) > max_items:
+            yield lo, i
+            lo, acc = i, 0
+        acc += int(n)
+    if lo < len(lens):
+        yield lo, len(lens)
+
+
+def exact_jaccard_for_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
+                            text_col: str, n: int = 3) -> DataFrame:
+    """Exact word-n-gram Jaccard for a GIVEN candidate pair set — the rerank
+    half of MinHash-LSH: cost is O(candidate pairs x shingles), never
+    all-pairs, and it reuses the same Catalyst ``word_shingles`` definition
+    as the full exact operator (single source of tokenization truth; no
+    document strings cross the Arrow boundary).  Pairs sharing no shingle
+    get jaccard 0.
+
+    Shuffle hygiene: shingles are pruned to candidate docs first (semi
+    join), and the intersection joins key on xxhash64(shingle) — 8-byte
+    keys, never shingle strings (counts are identical up to 64-bit hash
+    collisions, the same trade the whole LSH layer already makes)."""
+    p = pairs.select("id_a", "id_b")
+    cand_ids = p.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    sh = (
+        word_shingles(df, id_col, text_col, n)
+        .join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), F.xxhash64("shingle").alias("_shash"))
+        .cache()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "_shash")
+    sb = sh.select(F.col(id_col).alias("id_b"), "_shash")
+    inter = (
+        p.join(sa, "id_a")
+        .join(sb, ["id_b", "_shash"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        p.join(inter, ["id_a", "id_b"], "left")
+        .join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
+        .withColumn(
+            "jaccard",
+            F.coalesce(F.col("inter"), F.lit(0))
+            / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _spread_python_stage(df: DataFrame) -> DataFrame:
     """Round-robin repartition a narrow (id, hashes) projection up to the
     session's shuffle parallelism when the upstream scan has fewer
@@ -163,16 +222,22 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
             if not len(pdf):
                 continue
             arrs = pdf["_sh"].to_numpy()
+            ids = pdf[id_col].to_numpy()
             lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
-            flat = np.concatenate(arrs).astype(np.int64).view(np.uint64)
-            with np.errstate(over="ignore"):
-                perms = A[:, None] * flat[None, :] + B[:, None]
-            starts = np.zeros(len(arrs), np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            mins = np.minimum.reduceat(perms, starts, axis=1)  # (k, ndocs)
-            sigs = mins.view(np.int64).T
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
-                                "signature": list(sigs)})
+            # chunk so the (k x hashes) permutation matrix stays bounded
+            # (~64 MB at 2^16 hashes x k=128) no matter how large the Arrow
+            # batch is — 65536 long documents would otherwise materialize a
+            # multi-GB temporary per task
+            for lo, hi in _doc_chunks(lens, 1 << 16):
+                flat = np.concatenate(arrs[lo:hi]).astype(np.int64).view(np.uint64)
+                with np.errstate(over="ignore"):
+                    perms = A[:, None] * flat[None, :] + B[:, None]
+                starts = np.zeros(hi - lo, np.int64)
+                np.cumsum(lens[lo:hi - 1], out=starts[1:])
+                mins = np.minimum.reduceat(perms, starts, axis=1)  # (k, docs)
+                sigs = mins.view(np.int64).T
+                yield pd.DataFrame({id_col: ids[lo:hi],
+                                    "signature": list(sigs)})
 
     src = _spread_python_stage(df.select(id_col, text_col))
     prepped = _shingle_hash_df(src, id_col, text_col, shingle_n)
@@ -266,23 +331,32 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             if not len(pdf):
                 continue
             arrs = pdf["_th"].to_numpy()
+            ids = pdf[id_col].to_numpy()
             lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
-            flat = np.concatenate(arrs).astype(np.int64).view(np.uint64)
-            # signed bit matrix (total_tokens x 64): +1 where bit set else -1
-            bits = (((flat[:, None] >> shifts[None, :]) & np.uint64(1))
-                    .astype(np.int8) * 2 - 1)
-            starts = np.zeros(len(arrs), np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            votes = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
-            fp = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
-                                "simhash": fp.astype(np.int64)})
+            # chunk to bound the (tokens x 64) bit matrices (~80 MB at 2^18
+            # tokens) independently of the Arrow batch size
+            for lo, hi in _doc_chunks(lens, 1 << 18):
+                flat = np.concatenate(arrs[lo:hi]).astype(np.int64).view(np.uint64)
+                # signed bit matrix (tokens x 64): +1 where bit set else -1
+                bits = (((flat[:, None] >> shifts[None, :]) & np.uint64(1))
+                        .astype(np.int8) * 2 - 1)
+                starts = np.zeros(hi - lo, np.int64)
+                np.cumsum(lens[lo:hi - 1], out=starts[1:])
+                votes = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
+                fp = ((votes > 0).astype(np.uint64)
+                      << shifts[None, :]).sum(axis=1)
+                yield pd.DataFrame({id_col: ids[lo:hi],
+                                    "simhash": fp.astype(np.int64)})
 
     src = _spread_python_stage(df.select(id_col, text_col))
+    # coalesce NULL text to '' JVM-side: split/transform of NULL yields a
+    # NULL array, which would reach the Python stage as None and crash it
     prepped = src.select(
         F.col(id_col),
-        F.transform(F.split(F.trim(F.col(text_col)), r"\s+"),
-                    lambda t: F.xxhash64(t)).alias("_th"),
+        F.transform(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: F.xxhash64(t),
+        ).alias("_th"),
     )
     return prepped.mapInPandas(gen, out_schema)
 
@@ -310,14 +384,17 @@ def hamming_pairs(sig: DataFrame, id_col: str, sim_col: str = "simhash",
     width = 64 // nb
     widths = [width + (1 if b < 64 % nb else 0) for b in range(nb)]
     offs = np.concatenate([[0], np.cumsum(widths)]).tolist()
+
+    def band_key(b: int):
+        key = F.shiftrightunsigned(F.col(sim_col), offs[b])
+        if widths[b] < 64:  # a 64-bit band needs no mask — and (1<<64)-1
+            key = key.bitwiseAND(F.lit((1 << widths[b]) - 1))  # overflows long
+        return key
+
     banded = sig.select(
         F.col(id_col), F.col(sim_col),
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col(sim_col), offs[b])
-                .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("key"),
-            )
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
             for b in range(nb)
         ])).alias("bb"),
     ).select(id_col, sim_col, F.col("bb.band"), F.col("bb.key"))

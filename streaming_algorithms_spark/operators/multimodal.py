@@ -130,14 +130,18 @@ def decode_and_resize(df: DataFrame, payload_col: str = "payload",
             recs = []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 raw = bytes(payload)
+                img = None
                 if raw[:2] == b"BM":
-                    img = _resize_nearest(decode_bmp(raw), out_h, out_w)
-                elif strict:
-                    raise NotImplementedError(
-                        "non-BMP image decode requires PIL/libvips — not in "
-                        "this container"
-                    )
-                else:
+                    try:
+                        img = _resize_nearest(decode_bmp(raw), out_h, out_w)
+                    except Exception:
+                        img = None  # 'BM' sniff hit a non-BMP payload
+                if img is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "non-BMP image decode requires PIL/libvips — "
+                            "not in this container"
+                        )
                     img = _fake_decode_image(raw, (out_h, out_w))
                 recs.append((int(mid), img.ravel().tolist(), out_h, out_w, 3))
             yield pd.DataFrame(recs, columns=["media_id", "pixels", "h", "w", "c"])
@@ -145,9 +149,22 @@ def decode_and_resize(df: DataFrame, payload_col: str = "payload",
     return df.select("media_id", payload_col).mapInPandas(gen, out_schema)
 
 
-def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def _fake_decode_audio(payload: bytes):
+    """STUB — deterministic fake samples for compressed audio the sandbox
+    can't decode (same contract as _fake_decode_image)."""
+    h = hashlib.sha256(payload).digest()
+    rng = np.random.default_rng(np.frombuffer(h[:8], np.uint64)[0])
+    n = int(rng.integers(400, 4000))
+    return rng.integers(-4000, 4000, n).astype(np.int16), 16000
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload",
+                   strict: bool = False) -> DataFrame:
     """PCM16 WAV payloads -> real audio features (duration, RMS, peak,
-    zero-crossing rate), decoded with the pure-numpy WAV parser."""
+    zero-crossing rate), decoded with the pure-numpy WAV parser.  Non-WAV
+    payloads raise in strict mode or get deterministic fake samples (the
+    features of the fake are then computed for real, keeping downstream
+    shapes honest)."""
     out_schema = ("media_id long, sample_rate int, n_samples long, "
                   "duration_ms double, rms double, peak int, zcr double")
 
@@ -155,7 +172,16 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         for pdf in batches:
             recs = []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
-                samples, rate = decode_wav(bytes(payload))
+                raw = bytes(payload)
+                try:
+                    samples, rate = decode_wav(raw)
+                except Exception:
+                    if strict:
+                        raise NotImplementedError(
+                            "non-WAV audio decode requires real codec libs "
+                            "— not in this container"
+                        )
+                    samples, rate = _fake_decode_audio(raw)
                 x = samples.astype(np.float64)
                 zc = np.count_nonzero(np.diff(np.signbit(samples))) if samples.size > 1 else 0
                 recs.append((

@@ -263,14 +263,19 @@ def lsh_bucket_table(df: DataFrame, id_col: str, vec_col: str,
     packed per table.  Table t's planes come from default_rng(seed+t) — the
     same buckets as n_tables separate `hyperplane_signatures` calls, at 1/n
     of the Python-stage passes."""
-    dim = len(df.select(vec_col).first()[0])
+    if not 0 < n_bits <= 64:
+        raise ValueError(f"n_bits must be in (0, 64], got {n_bits}")
+    probe = df.select(vec_col).first()
+    if probe is None or probe[0] is None:
+        raise ValueError(f"lsh_bucket_table: empty input or NULL {vec_col}")
+    dim = len(probe[0])
     planes = np.concatenate(
         [np.random.default_rng(seed + t).normal(size=(n_bits, dim))
          for t in range(n_tables)]
     )
     sc = df.sparkSession.sparkContext
     b_planes = sc.broadcast(planes)
-    weights = (np.arange(n_bits, dtype=np.uint64) % np.uint64(64))
+    weights = np.arange(n_bits, dtype=np.uint64)
 
     out_schema = f"`{id_col}` long, table int, bucket long"
 

@@ -548,34 +548,25 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidates), so the emitted pair set must equal the exact >= 0.2
     pair set AND the minhash estimate must sit within its 4-sigma binomial
     bound (sigma = sqrt(j(1-j)/k), k=128) of the exact value."""
-    from ..operators.dedup import lsh_candidate_pairs, minhash_jaccard_estimate
+    from ..operators.dedup import (
+        exact_jaccard_for_pairs,
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+    )
 
     docs = load_table(spark, "documents", sf_dir)
     # cached: consumed by the band join and both sides of the estimate join
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=128).cache()
     pairs = lsh_candidate_pairs(sigs, "doc_id", bands=32)
     est = minhash_jaccard_estimate(sigs, pairs, "doc_id")
-
-    @F.pandas_udf("double")
-    def exact_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        def jac(a: str, b: str) -> float:
-            sa = {" ".join(t[i:i + 3]) for t in [a.strip().split()]
-                  for i in range(len(t) - 2)}
-            sb = {" ".join(t[i:i + 3]) for t in [b.strip().split()]
-                  for i in range(len(t) - 2)}
-            union = len(sa | sb)
-            return len(sa & sb) / union if union else 0.0
-
-        return pd.Series([jac(a, b) for a, b in zip(ta, tb)])
-
-    texts = docs.select("doc_id", "text")
-    ta = texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
-    tb = texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    # candidates-only exact rerank via the SAME Catalyst word_shingles the
+    # full exact operator (and the DuckDB oracle) define — one tokenization
+    # truth, no document strings across the Arrow boundary
+    exact = exact_jaccard_for_pairs(docs, pairs, "doc_id", "text", n=3)
     sigma = (F.sqrt(F.greatest(F.col("jaccard") * (1 - F.col("jaccard")),
                                F.lit(0.0)) / 128))
     return (
-        est.join(ta, "id_a").join(tb, "id_b")
-        .withColumn("jaccard", exact_jaccard(F.col("_ta"), F.col("_tb")))
+        est.join(exact, ["id_a", "id_b"])
         .filter(F.col("jaccard") >= 0.2)
         .select(
             "id_a", "id_b",
@@ -595,15 +586,21 @@ def q_simhash_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         hamming 32, sigma 4: P(<=16) ~ 3e-5), and
     (b) band-join-found <=> hamming <= 3 — the pigeonhole Hamming band
         join's recall-1 guarantee, checked on real pairs (its all-pairs
-        exactness is also pytest-gated with planted bit flips)."""
-    from ..operators.dedup import simhash, simhash_hamming_pairs
+        exactness is also pytest-gated with planted bit flips).
 
-    docs = load_table(spark, "documents", sf_dir)
+    Like q_jaccard_pairs, the exact-Jaccard base pair set is capped to the
+    deterministic doc_id < 500 slice (the whole table at the sf0.01 gate):
+    the quadratic shingle self-join is the verification oracle, not the
+    scale path, so it must not grow with sf.  The simhash stage is computed
+    ONCE and shared by the fingerprint columns and the Hamming band join."""
+    from ..operators.dedup import hamming_pairs, simhash
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 500)
     jpairs = exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
-    sh = simhash(docs, "doc_id", "text")
+    sh = simhash(docs, "doc_id", "text").cache()
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb"))
-    band = simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=3).select(
+    band = hamming_pairs(sh, "doc_id", "simhash", max_hamming=3).select(
         "id_a", "id_b", F.lit(True).alias("_found")
     )
     return (
@@ -626,10 +623,13 @@ def q_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed Karp–Rabin fingerprints per doc, oracle-gated via the
     exact+bound pattern: `n_kgrams` (byte-length arithmetic, reproduced in
     SQL) is value-hash-gated, and the distinct-fingerprint count folds into
-    `fp_density_ok` — winnowing guarantees >= n_windows/w selected positions
-    (Schleimer et al. 2003 §4) and <= one per window; expected density
-    2/(w+1) (~0.222 for w=8; measured 0.18-0.30 on this corpus, so the
-    [1/w, 4/(w+1)] gate has margin on both sides)."""
+    `fp_density_ok`.  The gate is the UNCONDITIONAL winnowing invariant
+    1 <= n_fp <= n_windows: the output counts distinct fingerprint VALUES
+    (np.unique), so the Schleimer §4 position lower bound n_windows/w does
+    not survive value-dedup (a periodic doc collapses to ~period distinct
+    hashes), and the tighter [1/w, 4/(w+1)] density envelope holds for this
+    corpus but not for adversarial inputs — that envelope is pytest-gated on
+    the real corpus instead (test_pipeline_ops)."""
     k, w = 16, 8
     docs = load_table(spark, "documents", sf_dir)
     fps = (
@@ -647,8 +647,7 @@ def q_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_kgrams",
-            ((F.col("n_fp") >= n_windows / F.lit(w))
-             & (F.col("n_fp") <= n_windows * F.lit(4.0 / (w + 1)))
+            ((F.col("n_fp") >= 1) & (F.col("n_fp") <= n_windows)
              ).alias("fp_density_ok"),
         )
         .orderBy("doc_id")
@@ -1121,7 +1120,8 @@ ORACLES = {
     # into the hamming_ok / bandjoin_ok booleans (see the query docstring)
     "simhash_dup_pairs_documents": """
         WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents WHERE doc_id < 500
         ),
         sh AS (
             SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle

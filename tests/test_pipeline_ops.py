@@ -353,3 +353,48 @@ def test_multimodal_real_codecs(spark):
         assert r["n_samples"] == samples.size
         assert r["rms"] == pytest.approx(float(np.sqrt((x * x).mean())), abs=1e-4)
         assert r["peak"] == int(np.abs(samples).max())
+
+
+def test_winnowing_density_envelope_on_corpus(spark):
+    """The [1/w, 4/(w+1)] winnowing density envelope holds on the real
+    corpus (the oracle gate itself only asserts the unconditional
+    1 <= n_fp <= n_windows invariant, since value-dedup breaks the
+    positional lower bound on adversarial/periodic inputs)."""
+    from streaming_algorithms_spark.operators.text import rolling_fingerprints
+
+    k, w = 16, 8
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fps = {r["doc_id"]: r["n"] for r in
+           rolling_fingerprints(docs, "doc_id", "text", k=k, window=w)
+           .groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    lens = {r["doc_id"]: r["nb"] for r in
+            docs.select("doc_id", F.octet_length("text").alias("nb")).collect()}
+    assert len(fps) == len(lens)
+    for did, n_fp in fps.items():
+        n_windows = max(lens[did] - k + 1 - (w - 1), 1)
+        assert n_windows / w <= n_fp <= n_windows * 4.0 / (w + 1), did
+
+
+def test_simhash_null_text_and_hamming0(spark):
+    """Regressions: NULL text must not crash the vectorized simhash stage,
+    and hamming_pairs(max_hamming=0) must not overflow the 64-bit band
+    mask literal."""
+    from streaming_algorithms_spark.operators.dedup import (
+        hamming_pairs, simhash,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d"), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in
+            simhash(df, "doc_id", "text").collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0] == rows[1]
+
+    sig = spark.createDataFrame(
+        [(0, 7), (1, 7), (2, -1)], "doc_id long, simhash long"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           hamming_pairs(sig, "doc_id", "simhash", max_hamming=0).collect()}
+    assert got == {(0, 1)}
