@@ -172,6 +172,9 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries may cache intermediates (signatures, shingles); drop them
+        # so cached partitions don't accumulate across the suite
+        spark.catalog.clearCache()
     total = round(time.perf_counter() - t_all, 3)
 
     result = {

@@ -54,10 +54,21 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc — pure Catalyst (transform over
-    a token array), no Python."""
+    a token array), no Python.
+
+    Docs with fewer than n tokens have NO shingles and are absent from the
+    output (F.sequence(0, negative) would otherwise build a descending index
+    and crash F.slice) — the same domain the DuckDB oracles' `range(1,
+    len(t)-1)` produces, so Jaccard over shingles is simply undefined (and
+    every pair query excludes such docs) on both sides."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
     )
@@ -118,7 +129,9 @@ def exact_jaccard_for_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
     all-pairs, and it reuses the same Catalyst ``word_shingles`` definition
     as the full exact operator (single source of tokenization truth; no
     document strings cross the Arrow boundary).  Pairs sharing no shingle
-    get jaccard 0.
+    get jaccard 0; pairs involving a doc with no shingles at all (< n
+    tokens, or an id absent from df) are DROPPED — the same domain as
+    exact_jaccard_pairs and the SQL oracles, where such docs never appear.
 
     Shuffle hygiene: shingles are pruned to candidate docs first (semi
     join), and the intersection joins key on xxhash64(shingle) — 8-byte

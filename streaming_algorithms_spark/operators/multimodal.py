@@ -88,8 +88,8 @@ def decode_wav(payload: bytes):
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             audio_fmt, _ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
-            if audio_fmt != 1 or bits != 16:
-                raise ValueError("unsupported WAV variant (not PCM16)")
+            if audio_fmt != 1 or bits != 16 or rate <= 0:
+                raise ValueError("unsupported WAV variant (not PCM16/bad rate)")
         elif cid == b"data":
             samples = np.frombuffer(body, np.int16)
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
@@ -122,8 +122,12 @@ def decode_and_resize(df: DataFrame, payload_col: str = "payload",
     dims).  Batch shape: (batch, H, W, 3) built per Arrow batch.
 
     BMP payloads decode for real (pure numpy, nearest-neighbor resize);
-    other formats raise in strict mode or produce the deterministic fake."""
-    out_schema = "media_id long, pixels array<int>, h int, w int, c int"
+    other formats raise in strict mode or produce the deterministic fake.
+    The `decoded` column is True only for genuinely decoded payloads, so
+    fake-fallback pixels (including a corrupt 'BM'-sniffed payload) are
+    always distinguishable downstream."""
+    out_schema = ("media_id long, pixels array<int>, h int, w int, c int, "
+                  "decoded boolean")
 
     def gen(batches):
         for pdf in batches:
@@ -135,7 +139,8 @@ def decode_and_resize(df: DataFrame, payload_col: str = "payload",
                     try:
                         img = _resize_nearest(decode_bmp(raw), out_h, out_w)
                     except Exception:
-                        img = None  # 'BM' sniff hit a non-BMP payload
+                        img = None  # 'BM' sniff hit a corrupt/non-BMP payload
+                decoded = img is not None
                 if img is None:
                     if strict:
                         raise NotImplementedError(
@@ -143,8 +148,10 @@ def decode_and_resize(df: DataFrame, payload_col: str = "payload",
                             "not in this container"
                         )
                     img = _fake_decode_image(raw, (out_h, out_w))
-                recs.append((int(mid), img.ravel().tolist(), out_h, out_w, 3))
-            yield pd.DataFrame(recs, columns=["media_id", "pixels", "h", "w", "c"])
+                recs.append((int(mid), img.ravel().tolist(),
+                             out_h, out_w, 3, decoded))
+            yield pd.DataFrame(recs, columns=["media_id", "pixels",
+                                              "h", "w", "c", "decoded"])
 
     return df.select("media_id", payload_col).mapInPandas(gen, out_schema)
 

@@ -557,7 +557,8 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     # cached: consumed by the band join and both sides of the estimate join
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=128).cache()
-    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=32)
+    # cached too: referenced by the estimate AND three rerank subtrees
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=32).cache()
     est = minhash_jaccard_estimate(sigs, pairs, "doc_id")
     # candidates-only exact rerank via the SAME Catalyst word_shingles the
     # full exact operator (and the DuckDB oracle) define — one tokenization

@@ -398,3 +398,27 @@ def test_simhash_null_text_and_hamming0(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            hamming_pairs(sig, "doc_id", "simhash", max_hamming=0).collect()}
     assert got == {(0, 1)}
+
+
+def test_minhash_pipeline_survives_short_docs(spark):
+    """Docs with < n tokens have no word shingles (same domain as the SQL
+    oracles' range()) — they must flow through signatures/LSH/rerank without
+    crashing and never appear in emitted pairs."""
+    from streaming_algorithms_spark.operators.dedup import (
+        exact_jaccard_for_pairs, lsh_candidate_pairs, word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "x y"), (1, "one"), (2, "a b c d e f g"), (3, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    sh_ids = {r["doc_id"] for r in
+              word_shingles(df, "doc_id", "text", 3).collect()}
+    assert sh_ids == {2, 3}
+
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=8)
+    exact = exact_jaccard_for_pairs(df, pairs, "doc_id", "text", n=3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    assert got.get((2, 3)) == 1.0
+    assert all(a in (2, 3) and b in (2, 3) for a, b in got)
