@@ -237,6 +237,61 @@ def hll_distinct(df: DataFrame, keys: Sequence[str], col: str, p: int = 14,
     )
 
 
+def hll_pairwise_overlap(df: DataFrame, key_col: str, col: str,
+                         pairs: Sequence[tuple] = None, p: int = 14) -> DataFrame:
+    """Distinct-set overlap between groups via HLL sketch ALGEBRA: one scan
+    builds per-group register sketches (two-stage, JVM hashing); pair unions
+    come from MERGING the groups' serialized sketches — no second scan of
+    the data — and |A∩B| = |A| + |B| - |A∪B| (inclusion-exclusion).  The
+    corpus-overlap question ("how many distinct tokens/urls do EN and DE
+    share?") at 100 TB costs one scan plus O(pairs) 2^p-register merges.
+
+    pairs defaults to all (a < b) combinations of observed keys.  Returns
+    (key_a, key_b, est_a, est_b, est_union, est_intersection).  The
+    intersection error compounds the three estimates' errors:
+    |err| <~ rse*(|A| + |B| + |A∪B|), rse = 1.04/sqrt(2^p)."""
+    df = df.filter(F.col(col).isNotNull())
+    hashed = ensure_parallelism(
+        df.select(F.col(key_col), F.xxhash64(col).alias("_h"))
+    )
+
+    def update(sk: HyperLogLog, pdf: pd.DataFrame) -> None:
+        sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
+
+    partials = build_partials(hashed, [key_col], lambda: HyperLogLog(p), update)
+    merged = merge_sketch_rows(partials, [key_col], HyperLogLog.from_bytes)
+    spark = df.sparkSession
+    kt = df.schema[key_col].dataType.simpleString()
+    if pairs is None:
+        merged = merged.cache()
+        ks = sorted(r[key_col] for r in merged.select(key_col).collect())
+        pairs = [(a, b) for i, a in enumerate(ks) for b in ks[i + 1:]]
+    pairs_df = spark.createDataFrame(list(pairs), f"key_a {kt}, key_b {kt}")
+    sa = merged.select(F.col(key_col).alias("key_a"), F.col("sketch").alias("_ska"))
+    sb = merged.select(F.col(key_col).alias("key_b"), F.col("sketch").alias("_skb"))
+    j = pairs_df.join(sa, "key_a").join(sb, "key_b")
+    out_schema = (f"key_a {kt}, key_b {kt}, est_a bigint, est_b bigint, "
+                  "est_union bigint, est_intersection bigint")
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for ka, kb, ba, bb in zip(pdf["key_a"], pdf["key_b"],
+                                      pdf["_ska"], pdf["_skb"]):
+                A = HyperLogLog.from_bytes(bytes(ba))
+                B = HyperLogLog.from_bytes(bytes(bb))
+                ea, eb = A.estimate(), B.estimate()
+                A.merge(B)  # register-max: |A∪B| from the sketches alone
+                eu = A.estimate()
+                recs.append((ka, kb, int(round(ea)), int(round(eb)),
+                             int(round(eu)), int(round(ea + eb - eu))))
+            yield pd.DataFrame(recs, columns=["key_a", "key_b", "est_a",
+                                              "est_b", "est_union",
+                                              "est_intersection"])
+
+    return j.mapInPandas(gen, out_schema)
+
+
 def welford_stats(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
     """Exact count/mean/variance/sd/usd via mergeable Welford/Chan
     (reference: running_stats.c + our Chan merge, SURVEY §2.3)."""

@@ -776,6 +776,58 @@ def q_matrix_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch ALGEBRA: distinct-token overlap between every lang pair
+    via inclusion-exclusion over MERGED register sketches (one scan + pair
+    merges — the capability per-group estimates alone can't give).  Exact
+    sizes and intersections (token-hash joins, reproduced by the SQL
+    oracle's string joins) are value-hash-gated; each estimate folds into a
+    bound boolean: union within 3σ·|A∪B| (a plain HLL estimate), and
+    intersection within rse·(|A|+|B|+|A∪B|)·3 + slack (inclusion-exclusion
+    compounds three estimate errors)."""
+    from ..operators.sketch_agg import hll_pairwise_overlap
+
+    p = 14
+    rse = 1.04 / np.sqrt(2 ** p)
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("lang", F.explode(fn.tokens(F.col("text"))).alias("token"))
+    est = hll_pairwise_overlap(toks, "lang", "token", p=p).select(
+        F.col("key_a").alias("lang_a"), F.col("key_b").alias("lang_b"),
+        "est_union", "est_intersection",
+    )
+
+    dt = toks.select("lang", F.xxhash64("token").alias("_t")).distinct().cache()
+    sizes = dt.groupBy("lang").agg(F.count("*").alias("n"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    inter = (
+        a.join(b, "_t")
+        .filter(F.col("a.lang") < F.col("b.lang"))
+        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    grid = (
+        sa.crossJoin(sb).filter(F.col("lang_a") < F.col("lang_b"))
+        .join(inter, ["lang_a", "lang_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        grid.join(est, ["lang_a", "lang_b"])
+        .select(
+            "lang_a", "lang_b", "n_a", "n_b", "n_inter",
+            (F.abs(F.col("est_union") - n_union)
+             <= 3 * rse * n_union + 3).alias("union_ok"),
+            (F.abs(F.col("est_intersection") - F.col("n_inter"))
+             <= 3 * rse * (F.col("n_a") + F.col("n_b") + n_union) + 5
+             ).alias("inter_ok"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
 def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (coarse k-means quantizer) in full-probe mode
     (n_probe = n_lists): provably exact — every vector lands in some list
@@ -856,6 +908,7 @@ QUERIES = {
     "matrix_profile_events": q_matrix_profile_events,
     "lsh_topk_embeddings": q_lsh_topk_embeddings,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
+    "token_overlap_langs": q_token_overlap_langs,
 }
 
 _STOP_EN = "['the','a','and','of','to','in','is']"
@@ -1143,6 +1196,39 @@ ORACLES = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE i / (sa.sz + sb.sz - i) >= 0.2
         ORDER BY id_a, id_b
+    """,
+    # exact sizes/intersections are value-hash-gated (string joins here,
+    # token-hash joins Spark-side — same 64-bit-collision trade as the LSH
+    # layer); the HLL union/inclusion-exclusion estimates fold into booleans
+    "token_overlap_langs": """
+        WITH toks AS (
+            SELECT DISTINCT lang, token FROM (
+                SELECT lang,
+                       UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+                FROM documents
+            )
+        ),
+        sizes AS (SELECT lang, COUNT(*) AS n FROM toks GROUP BY lang),
+        grid AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b
+            FROM (SELECT DISTINCT lang FROM toks) a
+            JOIN (SELECT DISTINCT lang FROM toks) b ON a.lang < b.lang
+        ),
+        inter AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS i
+            FROM toks a JOIN toks b ON a.token = b.token AND a.lang < b.lang
+            GROUP BY 1, 2
+        )
+        SELECT g.lang_a, g.lang_b,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(COALESCE(i.i, 0) AS BIGINT) AS n_inter,
+               TRUE AS union_ok,
+               TRUE AS inter_ok
+        FROM grid g
+        JOIN sizes sa ON sa.lang = g.lang_a
+        JOIN sizes sb ON sb.lang = g.lang_b
+        LEFT JOIN inter i ON i.lang_a = g.lang_a AND i.lang_b = g.lang_b
+        ORDER BY 1, 2
     """,
     # full-probe IVF is exact (see q_ivf_topk_embeddings) — same argmax as
     # ann_top1, exercised through the distributed IVF machinery

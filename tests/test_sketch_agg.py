@@ -151,3 +151,32 @@ def test_salted_two_stage_equals_unsalted(spark, webpages):
     salted = {r["lang"]: r["est"]
               for r in sketch_aggregate(webpages, ["lang"], salt_partitions=16, **kw).collect()}
     assert plain == salted
+
+
+def test_hll_pairwise_overlap_inclusion_exclusion(spark):
+    """Sketch algebra on sets with KNOWN overlap: groups A/B/C of 4000
+    elements, |A∩B|=2000, |A∩C|=0 — union and inclusion-exclusion
+    intersection estimates must land within the compounded HLL bounds."""
+    from streaming_algorithms_spark.operators.sketch_agg import (
+        hll_pairwise_overlap,
+    )
+
+    rows = (
+        [("A", f"x{i}") for i in range(4000)]
+        + [("B", f"x{i}") for i in range(2000, 6000)]
+        + [("C", f"z{i}") for i in range(4000)]
+    )
+    df = spark.createDataFrame(rows, "grp string, item string").repartition(8)
+    p = 14
+    rse = 1.04 / (2 ** p) ** 0.5
+    got = {(r["key_a"], r["key_b"]): r
+           for r in hll_pairwise_overlap(df, "grp", "item", p=p).collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    exact = {("A", "B"): (4000, 4000, 6000, 2000),
+             ("A", "C"): (4000, 4000, 8000, 0),
+             ("B", "C"): (4000, 4000, 8000, 0)}
+    for pair, (na, nb, nu, ni) in exact.items():
+        r = got[pair]
+        assert abs(r["est_a"] - na) <= 3 * rse * na + 3
+        assert abs(r["est_union"] - nu) <= 3 * rse * nu + 3
+        assert abs(r["est_intersection"] - ni) <= 3 * rse * (na + nb + nu) + 5
