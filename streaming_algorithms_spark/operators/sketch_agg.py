@@ -237,6 +237,41 @@ def hll_distinct(df: DataFrame, keys: Sequence[str], col: str, p: int = 14,
     )
 
 
+def sketch_rollup(df: DataFrame, keys: Sequence[str], factory,
+                  update, from_bytes, finalize, out_value_schema: str,
+                  all_label: str = "ALL") -> DataFrame:
+    """Hierarchical rollup from ONE scan: build partials at the finest
+    granularity (keys[0..n-1]), then derive every coarser level — (keys[0..
+    n-2]), ..., () — by re-merging the SERIALIZED sketch rows, never
+    re-scanning the data (the hypertable-rollup pattern; sound because every
+    sketch here is a commutative monoid).  At 100 TB the coarser levels cost
+    O(groups) sketch merges instead of O(rows) passes.
+
+    Rolled-up key columns carry ``all_label`` (not NULL — keeps
+    engine-portable semantics for oracles), plus a ``level`` column with the
+    number of grouping keys retained."""
+    keys = list(keys)
+    partials = build_partials(df, keys, factory, update)
+    finest = merge_sketch_rows(partials, keys, from_bytes).cache()
+
+    def finalize_level(sk_rows: DataFrame, level: int) -> DataFrame:
+        kept = keys[:level]
+        # merge_partials both re-merges the finest-level sketch rows down to
+        # this level's keys (or globally for kept=[]) and finalizes them
+        out = merge_partials(sk_rows, kept, from_bytes, finalize, out_value_schema)
+        for k in keys[level:]:
+            out = out.withColumn(k, F.lit(all_label))
+        return out.withColumn("level", F.lit(level)).select(
+            *keys, "level", *[f.split(" ")[0] for f in out_value_schema.split(", ")]
+        )
+
+    levels = [finalize_level(finest, lv) for lv in range(len(keys), -1, -1)]
+    res = levels[0]
+    for l in levels[1:]:
+        res = res.unionByName(l)
+    return res
+
+
 def hll_pairwise_overlap(df: DataFrame, key_col: str, col: str,
                          pairs: Sequence[tuple] = None, p: int = 14) -> DataFrame:
     """Distinct-set overlap between groups via HLL sketch ALGEBRA: one scan

@@ -776,6 +776,58 @@ def q_matrix_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rollup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup from ONE scan (the hypertable-rollup pattern):
+    distinct-text estimates at (lang, source), (lang) and global levels,
+    where the coarser levels come from RE-MERGING the finest level's
+    serialized HLL sketches — never re-scanning the data.  Exact distincts
+    per level (Spark rollup ↔ SQL ROLLUP) are value-hash-gated; each HLL
+    estimate folds into its published-bound boolean."""
+    from ..operators.sketch_agg import ensure_parallelism, sketch_rollup
+    from ..sketches import HyperLogLog
+
+    p = 14
+    rse = 1.04 / np.sqrt(2 ** p)
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    hashed = ensure_parallelism(
+        docs.select("lang", "source", F.xxhash64("text").alias("_h"))
+    )
+
+    def update(sk: "HyperLogLog", pdf: pd.DataFrame) -> None:
+        sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
+
+    est = sketch_rollup(
+        hashed, ["lang", "source"],
+        factory=lambda: HyperLogLog(p), update=update,
+        from_bytes=HyperLogLog.from_bytes,
+        finalize=lambda sk, rows: {"approx": int(round(sk.estimate()))},
+        out_value_schema="approx bigint",
+    )
+
+    exact = (
+        docs.rollup("lang", "source")
+        .agg(F.countDistinct("text").alias("exact_distinct"),
+             F.grouping("lang").alias("_gl"),
+             F.grouping("source").alias("_gs"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            (F.lit(2) - F.col("_gl") - F.col("_gs")).cast("int").alias("level"),
+            "exact_distinct",
+        )
+    )
+    return (
+        exact.join(est.select("lang", "source", "level", "approx"),
+                   ["lang", "source", "level"])
+        .select(
+            "lang", "source", "level", "exact_distinct",
+            (F.abs(F.col("approx") - F.col("exact_distinct"))
+             <= 3 * rse * F.col("exact_distinct") + 3).alias("hll_ok"),
+        )
+        .orderBy("level", "lang", "source")
+    )
+
+
 def q_token_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch ALGEBRA: distinct-token overlap between every lang pair
     via inclusion-exclusion over MERGED register sketches (one scan + pair
@@ -909,6 +961,7 @@ QUERIES = {
     "lsh_topk_embeddings": q_lsh_topk_embeddings,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
     "token_overlap_langs": q_token_overlap_langs,
+    "hll_rollup_documents": q_hll_rollup_documents,
 }
 
 _STOP_EN = "['the','a','and','of','to','in','is']"
@@ -1196,6 +1249,18 @@ ORACLES = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE i / (sa.sz + sb.sz - i) >= 0.2
         ORDER BY id_a, id_b
+    """,
+    # exact distincts per rollup level are value-hash-gated (SQL ROLLUP);
+    # the sketch-derived estimates fold into published-bound booleans
+    "hll_rollup_documents": """
+        SELECT COALESCE(lang, 'ALL') AS lang,
+               COALESCE(source, 'ALL') AS source,
+               CAST(2 - GROUPING(lang) - GROUPING(source) AS INT) AS level,
+               COUNT(DISTINCT text) AS exact_distinct,
+               TRUE AS hll_ok
+        FROM documents
+        GROUP BY ROLLUP(lang, source)
+        ORDER BY level, lang, source
     """,
     # exact sizes/intersections are value-hash-gated (string joins here,
     # token-hash joins Spark-side — same 64-bit-collision trade as the LSH

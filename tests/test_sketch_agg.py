@@ -180,3 +180,44 @@ def test_hll_pairwise_overlap_inclusion_exclusion(spark):
         assert abs(r["est_a"] - na) <= 3 * rse * na + 3
         assert abs(r["est_union"] - nu) <= 3 * rse * nu + 3
         assert abs(r["est_intersection"] - ni) <= 3 * rse * (na + nb + nu) + 5
+
+
+def test_sketch_rollup_equals_rescan(spark, webpages):
+    """Rollup levels derived by re-merging the finest level's sketches must
+    give estimates EXACTLY equal to building each level from a fresh scan —
+    register-max is associative, so the merged registers are identical."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark.operators.sketch_agg import (
+        ensure_parallelism, hll_distinct, sketch_rollup,
+    )
+    from streaming_algorithms_spark.sketches import HyperLogLog
+
+    wp = webpages.withColumn(
+        "host", F.concat(F.lit("h"), F.pmod(F.xxhash64("url"), F.lit(4)).cast("string"))
+    )
+    hashed = ensure_parallelism(
+        wp.select("lang", "host", F.xxhash64("url").alias("_h"))
+    )
+
+    def update(sk, pdf):
+        sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
+
+    rolled = sketch_rollup(
+        hashed, ["lang", "host"],
+        factory=lambda: HyperLogLog(12), update=update,
+        from_bytes=HyperLogLog.from_bytes,
+        finalize=lambda sk, rows: {"approx": int(round(sk.estimate()))},
+        out_value_schema="approx bigint",
+    ).collect()
+    by_level = {}
+    for r in rolled:
+        by_level.setdefault(r["level"], {})[(r["lang"], r["host"])] = r["approx"]
+
+    lang_scan = {(r["lang"], "ALL"): r["approx_distinct"] for r in
+                 hll_distinct(wp, ["lang"], "url", p=12).collect()}
+    assert by_level[1] == lang_scan
+    glob_scan = hll_distinct(wp, [], "url", p=12).collect()[0]["approx_distinct"]
+    assert by_level[0] == {("ALL", "ALL"): glob_scan}
+    assert len(by_level[2]) > len(by_level[1]) >= 2
