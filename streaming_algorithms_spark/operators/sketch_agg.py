@@ -249,8 +249,18 @@ def sketch_rollup(df: DataFrame, keys: Sequence[str], factory,
 
     Rolled-up key columns carry ``all_label`` (not NULL — keeps
     engine-portable semantics for oracles), plus a ``level`` column with the
-    number of grouping keys retained."""
+    number of grouping keys retained.  Keys must be string columns (the
+    label shares their type); rows whose key is NULL should be filtered or
+    relabeled by the caller first, else they are indistinguishable from the
+    subtotal rows."""
     keys = list(keys)
+    for k in keys:
+        if df.schema[k].dataType.simpleString() != "string":
+            raise TypeError(
+                f"sketch_rollup requires string key columns (rolled-up "
+                f"levels carry {all_label!r}); got {k}: "
+                f"{df.schema[k].dataType.simpleString()}"
+            )
     partials = build_partials(df, keys, factory, update)
     finest = merge_sketch_rows(partials, keys, from_bytes).cache()
 
@@ -259,10 +269,11 @@ def sketch_rollup(df: DataFrame, keys: Sequence[str], factory,
         # merge_partials both re-merges the finest-level sketch rows down to
         # this level's keys (or globally for kept=[]) and finalizes them
         out = merge_partials(sk_rows, kept, from_bytes, finalize, out_value_schema)
+        value_cols = [c for c in out.columns if c not in kept]
         for k in keys[level:]:
             out = out.withColumn(k, F.lit(all_label))
         return out.withColumn("level", F.lit(level)).select(
-            *keys, "level", *[f.split(" ")[0] for f in out_value_schema.split(", ")]
+            *keys, "level", *value_cols
         )
 
     levels = [finalize_level(finest, lv) for lv in range(len(keys), -1, -1)]
@@ -273,7 +284,8 @@ def sketch_rollup(df: DataFrame, keys: Sequence[str], factory,
 
 
 def hll_pairwise_overlap(df: DataFrame, key_col: str, col: str,
-                         pairs: Sequence[tuple] = None, p: int = 14) -> DataFrame:
+                         pairs: Sequence[tuple] = None, p: int = 14,
+                         col_is_hash: bool = False) -> DataFrame:
     """Distinct-set overlap between groups via HLL sketch ALGEBRA: one scan
     builds per-group register sketches (two-stage, JVM hashing); pair unions
     come from MERGING the groups' serialized sketches — no second scan of
@@ -284,10 +296,15 @@ def hll_pairwise_overlap(df: DataFrame, key_col: str, col: str,
     pairs defaults to all (a < b) combinations of observed keys.  Returns
     (key_a, key_b, est_a, est_b, est_union, est_intersection).  The
     intersection error compounds the three estimates' errors:
-    |err| <~ rse*(|A| + |B| + |A∪B|), rse = 1.04/sqrt(2^p)."""
-    df = df.filter(F.col(col).isNotNull())
+    |err| <~ rse*(|A| + |B| + |A∪B|), rse = 1.04/sqrt(2^p); the estimate is
+    clamped at 0.  NULL group keys are excluded (a NULL group can't be
+    paired); col_is_hash=True treats ``col`` as a precomputed 64-bit hash
+    (skips the xxhash64 projection — HLL inserts are idempotent, so feeding
+    pre-distinct hashes gives identical registers)."""
+    df = df.filter(F.col(col).isNotNull() & F.col(key_col).isNotNull())
+    hcol = F.col(col) if col_is_hash else F.xxhash64(col)
     hashed = ensure_parallelism(
-        df.select(F.col(key_col), F.xxhash64(col).alias("_h"))
+        df.select(F.col(key_col), hcol.alias("_h"))
     )
 
     def update(sk: HyperLogLog, pdf: pd.DataFrame) -> None:
@@ -319,7 +336,7 @@ def hll_pairwise_overlap(df: DataFrame, key_col: str, col: str,
                 A.merge(B)  # register-max: |A∪B| from the sketches alone
                 eu = A.estimate()
                 recs.append((ka, kb, int(round(ea)), int(round(eb)),
-                             int(round(eu)), int(round(ea + eb - eu))))
+                             int(round(eu)), max(0, int(round(ea + eb - eu)))))
             yield pd.DataFrame(recs, columns=["key_a", "key_b", "est_a",
                                               "est_b", "est_union",
                                               "est_intersection"])

@@ -788,7 +788,13 @@ def q_hll_rollup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = 14
     rse = 1.04 / np.sqrt(2 ** p)
-    docs = load_table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    # NULL grouping keys would be indistinguishable from the 'ALL' subtotal
+    # rows — excluded identically on both engines (oracle WHERE matches)
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
     hashed = ensure_parallelism(
         docs.select("lang", "source", F.xxhash64("text").alias("_h"))
     )
@@ -843,12 +849,14 @@ def q_token_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rse = 1.04 / np.sqrt(2 ** p)
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("lang", F.explode(fn.tokens(F.col("text"))).alias("token"))
-    est = hll_pairwise_overlap(toks, "lang", "token", p=p).select(
+    # tokenize + hash the corpus ONCE: both the sketch side (HLL inserts are
+    # idempotent, so pre-distinct hashes give identical registers) and the
+    # exact side read the same cached (lang, token-hash) distinct set
+    dt = toks.select("lang", F.xxhash64("token").alias("_t")).distinct().cache()
+    est = hll_pairwise_overlap(dt, "lang", "_t", p=p, col_is_hash=True).select(
         F.col("key_a").alias("lang_a"), F.col("key_b").alias("lang_b"),
         "est_union", "est_intersection",
     )
-
-    dt = toks.select("lang", F.xxhash64("token").alias("_t")).distinct().cache()
     sizes = dt.groupBy("lang").agg(F.count("*").alias("n"))
     a = dt.alias("a")
     b = dt.alias("b")
@@ -1259,6 +1267,7 @@ ORACLES = {
                COUNT(DISTINCT text) AS exact_distinct,
                TRUE AS hll_ok
         FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
         GROUP BY ROLLUP(lang, source)
         ORDER BY level, lang, source
     """,
