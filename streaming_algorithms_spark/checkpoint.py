@@ -39,7 +39,15 @@ def build_partials_with_lineage(df: DataFrame, keys: Sequence[str],
                                 query_id: str,
                                 skip_partitions: frozenset = frozenset()) -> DataFrame:
     """Stage 1 with lineage columns; optionally skips already-checkpointed
-    partitions (the resume path)."""
+    partitions (the resume path).
+
+    The skip filter runs JVM-side (a Catalyst NOT IN on the partition-id
+    column), so completed partitions' rows are pruned before the Arrow
+    transfer — on resume, stage-1 I/O is proportional to the MISSING
+    partitions only, not a full re-scan shipped to Python just to be
+    discarded.  The Python-side `pid in skip` check stays as a belt-and-
+    braces guard (it is what makes the contract independent of where Spark
+    evaluates the filter)."""
     from .operators.sketch_agg import _key_schema
 
     keys = list(keys)
@@ -49,19 +57,19 @@ def build_partials_with_lineage(df: DataFrame, keys: Sequence[str],
     )
     df = df.withColumn("_pid", F.spark_partition_id())
     skip = skip_partitions
+    if skip:
+        df = df.filter(~F.col("_pid").isin(*[int(p) for p in skip]))
 
     def gen(batches):
         t0 = time.perf_counter()
         acc: dict[tuple, object] = {}
         rows: dict[tuple, int] = {}
         pid = -1
-        skipping = False
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pid = int(pdf["_pid"].iloc[0])
             if pid in skip:
-                skipping = True
                 continue
             if keys:
                 for kv, sub in pdf.groupby(keys, sort=False, dropna=False):
@@ -81,9 +89,6 @@ def build_partials_with_lineage(df: DataFrame, keys: Sequence[str],
                 rows[()] += len(pdf)
         wall_ms = (time.perf_counter() - t0) * 1000
         cols = [*keys, "sketch", "rows", "partition_id", "wall_ms", "query_id"]
-        if skipping and not acc:
-            yield pd.DataFrame(columns=cols)
-            return
         recs = [(*k, sk.to_bytes(), rows[k], pid, wall_ms, query_id)
                 for k, sk in acc.items()]
         yield pd.DataFrame(recs, columns=cols)

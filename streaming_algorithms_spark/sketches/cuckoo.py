@@ -11,6 +11,11 @@ NOT a commutative monoid: unlike Bloom, two cuckoo filters cannot be merged
 bit-wise (insert-order and eviction state matter), so the distributed pattern
 is build-on-dimension -> broadcast -> probe, same as bloom_might_contain.
 Deletions must only remove previously-inserted items (standard caveat).
+
+A small stash (Kirsch-Mitzenmacher-Wieder) catches the victim fingerprint
+when an eviction chain exhausts its kicks: the no-false-negatives contract
+survives an over-capacity condition — the victim lands in the stash (and is
+checked by contains/delete) instead of being silently dropped.
 """
 
 from __future__ import annotations
@@ -21,6 +26,7 @@ from .xxhash import xxh64, xxh64_batch
 
 _SLOTS = 4
 _MAX_KICKS = 500
+_MAX_STASH = 32
 
 
 class CuckooFilter:
@@ -34,6 +40,7 @@ class CuckooFilter:
         self.seed = seed
         self.table = np.zeros((m, _SLOTS), np.uint16)  # 0 = empty
         self.n_items = 0
+        self.stash: list[tuple[int, int]] = []  # (bucket idx, fingerprint)
         self._rng = np.random.default_rng(seed)
 
     def _fingerprint(self, h: np.ndarray) -> np.ndarray:
@@ -67,7 +74,9 @@ class CuckooFilter:
             if empty.size:
                 row[empty[0]] = f
                 return True
-        return False  # table too full
+        # kicks exhausted: stash the victim so it is never silently lost
+        self.stash.append((idx, f))
+        return len(self.stash) <= _MAX_STASH
 
     def update_batch(self, keys) -> None:
         keys = list(keys)
@@ -77,9 +86,10 @@ class CuckooFilter:
         fs = self._fingerprint(h)
         i1s = self._i1(h)
         for i, f in zip(i1s, fs):
-            if not self._insert_one(int(i), int(f)):
-                raise RuntimeError("cuckoo filter over capacity")
-            self.n_items += 1
+            ok = self._insert_one(int(i), int(f))
+            self.n_items += 1  # stashed victims are still resident
+            if not ok:
+                raise RuntimeError("cuckoo filter over capacity (stash full)")
 
     def contains_batch(self, keys) -> np.ndarray:
         keys = list(keys)
@@ -91,7 +101,12 @@ class CuckooFilter:
         i2 = self._alt(i1, f).astype(np.int64)
         in1 = (self.table[i1] == f[:, None]).any(axis=1)
         in2 = (self.table[i2] == f[:, None]).any(axis=1)
-        return in1 | in2
+        found = in1 | in2
+        for sidx, sf in self.stash:
+            # a stashed (bucket, fingerprint) matches keys whose bucket pair
+            # contains that bucket (the pair is closed under _alt)
+            found |= (f == sf) & ((i1 == sidx) | (i2 == sidx))
+        return found
 
     def contains(self, key: bytes) -> bool:
         return bool(self.contains_batch([key])[0])
@@ -107,14 +122,26 @@ class CuckooFilter:
                 self.table[idx, slots[0]] = 0
                 self.n_items -= 1
                 return True
+        for k, (sidx, sf) in enumerate(self.stash):
+            if sf == f and sidx in (i1, i2):
+                del self.stash[k]
+                self.n_items -= 1
+                return True
         return False
 
-    # LE layout: u64 m, u64 n_items, u32 seed, u16 table cells
+    # LE layout: u64 m, u64 n_items, u32 seed, u16 table cells,
+    # then u16 stash_len + stash entries (u64 idx, u16 f)
     def to_bytes(self) -> bytes:
+        stash = b"".join(
+            np.array([i], "<u8").tobytes() + np.array([f], "<u2").tobytes()
+            for i, f in self.stash
+        )
         return (
             np.array([self.m, self.n_items], "<u8").tobytes()
             + np.array([self.seed], "<u4").tobytes()
             + self.table.astype("<u2").tobytes()
+            + np.array([len(self.stash)], "<u2").tobytes()
+            + stash
         )
 
     @classmethod
@@ -126,8 +153,22 @@ class CuckooFilter:
         sk.seed = seed
         sk.n_items = int(n)
         sk._rng = np.random.default_rng(seed)
-        cells = np.frombuffer(buf[20:], "<u2")
+        tbytes = sk.m * _SLOTS * 2
+        cells = np.frombuffer(buf[20:20 + tbytes], "<u2")
         if cells.size != sk.m * _SLOTS:
             raise ValueError("bad cuckoo buffer")
         sk.table = cells.reshape(sk.m, _SLOTS).copy()
+        sk.stash = []
+        off = 20 + tbytes
+        if len(buf) < off + 2:
+            raise ValueError("bad cuckoo buffer (missing stash section)")
+        n_stash = int(np.frombuffer(buf[off:off + 2], "<u2")[0])
+        off += 2
+        if len(buf) < off + 10 * n_stash:
+            raise ValueError("bad cuckoo buffer (truncated stash)")
+        for _ in range(n_stash):
+            i = int(np.frombuffer(buf[off:off + 8], "<u8")[0])
+            f = int(np.frombuffer(buf[off + 8:off + 10], "<u2")[0])
+            sk.stash.append((i, f))
+            off += 10
         return sk

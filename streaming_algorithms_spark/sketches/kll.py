@@ -11,10 +11,16 @@ half (random coin) is promoted.  Normalized rank error for k=200 is ~1.65%
 at 99% confidence (DataSketches published table); we assert a conservative
 2% in tests.
 
-Randomness comes from a per-sketch seeded Generator, so a fixed seed gives a
-reproducible sketch; merge order may legitimately change the bytes (unlike
-the linear sketches) — the guarantee preserved under merge is the rank-error
-bound, which is what the property tests assert (SURVEY §7 "hard parts").
+Compaction coins are derived from the sketch's own state (seed, level,
+total weight, buffer size) via a splitmix64 mix rather than a consumed RNG
+stream: deterministic for a given input stream (so checkpoint/resume and the
+oracle gates are reproducible), yet decorrelated across partitions — with a
+shared RNG seed every executor's partial would flip the SAME coin sequence,
+systematically biasing which odd/even half survives fleet-wide, and a
+deserialized sketch would replay coins it had already consumed.  Merge order
+may legitimately change the bytes (unlike the linear sketches) — the
+guarantee preserved under merge is the rank-error bound, which is what the
+property tests assert (SURVEY §7 "hard parts").
 """
 
 from __future__ import annotations
@@ -32,7 +38,6 @@ class KLL:
             raise ValueError("k must be >= 8")
         self.k = k
         self.seed = seed
-        self._rng = np.random.default_rng(seed)
         self.compactors: list[np.ndarray] = [np.empty(0, np.float64)]
         self.n = 0  # total weight of items seen
 
@@ -70,6 +75,17 @@ class KLL:
                     self._compact_level(level)
                     break
 
+    def _coin(self, level: int, size: int) -> int:
+        """splitmix64 of (seed, level, n, size) — see the module docstring."""
+        x = (self.seed * 0x9E3779B97F4A7C15 + level * 0xBF58476D1CE4E5B9
+             + self.n * 0x94D049BB133111EB + size + 1) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        return int(x & 1)
+
     def _compact_level(self, level: int) -> None:
         if level + 1 >= len(self.compactors):
             self.compactors.append(np.empty(0, np.float64))
@@ -80,7 +96,7 @@ class KLL:
             keep, c = c[:1], c[1:]
         else:
             keep = np.empty(0, np.float64)
-        offset = int(self._rng.integers(0, 2))
+        offset = self._coin(level, c.size)
         promoted = c[offset::2]
         self.compactors[level] = keep
         self.compactors[level + 1] = np.concatenate(

@@ -108,7 +108,13 @@ class Matrix:
 
     def pcc(self, row: int, match: str = "max"):
         """Best/worst Pearson correlation of `row` vs all other rows.
-        Returns (coefficient, other_row) or None (lua_binding/matrix.c:470-513)."""
+        Returns (coefficient, other_row) or None (lua_binding/matrix.c:470-513).
+
+        Byte-faithful reference quirk: sd==0 rows return the -inf sentinel
+        (matrix.c:409/429), which the 'max' scan skips but the 'min' scan
+        SELECTS — so pcc(row, 'min') returns None whenever any other row is
+        constant, even if finite correlations exist (the C's !isfinite(d)
+        check at matrix.c:508 behaves identically)."""
         rs = self._row_stats(row)
         best, idx = (-np.inf, -1) if match == "max" else (np.inf, -1)
         for i in range(self.rows):

@@ -185,7 +185,14 @@ def matrix_profile(values: np.ndarray, m: int, percent: float = 100.0,
 def anomaly_from_profile(mp: np.ndarray, ns: int, ns_per_row: int,
                          m: int, current_only: bool = False):
     """P²-based discord scoring (lua_binding/time_series.c:377-405).
-    Returns (timestamp, range_pct, distance) or None."""
+    Returns (timestamp, range_pct, distance) or None.
+
+    Byte-faithful reference quirks, kept deliberately (and replicated by the
+    C at the cited lines): e95/e50 are the LAST add's return, which is NaN
+    until P²'s 5-marker init completes (so current_only with m < 5 always
+    scores NaN) and is the marker count n[2]=3.0 on exactly the 5th sample
+    (p2.c:95); a constant profile (discord == e50) divides 0/0 → NaN like C
+    double division, via np.errstate, rather than raising."""
     start = len(mp) - m if current_only else 0
     q95, q50 = P2Quantile(0.95), P2Quantile(0.50)
     discord, idx = -math.inf, 0
@@ -198,7 +205,8 @@ def anomaly_from_profile(mp: np.ndarray, ns: int, ns_per_row: int,
             idx = i
     if math.isinf(discord):
         return None
-    pct = (discord - e95) / (discord - e50) * 100
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pct = float(np.float64(discord - e95) / np.float64(discord - e50) * 100)
     return ns + idx * ns_per_row, pct, discord - e50
 
 

@@ -44,7 +44,14 @@ def streaming_hll_distinct(stream: DataFrame, key_col: str, value_col: str,
     """Per-key running approximate-distinct over a stream: HLL registers are
     the state (binary) in ``applyInPandasWithState`` — the exact analogue of
     the reference's preserved sketch state (lua_binding/cm_sketch.c:167-202),
-    with Spark's checkpoint replacing the Lua restore script."""
+    with Spark's checkpoint replacing the Lua restore script.
+
+    Same hot-path shape as the batch ``hll_distinct``: NULL values are
+    filtered (SQL DISTINCT semantics) and the 64-bit hash is computed by
+    codegen'd ``xxhash64`` in the JVM projection, so only 8-byte hashes
+    cross the Arrow boundary per micro-batch — never the value strings."""
+    import numpy as np
+    from pyspark.sql import functions as F
 
     out_schema = f"`{key_col}` string, approx_distinct long, batches long"
     state_schema = "sketch binary, batches long"
@@ -56,7 +63,7 @@ def streaming_hll_distinct(stream: DataFrame, key_col: str, value_col: str,
         else:
             sk, batches = HyperLogLog(p), 0
         for pdf in pdfs:
-            sk.update_batch(pdf[value_col].astype(str).str.encode("utf-8").to_numpy())
+            sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
             batches += 1
         state.update((sk.to_bytes(), batches))
         yield pd.DataFrame(
@@ -64,8 +71,12 @@ def streaming_hll_distinct(stream: DataFrame, key_col: str, value_col: str,
              "batches": [batches]}
         )
 
+    hashed = (
+        stream.filter(F.col(value_col).isNotNull())
+        .select(key_col, F.xxhash64(value_col).alias("_h"))
+    )
     return (
-        stream.groupBy(key_col)
+        hashed.groupBy(key_col)
         .applyInPandasWithState(
             update_fn, out_schema, state_schema,
             "update", GroupStateTimeout.NoTimeout,
