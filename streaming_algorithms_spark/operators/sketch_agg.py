@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -71,23 +73,17 @@ def ensure_parallelism(df: DataFrame, min_partitions: int = None) -> DataFrame:
 
 
 def build_partials(df: DataFrame, keys: Sequence[str], factory: Callable[[], object],
-                   update: Callable[[object, pd.DataFrame], None],
-                   with_partition_id: bool = False) -> DataFrame:
-    """Stage 1: one serialized sketch per (input partition, key)."""
+                   update: Callable[[object, pd.DataFrame], None]) -> DataFrame:
+    """Stage 1: one serialized sketch per (input partition, key).  (The
+    lineage-tracking variant lives in checkpoint.build_partials_with_lineage.)"""
     keys = list(keys)
     key_schema = _key_schema(df, keys)
     out_schema = (key_schema + ", " if keys else "") + "sketch binary, rows bigint"
-    if with_partition_id:
-        df = df.withColumn("_pid", F.spark_partition_id())
-        out_schema += ", partition_id int"
 
     def gen(batches):
         acc: dict[tuple, object] = {}
         rows: dict[tuple, int] = {}
-        pid = -1
         for pdf in batches:
-            if with_partition_id and len(pdf):
-                pid = int(pdf["_pid"].iloc[0])
             if keys:
                 for kv, sub in pdf.groupby(keys, sort=False, dropna=False):
                     k = kv if isinstance(kv, tuple) else (kv,)
@@ -104,14 +100,8 @@ def build_partials(df: DataFrame, keys: Sequence[str], factory: Callable[[], obj
                     rows[()] = 0
                 update(sk, pdf)
                 rows[()] += len(pdf)
-        recs = []
-        for k, sk in acc.items():
-            rec = (*k, sk.to_bytes(), rows[k])
-            if with_partition_id:
-                rec = (*rec, pid)
-            recs.append(rec)
-        cols = [*keys, "sketch", "rows"] + (["partition_id"] if with_partition_id else [])
-        yield pd.DataFrame(recs, columns=cols)
+        recs = [(*k, sk.to_bytes(), rows[k]) for k, sk in acc.items()]
+        yield pd.DataFrame(recs, columns=[*keys, "sketch", "rows"])
 
     return df.mapInPandas(gen, out_schema)
 
@@ -191,7 +181,15 @@ def merge_sketch_rows(partials: DataFrame, keys: Sequence[str],
         rec["rows"] = int(pdf["rows"].sum())
         return pd.DataFrame([rec])
 
-    return partials.groupBy(keys).applyInPandas(lambda pdf: merge(pdf), out_schema)
+    # user-specified repartition: exempt from AQE coalescing, which would
+    # collapse this byte-tiny but Python-heavy merge stage to 1-2 tasks
+    # (same rationale as merge_partials)
+    n_parts = int(partials.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        partials.repartition(n_parts, *keys)
+        .groupBy(keys)
+        .applyInPandas(lambda pdf: merge(pdf), out_schema)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -311,11 +309,12 @@ def hll_pairwise_overlap(df: DataFrame, key_col: str, col: str,
         sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
 
     partials = build_partials(hashed, [key_col], lambda: HyperLogLog(p), update)
-    merged = merge_sketch_rows(partials, [key_col], HyperLogLog.from_bytes)
+    # cached unconditionally: consumed by both sides of the pair join (and
+    # the key enumeration) — without it the corpus scan could run twice
+    merged = merge_sketch_rows(partials, [key_col], HyperLogLog.from_bytes).cache()
     spark = df.sparkSession
     kt = df.schema[key_col].dataType.simpleString()
     if pairs is None:
-        merged = merged.cache()
         ks = sorted(r[key_col] for r in merged.select(key_col).collect())
         pairs = [(a, b) for i, a in enumerate(ks) for b in ks[i + 1:]]
     pairs_df = spark.createDataFrame(list(pairs), f"key_a {kt}, key_b {kt}")
@@ -372,7 +371,7 @@ def kll_quantiles(df: DataFrame, keys: Sequence[str], col: str,
     """Mergeable quantiles (KLL).  The distributed replacement for the
     reference's non-mergeable P² (SURVEY §2.2 hard part)."""
     qs = list(quantiles)
-    names = [f"q{str(q).replace('.', '_')}" for q in qs]
+    names = [f"q{re.sub(r'[^0-9a-zA-Z_]', '_', str(q))}" for q in qs]
 
     def update(sk: KLL, pdf: pd.DataFrame) -> None:
         sk.update_batch(pdf[col].to_numpy(np.float64))
@@ -428,7 +427,7 @@ def tdigest_quantiles(df: DataFrame, keys: Sequence[str], col: str,
     """Mergeable quantiles via t-digest (the second distributed-quantile
     engine next to KLL; rank error ~1/delta mid-range, tighter at tails)."""
     qs = list(quantiles)
-    names = [f"q{str(q).replace('.', '_')}" for q in qs]
+    names = [f"q{re.sub(r'[^0-9a-zA-Z_]', '_', str(q))}" for q in qs]
 
     def update(sk: TDigest, pdf: pd.DataFrame) -> None:
         sk.update_batch(pdf[col].to_numpy(np.float64))

@@ -42,7 +42,8 @@ def rolling_fingerprints(df: DataFrame, id_col: str, text_col: str,
     """Winnowed Karp–Rabin fingerprints: k-byte rolling hashes, min per
     window — the standard document-fingerprint for plagiarism/contamination
     checks.  Output: (id, fingerprint) rows, ~len/window per doc."""
-    out_schema = f"`{id_col}` long, fingerprint long"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, fingerprint long"
     with np.errstate(over="ignore"):
         # weights [B^(k-1), ..., B, 1] mod 2^64 (cumprod wraps correctly;
         # never divide after wraparound)
@@ -65,13 +66,20 @@ def rolling_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
     def gen(batches):
         for pdf in batches:
-            ids, fps = [], []
-            for doc_id, text in zip(pdf[id_col].to_numpy(),
-                                    pdf[text_col].astype(str).to_numpy()):
-                for f in doc_fps(text.encode()).astype(np.int64):
-                    ids.append(int(doc_id))
-                    fps.append(int(f))
-            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+            ids_in = pdf[id_col].to_numpy()
+            per_doc = [doc_fps(t.encode())
+                       for t in pdf[text_col].astype(str).to_numpy()]
+            counts = np.fromiter((a.size for a in per_doc), np.int64,
+                                 len(per_doc))
+            # vectorized emit: repeat ids by fingerprint count, one concat —
+            # never per-fingerprint Python appends (millions/boxed-int lists
+            # at full Arrow batches)
+            flat = (np.concatenate(per_doc) if per_doc
+                    else np.zeros(0, np.uint64))
+            yield pd.DataFrame({
+                id_col: np.repeat(ids_in, counts),
+                "fingerprint": flat.view(np.int64),
+            })
 
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 

@@ -86,8 +86,17 @@ def token_sketch_build(df: DataFrame, keys, text_col: str = "text",
     def update(sk: TokenSketch, pdf: pd.DataFrame) -> None:
         sk.update_texts(pdf[text_col].astype(str).to_numpy())
 
+    from .sketch_agg import ensure_parallelism
+    from pyspark.sql import functions as F
+
+    # NULL text contributes no tokens (SQL aggregate semantics — astype(str)
+    # would otherwise count a phantom 'None' token); spread the CPU-bound
+    # tokenize+hash stage like every other sketch operator
+    src = ensure_parallelism(
+        df.select(*keys, text_col).filter(F.col(text_col).isNotNull())
+    )
     partials = build_partials(
-        df.select(*keys, text_col), keys,
+        src, keys,
         lambda: TokenSketch(epsilon, delta, p), update,
     )
     return merge_partials(
