@@ -39,12 +39,17 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep the min-id representative per distinct content."""
+    """Keep the min-id representative per distinct content.
+
+    No broadcast hint: ``keep`` has one row per DISTINCT document — corpus
+    cardinality, not dimension cardinality — so forcing a broadcast would
+    OOM the driver/executors at scale.  A plain ``left_semi`` lets AQE pick
+    broadcast when the keep-set happens to be small and a shuffled
+    hash/sort-merge join (on the 8-byte id) otherwise."""
     keep = exact_dedup_groups(df, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
-    return df.join(F.broadcast(keep) if keep.isStreaming is False else keep,
-                   id_col, "left_semi")
+    return df.join(keep, id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -175,9 +180,15 @@ def _spread_python_stage(df: DataFrame) -> DataFrame:
     partitions — vectorized Python stages are CPU-bound, and a few-file
     parquet input would otherwise run them on one worker.  No-op when the
     scan is already as parallel as the session (the 100 TB case: thousands
-    of input splits)."""
+    of input splits).  Partition counts come from file-split math, never
+    ``df.rdd`` (no per-query RDD conversion)."""
+    from .sketch_agg import estimate_scan_partitions
+
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() >= n_parts:
+    est = estimate_scan_partitions(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()  # in-memory frames (tests) only
+    if est >= n_parts:
         return df
     return df.repartition(n_parts)
 

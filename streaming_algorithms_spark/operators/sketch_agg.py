@@ -59,15 +59,70 @@ def encode_utf8(series: pd.Series) -> np.ndarray:
     return series.astype(str).str.encode("utf-8").to_numpy()
 
 
+def _parse_size(s: str) -> int:
+    """'128m' / '134217728b' / '4MB' -> bytes."""
+    s = str(s).strip().lower()
+    for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * mult
+    return int(float(s))
+
+
+def estimate_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate the scan's task count WITHOUT ``df.rdd`` (which converts the
+    whole Catalyst plan to RDDs per call — a per-query tax the hot paths must
+    not pay): reproduce Spark's FilePartition split math over
+    ``df.inputFiles()`` — maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalBytes / defaultParallelism)), tasks ≈
+    ceil((total + nFiles·openCost) / maxSplitBytes).  Returns None for
+    non-file plans (in-memory test frames) and len(files) for remote
+    filesystems where stat is unavailable — both conservative fallbacks."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    conf = df.sparkSession.conf
+    try:
+        max_part = _parse_size(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        open_cost = _parse_size(conf.get("spark.sql.files.openCostInBytes", "4m"))
+    except (ValueError, TypeError):
+        max_part, open_cost = 128 << 20, 4 << 20
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return len(files)  # remote FS: file count is the cheap estimate
+        try:
+            total += os.path.getsize(u.path)
+        except OSError:
+            return len(files)
+    par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    padded = total + len(files) * open_cost
+    max_split = min(max_part, max(open_cost, padded // par or 1))
+    return max(1, -(-padded // max_split))
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int = None) -> DataFrame:
     """Small inputs (test-scale single parquet files) arrive as 1-2 input
     partitions, serializing the python stage.  Repartition ONLY when the
     input has fewer partitions than half the cluster — at production scale
-    (partitions >> cores) this is a no-op, so no raw-row shuffle is added."""
+    (partitions >> cores) this is a no-op, so no raw-row shuffle is added.
+    Partition counts come from file-split math (estimate_scan_partitions),
+    never ``df.rdd`` — no RDD conversion in the gated-query plans."""
     sc = df.sparkSession.sparkContext
     if min_partitions is None:
         min_partitions = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, min_partitions // 2):
+    est = estimate_scan_partitions(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()  # in-memory frames (tests) only
+    if est < max(2, min_partitions // 2):
         return df.repartition(min_partitions)
     return df
 
@@ -381,10 +436,23 @@ def kll_quantiles(df: DataFrame, keys: Sequence[str], col: str,
         out["n"] = sk.n
         return out
 
+    def factory() -> KLL:
+        # per-partial seed salt: equal-sized partials with one shared seed
+        # would hit identical (level, n, size) compaction states and flip
+        # IDENTICAL coin sequences fleet-wide, voiding KLL's probabilistic
+        # rank guarantee on adversarial/sorted inputs.  The partition id is
+        # deterministic for a fixed input+partitioning, so oracle gates and
+        # checkpoint/resume stay reproducible.
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        salt = tc.partitionId() if tc is not None else 0
+        return KLL(k, seed=42 + 0x9E3779B9 * salt)
+
     schema = ", ".join(f"{n} double" for n in names) + ", n bigint"
     return sketch_aggregate(
         ensure_parallelism(df.select(*keys, col)), keys,
-        factory=lambda: KLL(k),
+        factory=factory,
         update=update,
         from_bytes=KLL.from_bytes,
         finalize=finalize,

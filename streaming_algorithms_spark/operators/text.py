@@ -85,16 +85,43 @@ def rolling_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
 
 def fingerprint_overlap(df: DataFrame, id_col: str, text_col: str,
-                        min_shared: int = 3) -> DataFrame:
-    """Docs sharing >= min_shared winnowed fingerprints (contamination pairs)."""
+                        min_shared: int = 3,
+                        max_doc_freq: int = 64) -> DataFrame:
+    """Docs sharing >= min_shared winnowed fingerprints (contamination pairs).
+
+    One shuffle (groupBy fingerprint), bucket-capped: fingerprints appearing
+    in more than ``max_doc_freq`` docs — boilerplate k-grams (headers,
+    license text, navigation chrome) — are DROPPED before pair generation.
+    They carry no contamination signal (a genuinely overlapping pair shares
+    rarer grams too), and without the cap one 16-gram shared by 10k docs
+    creates a 10k² pair blow-up.  With the cap every bucket emits at most
+    C(max_doc_freq, 2) pairs, so the pair stage is linear in the number of
+    fingerprint buckets.  Pair expansion runs in Catalyst (higher-order
+    transform over the sorted id list — codegen'd, no Python), so the only
+    Python stage is the fingerprint emit itself.  max_doc_freq=None disables
+    the cap (exact semantics; verification scale only)."""
     fps = rolling_fingerprints(df, id_col, text_col)
-    a = fps.alias("a")
-    b = fps.alias("b")
+    buckets = (
+        fps.groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_doc_freq is not None:
+        buckets = buckets.filter(F.size("ids") <= max_doc_freq)
+    # all ordered (i < j) pairs of each bucket's sorted id list
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "fingerprint")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                 F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )

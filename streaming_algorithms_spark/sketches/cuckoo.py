@@ -63,7 +63,13 @@ class CuckooFilter:
             if empty.size:
                 row[empty[0]] = f
                 return True
-        # evict
+        # evict — but only if the stash can still catch the chain's final
+        # victim: once kicks start, table state mutates and the victim MUST
+        # land somewhere, so a full stash fails the insert HERE, before any
+        # mutation (no silent loss, no over-cap stash, failed insert not
+        # counted as resident).
+        if len(self.stash) >= _MAX_STASH:
+            return False
         idx = i
         for _ in range(_MAX_KICKS):
             slot = int(self._rng.integers(0, _SLOTS))
@@ -74,9 +80,9 @@ class CuckooFilter:
             if empty.size:
                 row[empty[0]] = f
                 return True
-        # kicks exhausted: stash the victim so it is never silently lost
+        # kicks exhausted: stash the victim (slot reserved above)
         self.stash.append((idx, f))
-        return len(self.stash) <= _MAX_STASH
+        return True
 
     def update_batch(self, keys) -> None:
         keys = list(keys)
@@ -86,10 +92,10 @@ class CuckooFilter:
         fs = self._fingerprint(h)
         i1s = self._i1(h)
         for i, f in zip(i1s, fs):
-            ok = self._insert_one(int(i), int(f))
-            self.n_items += 1  # stashed victims are still resident
-            if not ok:
+            if not self._insert_one(int(i), int(f)):
+                # failed insert mutated nothing and is NOT counted resident
                 raise RuntimeError("cuckoo filter over capacity (stash full)")
+            self.n_items += 1  # stashed victims are still resident
 
     def contains_batch(self, keys) -> np.ndarray:
         keys = list(keys)
@@ -160,8 +166,10 @@ class CuckooFilter:
         sk.table = cells.reshape(sk.m, _SLOTS).copy()
         sk.stash = []
         off = 20 + tbytes
+        if len(buf) == off:
+            return sk  # pre-stash wire format (v1 buffers): empty stash
         if len(buf) < off + 2:
-            raise ValueError("bad cuckoo buffer (missing stash section)")
+            raise ValueError("bad cuckoo buffer (truncated stash header)")
         n_stash = int(np.frombuffer(buf[off:off + 2], "<u2")[0])
         off += 2
         if len(buf) < off + 10 * n_stash:

@@ -14,10 +14,12 @@ at 99% confidence (DataSketches published table); we assert a conservative
 Compaction coins are derived from the sketch's own state (seed, level,
 total weight, buffer size) via a splitmix64 mix rather than a consumed RNG
 stream: deterministic for a given input stream (so checkpoint/resume and the
-oracle gates are reproducible), yet decorrelated across partitions — with a
-shared RNG seed every executor's partial would flip the SAME coin sequence,
-systematically biasing which odd/even half survives fleet-wide, and a
-deserialized sketch would replay coins it had already consumed.  Merge order
+oracle gates are reproducible), and a deserialized sketch never replays
+coins it had already consumed.  Cross-partition decorrelation is NOT a
+property of the mix alone — two partials with the same seed over equal-sized
+streams flip identical coins — so distributed callers must salt the seed
+per partial (kll_quantiles mixes the Spark partition id in); with distinct
+seeds the first mix term differs and the coin sequences diverge.  Merge order
 may legitimately change the bytes (unlike the linear sketches) — the
 guarantee preserved under merge is the rank-error bound, which is what the
 property tests assert (SURVEY §7 "hard parts").

@@ -49,23 +49,40 @@ def streaming_hll_distinct(stream: DataFrame, key_col: str, value_col: str,
     Same hot-path shape as the batch ``hll_distinct``: NULL values are
     filtered (SQL DISTINCT semantics) and the 64-bit hash is computed by
     codegen'd ``xxhash64`` in the JVM projection, so only 8-byte hashes
-    cross the Arrow boundary per micro-batch — never the value strings."""
+    cross the Arrow boundary per micro-batch — never the value strings.
+
+    State format: the serialized HLL is prefixed with a version byte tied to
+    the INSERT HASH (v2 = JVM xxhash64 of the value; v1, unversioned, used
+    the sketch's internal Python xxh64 of value bytes).  Registers built
+    with different hash functions must never merge — the estimate would
+    silently double-count every value seen under both — so a restored state
+    without the current version byte is rejected loudly: resuming across the
+    hash change requires a fresh checkpointLocation."""
     import numpy as np
     from pyspark.sql import functions as F
 
     out_schema = f"`{key_col}` string, approx_distinct long, batches long"
     state_schema = "sketch binary, batches long"
+    _STATE_VERSION = b"\x02"  # insert hash = JVM xxhash64(value)
 
     def update_fn(key, pdfs, state: GroupState):
         if state.exists:
             buf, batches = state.get
-            sk = HyperLogLog.from_bytes(bytes(buf))
+            buf = bytes(buf)
+            if not buf[:1] == _STATE_VERSION:
+                raise ValueError(
+                    "streaming_hll_distinct: restored state lacks the v2 "
+                    "(JVM-xxhash64) version byte — registers from the old "
+                    "insert hash cannot be merged without silent "
+                    "double-counting; restart with a fresh checkpointLocation"
+                )
+            sk = HyperLogLog.from_bytes(buf[1:])
         else:
             sk, batches = HyperLogLog(p), 0
         for pdf in pdfs:
             sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
             batches += 1
-        state.update((sk.to_bytes(), batches))
+        state.update((_STATE_VERSION + sk.to_bytes(), batches))
         yield pd.DataFrame(
             {key_col: [key[0]], "approx_distinct": [int(round(sk.estimate()))],
              "batches": [batches]}

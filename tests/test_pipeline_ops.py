@@ -422,3 +422,32 @@ def test_minhash_pipeline_survives_short_docs(spark):
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
     assert got.get((2, 3)) == 1.0
     assert all(a in (2, 3) and b in (2, 3) for a, b in got)
+
+
+def test_fingerprint_overlap_hot_fingerprint_cap(spark):
+    """Planted boilerplate shared by EVERY doc must not explode the pair
+    stage: with max_doc_freq the boilerplate buckets are dropped, so docs
+    sharing ONLY boilerplate produce no pair, while a genuinely overlapping
+    pair (long unique shared chunk, doc-freq 2) is still found — and the
+    capped pair set is a subset of the exact (uncapped) one."""
+    rng = np.random.default_rng(9)
+    boiler = " ".join(f"boiler{i:02d}" for i in range(12))
+    rows = []
+    for i in range(30):
+        uniq = " ".join(f"u{i}x{j}q{rng.integers(10000)}" for j in range(20))
+        rows.append((i, boiler + " " + uniq))
+    shared = " ".join(f"sharedchunk{j:02d}" for j in range(25))
+    rows += [(100, boiler + " " + shared + " tail one here"),
+             (101, boiler + " " + shared + " other ending text")]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    capped = {(r["id_a"], r["id_b"])
+              for r in fingerprint_overlap(docs2, "doc_id", "text",
+                                           min_shared=3, max_doc_freq=8).collect()}
+    assert (100, 101) in capped
+    assert capped == {(100, 101)}, capped  # boilerplate-only docs never pair
+    exact = {(r["id_a"], r["id_b"])
+             for r in fingerprint_overlap(docs2, "doc_id", "text",
+                                          min_shared=3, max_doc_freq=None).collect()}
+    assert capped <= exact
+    # uncapped, the boilerplate DOES create cross-doc pairs — the cap is load-bearing
+    assert len(exact) > len(capped)

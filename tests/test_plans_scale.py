@@ -130,3 +130,57 @@ def test_near_dup_lsh_plan_one_python_pass_no_collect(spark):
     # re-plans the shared lineage), never n_tables times
     assert plan.count("MapInPandas") <= 2, plan
     assert "CollectLimit" not in plan, plan
+
+
+def _full_explain(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    return buf.getvalue()
+
+
+def test_exact_dedup_has_no_forced_broadcast(spark, webpages_parquet):
+    """The keep-set of exact_dedup is corpus-cardinality (one row per
+    distinct document), so the plan must carry NO user broadcast hint —
+    forcing a broadcast OOMs at 100x.  AQE may still pick a broadcast join
+    at runtime when the set is actually small; what's forbidden is the
+    mandatory hint in the logical plan."""
+    from streaming_algorithms_spark.operators.dedup import exact_dedup
+
+    df = spark.read.parquet(webpages_parquet)
+    out = exact_dedup(df, "url", "text")
+    explained = _full_explain(out)
+    logical = explained.split("== Physical Plan ==")[0]
+    assert "broadcast" not in logical.lower(), logical
+    assert "ResolvedHint" not in logical, logical
+
+
+def test_estimate_scan_partitions_file_math(spark, webpages_parquet):
+    """Partition sizing for the python stages must come from file-split math
+    (no df.rdd conversion): file-backed frames get a real estimate, in-memory
+    frames return None (callers fall back off the hot path)."""
+    from streaming_algorithms_spark.operators.sketch_agg import (
+        estimate_scan_partitions,
+    )
+
+    df = spark.read.parquet(webpages_parquet)
+    est = estimate_scan_partitions(df)
+    assert est is not None and est >= 1
+    # projections/filters keep the file scan visible
+    est2 = estimate_scan_partitions(df.select("url").filter("lang = 'en'"))
+    assert est2 == est
+    assert estimate_scan_partitions(spark.createDataFrame([(1,)], "x int")) is None
+
+
+def test_no_collect_limit_in_any_gated_query_plan(spark):
+    """Sweep EVERY gated query: the returned plan must be fully distributed —
+    no CollectLimit (driver-collect pattern).  Bounded driver samples during
+    construction (IVF's 2048-row centroid fit, bloom's dimension build) are
+    allowed; the emitted plan is what runs at data scale."""
+    from streaming_algorithms_spark.plans.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name, q in sorted(QUERIES.items()):
+        plan = _physical_plan(q(spark, sf_dir))
+        assert "CollectLimit" not in plan, (name, plan)
+        spark.catalog.clearCache()

@@ -125,8 +125,10 @@ def test_cuckoo_serialize_roundtrip():
     back = CuckooFilter.from_bytes(cf.to_bytes())
     assert back.contains(b"x1") and back.contains(b"x799")
     assert np.array_equal(back.table, cf.table)
+    # a buffer missing ONLY the stash section is the legacy v1 layout
+    # (accepted, empty stash) — truncating into the table must still raise
     with pytest.raises(ValueError):
-        CuckooFilter.from_bytes(cf.to_bytes()[:-2])
+        CuckooFilter.from_bytes(cf.to_bytes()[:-3])
 
 
 # --------------------------------------------------------------------------
@@ -281,3 +283,54 @@ def test_cuckoo_stash_preserves_victims_when_overfull():
     assert back.contains_batch(inserted).all()
     # stashed entries are deletable too
     assert back.delete(inserted[-1]) or True  # delete path exercises stash
+
+
+def test_cuckoo_v1_buffer_without_stash_section_deserializes():
+    """Wire-format compat: buffers serialized before the stash section was
+    added (v1: header + table only) must load as an empty-stash filter, not
+    raise — older checkpointed partials/broadcasts stay readable."""
+    from streaming_algorithms_spark.sketches import CuckooFilter
+
+    cf = CuckooFilter(64)
+    cf.update_batch([f"k{i}".encode() for i in range(40)])
+    assert not cf.stash
+    v2 = cf.to_bytes()
+    v1 = v2[: len(v2) - 2]  # strip the (empty) stash section -> v1 layout
+    back = CuckooFilter.from_bytes(v1)
+    assert back.stash == []
+    assert back.contains_batch([f"k{i}".encode() for i in range(40)]).all()
+    assert back.to_bytes() == v2  # re-serializes in the current format
+
+
+def test_cuckoo_stash_cap_never_exceeded_and_failure_is_clean():
+    """The stash cap is enforced BEFORE mutation: when an insert fails the
+    table/stash/n_items are unchanged, len(stash) never exceeds the cap, and
+    everything that DID insert remains a member."""
+    from streaming_algorithms_spark.sketches import CuckooFilter
+    from streaming_algorithms_spark.sketches.cuckoo import _MAX_STASH
+
+    cf = CuckooFilter(64)
+    inserted = []
+    try:
+        for i in range(5000):
+            k = f"k{i}".encode()
+            cf.update_batch([k])
+            inserted.append(k)
+    except RuntimeError:
+        pass
+    else:
+        raise AssertionError("expected over-capacity failure")
+    assert len(cf.stash) <= _MAX_STASH
+    assert cf.n_items == len(inserted)
+    snapshot = cf.to_bytes()
+    # retrying the exact key that failed fails again WITHOUT mutating state
+    failed_key = f"k{len(inserted)}".encode()
+    try:
+        cf.update_batch([failed_key])
+    except RuntimeError:
+        pass
+    else:
+        raise AssertionError("retry of the failed key should fail again")
+    assert cf.to_bytes() == snapshot
+    assert cf.n_items == len(inserted)
+    assert cf.contains_batch(inserted).all()
