@@ -25,7 +25,7 @@ from ..operators.dedup import (
     exact_jaccard_pairs,
     minhash_signatures,
 )
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import lsh_topk
 from ..operators.sketch_agg import (
     bloom_build,
     bloom_might_contain,
@@ -275,9 +275,19 @@ def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_top1_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-1 neighbor per vector (float64, ties by id)."""
+    """Exact cosine top-1 neighbor per vector via the DISTRIBUTED exact
+    path: IVF in full-probe mode (every query scores every list, so the
+    answer is exact regardless of the quantizer).  No driver collect of the
+    corpus anywhere — the scale path for "exact ANN answer" at 100x;
+    ``brute_force_topk`` (driver-broadcast matmul) is demoted to the pytest
+    oracle.  The sqrt(N) auto n_lists policy + distributed Lloyd refinement
+    are recall-gated in pytest (test_ivf_auto_policy_recall_stable_across_
+    sizes); here n_lists is fixed — full probe is exact for ANY quantizer.
+    Hash-gated against the SQL argmax (ties by neighbor id asc)."""
+    from ..operators.similarity import ivf_topk
+
     emb = load_table(spark, "embeddings", sf_dir)
-    top = brute_force_topk(emb, emb, "vec_id", "embedding", k=1)
+    top = ivf_topk(emb, "vec_id", "embedding", k=1, n_lists=16, n_probe=None)
     return top.filter(F.col("rank") == 1).select(
         "vec_id", "neighbor_id"
     ).orderBy("vec_id")
@@ -907,30 +917,67 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN, aggregate exact+bound gate: n_queries and the
-    exact mean top-1 cosine are value-hash-gated (the exact side is the
-    brute-force baseline, independently re-derived by the SQL argmax); the
-    LSH result folds into booleans — answered_ok (every query produced a
-    candidate) and recall_ok (recall@1 >= 0.2).  This corpus is random
-    vectors (mean top-1 angle ~68°), LSH's worst case: the Charikar
-    expectation 1-(1-p^6)^8 with p = 1-θ/π is ~0.375, measured 0.33-0.35 at
-    sf0.001/sf0.01.  High-similarity (structured) recall is gated in
-    pytest."""
+    exact mean top-1 cosine are value-hash-gated (the exact side is IVF in
+    provably-exact full-probe mode — fully distributed, no driver collect of
+    the corpus — independently re-derived by the SQL argmax); the LSH result
+    folds into booleans — answered_ok (every query produced a candidate) and
+    recall_ok (recall@1 >= 0.2).  This corpus is random vectors (mean top-1
+    angle ~68°), LSH's worst case: the Charikar expectation 1-(1-p^6)^8 with
+    p = 1-θ/π is ~0.375, measured 0.33-0.35 at sf0.001/sf0.01.
+    High-similarity recall on PLANTED near-dup pairs is gated by
+    planted_recall_ok (see q below) — the gate that actually binds."""
+    from ..operators.similarity import ivf_topk
+
     emb = load_table(spark, "embeddings", sf_dir)
     ann = lsh_topk(emb, "vec_id", "embedding", k=1, n_bits=6, n_tables=8)
-    exact = brute_force_topk(emb, emb, "vec_id", "embedding", k=1)
+    exact = ivf_topk(emb, "vec_id", "embedding", k=1, n_lists=8, n_probe=None)
     j = exact.select("vec_id", F.col("cosine").alias("exact_cosine")).join(
         ann.select("vec_id", F.col("cosine").alias("ann_cosine")),
         "vec_id", "left",
     )
     hit = (F.coalesce(F.col("ann_cosine"), F.lit(-2.0))
            >= F.col("exact_cosine") - F.lit(1e-9)).cast("double")
+
+    # ---- planted high-cosine recall: the gate that BINDS.  The corpus is
+    # random vectors, so the >=0.2 worst-case recall gate above is nearly
+    # vacuous; here 100 structured near-dups (cosine ~0.99 to their
+    # originals: v' = normalize(v + 0.15*unit-noise), deterministic per id)
+    # are planted into a 200-row mini-corpus and LSH must report the
+    # original as top-1 for >=90% of them (Charikar expectation ~0.998 per
+    # pair at these params; seeds fixed, so the measured value is
+    # deterministic).  A broken banding/bucket join collapses this to ~0.
+    def perturb(batches):
+        for pdf in batches:
+            ids, vecs = [], []
+            for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
+                rng = np.random.default_rng(int(vid) + 7)
+                v = np.asarray(v, np.float64)
+                v = v / np.linalg.norm(v)
+                u = rng.normal(size=v.size)
+                w = v + 0.15 * u / np.linalg.norm(u)
+                ids.append(int(vid) + 10_000_000)
+                vecs.append((w / np.linalg.norm(w)).astype(np.float32))
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    base = emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    planted = base.mapInPandas(perturb, "vec_id long, embedding array<float>")
+    pl_ann = lsh_topk(base.unionByName(planted), "vec_id", "embedding",
+                      k=1, n_bits=6, n_tables=8)
+    planted_stats = (
+        pl_ann.filter((F.col("vec_id") >= 10_000_000) & (F.col("rank") == 1))
+        .select((F.col("neighbor_id") == F.col("vec_id") - 10_000_000)
+                .cast("double").alias("hit"))
+        .agg((F.coalesce(F.sum("hit"), F.lit(0.0)) / F.lit(100.0) >= 0.9)
+             .alias("planted_recall_ok"))
+    )
+
     return j.agg(
         F.count("*").alias("n_queries"),
         F.round(F.avg("exact_cosine"), 6).alias("avg_exact_top1"),
         (F.avg(F.col("ann_cosine").isNotNull().cast("double")) >= 0.99
          ).alias("answered_ok"),
         (F.avg(hit) >= 0.2).alias("recall_ok"),
-    )
+    ).crossJoin(planted_stats)
 
 
 # ---------------------------------------------------------------------------
@@ -1332,7 +1379,8 @@ ORACLES = {
         SELECT COUNT(*) AS n_queries,
                ROUND(AVG(c), 6) AS avg_exact_top1,
                TRUE AS answered_ok,
-               TRUE AS recall_ok
+               TRUE AS recall_ok,
+               TRUE AS planted_recall_ok
         FROM top1
     """,
     # byte-length arithmetic is value-hash-gated; the winnowing density

@@ -451,3 +451,86 @@ def test_fingerprint_overlap_hot_fingerprint_cap(spark):
     assert capped <= exact
     # uncapped, the boilerplate DOES create cross-doc pairs — the cap is load-bearing
     assert len(exact) > len(capped)
+
+
+def test_ivf_full_probe_exact_matches_bruteforce(spark):
+    """n_probe=None (full probe) must reproduce the brute-force top-1 —
+    including the (cosine desc, id asc) tie-break — making it the
+    distributed exact path the gated ann_top1 query ships."""
+    from streaming_algorithms_spark.operators.similarity import (
+        brute_force_topk, ivf_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(150, 24)).astype(np.float32)
+    vecs[140] = vecs[3]  # exact duplicate -> a genuine cosine tie
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    bf = {r["vec_id"]: r["neighbor_id"]
+          for r in brute_force_topk(df, df, "vec_id", "embedding", k=1).collect()}
+    ivf = {r["vec_id"]: r["neighbor_id"]
+           for r in ivf_topk(df, "vec_id", "embedding", k=1,
+                             n_lists=6, n_probe=None).collect()}
+    assert ivf == bf
+
+
+def test_ivf_auto_policy_recall_stable_across_sizes(spark):
+    """The sqrt(N) auto n_lists policy (+ distributed Lloyd refinement when
+    the corpus exceeds the init sample) must hold recall steady at two
+    corpus sizes with the SAME call — no hand-tuned n_lists."""
+    from streaming_algorithms_spark.operators.similarity import (
+        auto_n_lists, ivf_topk,
+    )
+
+    assert auto_n_lists(100) == 10
+    assert auto_n_lists(10**12) == 4096  # clamped
+    rng = np.random.default_rng(31)
+    for n_per, min_recall in ((12, 0.85), (40, 0.85)):
+        centers = rng.normal(size=(10, 16)) * 4
+        vecs = np.concatenate(
+            [c + rng.normal(size=(n_per, 16)) * 0.3 for c in centers]
+        )
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs.astype(np.float32))],
+            "vec_id long, embedding array<float>",
+        )
+        got = ivf_topk(df, "vec_id", "embedding", k=1,
+                       n_lists=None, n_probe=3).collect()
+        norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = norm @ norm.T
+        np.fill_diagonal(sims, -np.inf)
+        true_nn = sims.argmax(axis=1)
+        top1 = {r["vec_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+        hits = sum(1 for vid, nid in top1.items() if true_nn[vid] == nid)
+        assert len(top1) >= 0.9 * len(vecs)
+        assert hits / len(top1) > min_recall, (n_per, hits / len(top1))
+
+
+def test_ivf_distributed_lloyd_refines_centroids(spark):
+    """Force the above-sample path: init on a tiny sample, refine with
+    distributed Lloyd — refined centroids must cut the mean quantization
+    error vs the unrefined sample fit."""
+    from streaming_algorithms_spark.operators.similarity import ivf_assign
+
+    rng = np.random.default_rng(41)
+    centers = rng.normal(size=(6, 12)) * 5
+    vecs = np.concatenate([c + rng.normal(size=(80, 12)) * 0.4 for c in centers])
+    order = rng.permutation(len(vecs))  # sample head must miss some clusters
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in
+         enumerate(vecs[order].astype(np.float32))],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+
+    def mean_sim(cent):
+        norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        return (norm @ cent.T).max(axis=1).mean()
+
+    _, raw = ivf_assign(df, "vec_id", "embedding", n_lists=6, sample=24,
+                        iters=4, dist_iters=0)
+    _, refined = ivf_assign(df, "vec_id", "embedding", n_lists=6, sample=24,
+                            iters=4, dist_iters=3)
+    assert mean_sim(refined) >= mean_sim(raw) - 1e-9
+    assert mean_sim(refined) > mean_sim(raw) + 1e-4  # genuinely moved
