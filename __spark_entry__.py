@@ -3,14 +3,15 @@
 - ``entry(spark)``   — flagship query (sf0.001 smoke).
 - ``queries()``      — one entry per implemented operator (SURVEY §2 +
   training-data-pipeline extensions), each (spark, sf_dir) -> DataFrame.
-- ``oracle_sql()``   — DuckDB-equivalent SQL per query where ANSI SQL can
-  express the semantics; approximate sketches are verified by emitting the
-  exact value plus a within-published-bound boolean, so the driver's
-  value-hash compare *is* the sketch accuracy gate.  Queries with no entry
-  here (MinHash-LSH, SimHash, fingerprints, P², matrix profile, hyperplane
-  LSH) are non-SQL-expressible; they get the driver's rows-only check and
-  their semantics are pytest-verified against golden vectors / exact
-  recomputation instead (tests/).
+- ``oracle_sql()``   — DuckDB-equivalent SQL for EVERY query (the oracle
+  map covers the full registry; nothing rides the weaker rows-only check).
+  Exact values (distincts, quantiles, pair sets, byte lengths, hashes,
+  header-parsed dims) are value-hash-gated; approximate/probabilistic
+  results fold into within-published-bound booleans, so the driver's
+  value-hash compare *is* the sketch accuracy gate.  Non-SQL-expressible
+  internals (LSH banding, P² marker dynamics, SCRIMP kernels, streaming
+  state, codec roundtrips) are additionally pytest-verified against golden
+  vectors / exact recomputation (tests/).
 """
 
 from __future__ import annotations

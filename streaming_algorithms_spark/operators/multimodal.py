@@ -125,9 +125,10 @@ def decode_and_resize(df: DataFrame, payload_col: str = "payload",
     other formats raise in strict mode or produce the deterministic fake.
     The `decoded` column is True only for genuinely decoded payloads, so
     fake-fallback pixels (including a corrupt 'BM'-sniffed payload) are
-    always distinguishable downstream."""
+    always distinguishable downstream; `src_h`/`src_w` carry the payload's
+    NATIVE dimensions as parsed from its header (-1 when not decoded)."""
     out_schema = ("media_id long, pixels array<int>, h int, w int, c int, "
-                  "decoded boolean")
+                  "src_h int, src_w int, decoded boolean")
 
     def gen(batches):
         for pdf in batches:
@@ -135,11 +136,15 @@ def decode_and_resize(df: DataFrame, payload_col: str = "payload",
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 raw = bytes(payload)
                 img = None
+                src_h = src_w = -1
                 if raw[:2] == b"BM":
                     try:
-                        img = _resize_nearest(decode_bmp(raw), out_h, out_w)
+                        native = decode_bmp(raw)
+                        src_h, src_w = native.shape[:2]
+                        img = _resize_nearest(native, out_h, out_w)
                     except Exception:
                         img = None  # 'BM' sniff hit a corrupt/non-BMP payload
+                        src_h = src_w = -1
                 decoded = img is not None
                 if img is None:
                     if strict:
@@ -149,9 +154,10 @@ def decode_and_resize(df: DataFrame, payload_col: str = "payload",
                         )
                     img = _fake_decode_image(raw, (out_h, out_w))
                 recs.append((int(mid), img.ravel().tolist(),
-                             out_h, out_w, 3, decoded))
+                             out_h, out_w, 3, src_h, src_w, decoded))
             yield pd.DataFrame(recs, columns=["media_id", "pixels",
-                                              "h", "w", "c", "decoded"])
+                                              "h", "w", "c",
+                                              "src_h", "src_w", "decoded"])
 
     return df.select("media_id", payload_col).mapInPandas(gen, out_schema)
 

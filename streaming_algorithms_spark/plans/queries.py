@@ -980,6 +980,188 @@ def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(planted_stats)
 
 
+def q_streaming_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming state, oracle-gated (the reference's EP3
+    preserved-sketch story, lua_binding/cm_sketch.c:167-202, previously only
+    pytest-covered): events replay as a FILE STREAM split into 4 parquet
+    files with maxFilesPerTrigger=1, so the per-event-type HLL registers in
+    ``applyInPandasWithState`` must survive and merge across >= 2
+    micro-batches (multi_batch_ok) — checkpointed state, not a single-batch
+    degenerate run.  After the availableNow drain, the final state's
+    estimate must sit within the published 3σ bound of the exact distinct
+    (hll_ok), and the exact distinct itself is value-hash-gated against
+    DuckDB."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import streaming_hll_distinct
+
+    ev = load_table(spark, "events", sf_dir)
+    stream_dir = tempfile.mkdtemp(prefix="sas_stream_in_")
+    ckpt = tempfile.mkdtemp(prefix="sas_stream_ckpt_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(stream_dir)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        est = streaming_hll_distinct(stream, "event_type", "user_id", p=14)
+        qname = f"shll_{uuid.uuid4().hex[:8]}"
+        q = (
+            est.writeStream.format("memory").queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        updates = spark.table(qname)
+        # the memory sink holds one update row per (key, micro-batch); the
+        # final state is the row with the highest batches counter per key
+        w = Window.partitionBy("event_type").orderBy(F.desc("batches"))
+        final = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("event_type", "approx_distinct", "batches")
+        )
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_distinct")
+        )
+        rse = 1.04 / np.sqrt(2 ** 14)
+        return (
+            exact.join(final, "event_type")
+            .select(
+                "event_type",
+                "exact_distinct",
+                (
+                    F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                    <= F.greatest(3 * rse * F.col("exact_distinct"), F.lit(3.0))
+                ).alias("hll_ok"),
+                (F.col("batches") >= 2).alias("multi_batch_ok"),
+            )
+            .orderBy("event_type")
+        )
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_media_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline, oracle-gated end-to-end (the component that had
+    only pytest coverage): documents become a deterministic media table —
+    text bytes as an opaque payload, plus a REAL 24-bit BMP and a REAL PCM16
+    WAV synthesized per doc_id — and every media operator runs over real
+    Spark plumbing:
+
+    - media_features over the text payload: n_bytes, sha256, byte_entropy
+      are all value-hash-gated (DuckDB: octet_length(encode()), sha256(),
+      per-doc char entropy() — text is pure ASCII so bytes == chars).
+    - decode_and_resize (strict mode — any codec fallback raises): native
+      BMP dims parsed FROM THE PAYLOAD HEADER are value-hash-gated against
+      the SQL dimension formula, and bmp_ok folds in full pixel parity of
+      the decoded+resized tensor vs an independent re-derivation.
+    - audio_features (strict): n_samples/sample_rate/duration_ms parsed from
+      the WAV header are value-hash-gated against the SQL sample-count
+      formula; wav_ok bounds the decoded signal (peak/rms/zcr of the known
+      sine).
+
+    Reference analogue: the Heka monitor profiles opaque payload streams
+    (heka_message_monitor.lua:482-523) — same shape: typed metadata +
+    content features from binary columns."""
+    from ..operators.multimodal import (
+        _resize_nearest,
+        audio_features,
+        decode_and_resize,
+        encode_bmp,
+        encode_wav,
+        media_features,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    def make_media(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                h, w = 8 + did % 24, 8 + (did * 7) % 24
+                rng = np.random.default_rng(did)
+                img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                n = 800 + 8 * ((did * 13) % 200)
+                t = np.arange(n)
+                samples = (2500 * np.sin(2 * np.pi * 220.0 * t / 8000)
+                           ).astype(np.int16)
+                recs.append((did, encode_bmp(img), encode_wav(samples, 8000)))
+            yield pd.DataFrame(recs, columns=["media_id", "bmp", "wav"])
+
+    media = docs.select("doc_id").mapInPandas(
+        make_media, "media_id long, bmp binary, wav binary"
+    )
+
+    feats = media_features(
+        docs.select(F.col("doc_id").alias("media_id"),
+                    F.encode(F.col("text"), "UTF-8").alias("payload"))
+    ).select("media_id", "n_bytes", "sha256",
+             F.round("byte_entropy", 6).alias("byte_entropy"))
+
+    img16 = decode_and_resize(
+        media.select("media_id", F.col("bmp").alias("payload")),
+        out_h=16, out_w=16, strict=True,
+    )
+
+    def check_pixels(batches):
+        for pdf in batches:
+            recs = []
+            for mid, px, dec in zip(pdf["media_id"], pdf["pixels"],
+                                    pdf["decoded"]):
+                mid = int(mid)
+                h, w = 8 + mid % 24, 8 + (mid * 7) % 24
+                rng = np.random.default_rng(mid)
+                exp = _resize_nearest(
+                    rng.integers(0, 256, (h, w, 3), dtype=np.uint8), 16, 16
+                )
+                ok = bool(dec) and np.array_equal(
+                    np.asarray(px, np.uint8).reshape(16, 16, 3), exp
+                )
+                recs.append((mid, ok))
+            yield pd.DataFrame(recs, columns=["media_id", "bmp_ok"])
+
+    img_gate = img16.select("media_id", "pixels", "decoded").mapInPandas(
+        check_pixels, "media_id long, bmp_ok boolean"
+    )
+    img_dims = img16.select(
+        "media_id",
+        F.col("src_w").alias("img_w"), F.col("src_h").alias("img_h"),
+    )
+
+    audio = audio_features(
+        media.select("media_id", F.col("wav").alias("payload")), strict=True
+    ).select(
+        "media_id", "n_samples", "sample_rate",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        ((F.col("peak") <= 2500) & (F.col("peak") >= 2000)
+         & (F.col("rms") > 1000) & (F.col("rms") < 2500)
+         & (F.col("zcr") > 0.01) & (F.col("zcr") < 0.2)).alias("wav_ok"),
+    )
+
+    return (
+        feats.join(img_dims, "media_id").join(img_gate, "media_id")
+        .join(audio, "media_id")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "n_bytes", "sha256", "byte_entropy",
+            "img_w", "img_h", "n_samples", "sample_rate", "duration_ms",
+            "bmp_ok", "wav_ok",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1017,6 +1199,8 @@ QUERIES = {
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
     "token_overlap_langs": q_token_overlap_langs,
     "hll_rollup_documents": q_hll_rollup_documents,
+    "media_features_documents": q_media_features_documents,
+    "streaming_hll_events": q_streaming_hll_events,
 }
 
 _STOP_EN = "['the','a','and','of','to','in','is']"
@@ -1382,6 +1566,41 @@ ORACLES = {
                TRUE AS recall_ok,
                TRUE AS planted_recall_ok
         FROM top1
+    """,
+    # streaming: the exact per-type distinct is value-hash-gated; the
+    # multi-micro-batch HLL state properties fold into booleans
+    "streaming_hll_events": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_distinct,
+               TRUE AS hll_ok,
+               TRUE AS multi_batch_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # multimodal: content features over the text payload (octet length,
+    # sha256, per-doc char entropy — ASCII text, so bytes == chars), native
+    # BMP dims and WAV sample counts parsed from real payload headers vs the
+    # synthesis formulas; pixel/signal parity folds into bmp_ok / wav_ok
+    "media_features_documents": """
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+        ),
+        ent AS (
+            SELECT doc_id, ROUND(entropy(c), 6) AS byte_entropy
+            FROM ch GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               octet_length(encode(d.text)) AS n_bytes,
+               sha256(d.text) AS sha256,
+               e.byte_entropy,
+               CAST(8 + (d.doc_id * 7) % 24 AS INT) AS img_w,
+               CAST(8 + d.doc_id % 24 AS INT) AS img_h,
+               CAST(800 + 8 * ((d.doc_id * 13) % 200) AS BIGINT) AS n_samples,
+               CAST(8000 AS INT) AS sample_rate,
+               ROUND((800 + 8 * ((d.doc_id * 13) % 200)) / 8.0, 6) AS duration_ms,
+               TRUE AS bmp_ok,
+               TRUE AS wav_ok
+        FROM documents d JOIN ent e ON e.doc_id = d.doc_id
+        ORDER BY d.doc_id
     """,
     # byte-length arithmetic is value-hash-gated; the winnowing density
     # bounds fold into fp_density_ok (see q_fingerprints_documents)
