@@ -28,6 +28,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
+# the round-2 17-query suite, timed first and subtotaled separately so
+# round-over-round totals stay comparable as the suite grows
 HEADLINE = [
     "hll_distinct_users",
     "welford_lineitem",
@@ -166,9 +168,12 @@ def main() -> None:
 
     spark = _new_spark(CPUS)
     _warm_python_workers(spark, CPUS)  # worker spawn/imports out of the timings
+    # EVERY gated query is timed: the r2 17-query suite first (comparable
+    # subtotal), then the rest of the registry sorted by name
+    suite = HEADLINE + sorted(set(QUERIES) - set(HEADLINE))
     timings = {}
     t_all = time.perf_counter()
-    for name in HEADLINE:
+    for name in suite:
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -181,6 +186,8 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "n_queries": len(suite),
+        "r2_suite_subtotal": round(sum(timings[n] for n in HEADLINE), 3),
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
     }

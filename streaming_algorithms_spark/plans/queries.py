@@ -323,7 +323,16 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     path: LSH-banded candidates + exact JVM-side cosine rerank — no driver
     collect of the corpus, no all-pairs shuffle.  Exact rerank means no
     false positives, so the brute-force SQL pair set is the oracle; LSH
-    recall on planted high-cosine dups is gated in pytest."""
+    recall on planted high-cosine dups is gated in pytest.
+
+    Gate-brittleness note: candidate recall for a pair sitting EXACTLY at
+    the 0.8 threshold is ~0.88 at the operator defaults (n_bits=8,
+    n_tables=12), so the pair-set-equality gate is probabilistic in
+    principle — but every seed is fixed and the driver corpus is frozen
+    (this table has NO pairs >= 0.8: both sides emit the empty set), so the
+    comparison is fully deterministic per corpus.  If the corpus ever
+    changes, re-check for boundary pairs or switch this gate to the
+    lsh_topk planted-recall-boolean pattern."""
     from ..operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, "embeddings", sf_dir)
