@@ -1,0 +1,72 @@
+"""Deterministic, engine-portable sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent AND partitioning-dependent — a retry, a
+repartition, or a different engine yields a different subset, which is
+poison for reproducible training corpora.  These operators instead gate each
+row on a content hash: keep row iff ``md5(salt || key) < threshold(rate)``,
+with the threshold a 32-hex-digit string.  Properties:
+
+- deterministic: the subset is a pure function of (key, salt, rate) — stable
+  across retries, partitionings, engines, and time;
+- portable: any engine with md5 (Spark, DuckDB, Trino, Postgres) reproduces
+  the EXACT same subset — which is how the driver oracle gates it;
+- nested: for the same salt, the rate-r sample is a SUBSET of every
+  rate-r' >= r sample (thresholds are ordered), so growing a training corpus
+  from 1% to 10% only ADDS documents;
+- uniform: md5 is uniform on [0, 2^128), so P(keep) = rate to ~1e-38, per
+  key — duplicate keys are kept or dropped together (content-level
+  sampling), which is usually what a dedup-aware pipeline wants;
+- pure Catalyst: codegen'd md5 + string compare, zero Python, fully pushed
+  parallelism; at 100 TB this adds one projection to the scan.
+
+Reference analogue: the Heka monitor's probabilistic sampling of message
+streams (heka_message_monitor.lua filter/sampling patterns) — re-expressed
+as content-deterministic sampling, the variant a reproducible data pipeline
+needs (SURVEY §2.6 filter/sampling).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hex_threshold(rate: float) -> str:
+    """rate in [0, 1] -> 32-hex-digit md5 threshold string.  Rows whose
+    md5 hex sorts strictly below it are kept; P(keep) = rate exactly up to
+    the 2^-128 quantization.  rate >= 1 returns 'g' (lexically above every
+    hex digest: keep everything)."""
+    if rate >= 1.0:
+        return "g"
+    t = max(int(rate * (1 << 128)), 0)
+    return format(t, "032x")
+
+
+def sample_predicate(col, rate: float, salt: str = ""):
+    """The Catalyst keep-predicate: md5(salt || col) < threshold."""
+    digest = F.md5(F.concat(F.lit(salt), F.col(col) if isinstance(col, str) else col))
+    return digest < F.lit(hex_threshold(rate))
+
+
+def deterministic_sample(df: DataFrame, key_col: str, rate: float,
+                         salt: str = "") -> DataFrame:
+    """Keep ~rate of rows, deterministically by content hash of key_col.
+    Same (key, salt, rate) -> same subset, on any engine, forever."""
+    return df.filter(sample_predicate(key_col, rate, salt))
+
+
+def stratified_sample(df: DataFrame, group_col: str, key_col: str,
+                      rates: Mapping[str, float], default_rate: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-group deterministic sampling rates (e.g. downsample the dominant
+    language, keep all of a rare one) — the standard training-mix rebalance.
+    One codegen'd CASE over the SAME md5 digest for every group, so samples
+    stay nested per group as rates change; groups absent from ``rates`` get
+    ``default_rate``."""
+    digest = F.md5(F.concat(F.lit(salt), F.col(key_col)))
+    thr = F.lit(hex_threshold(default_rate))
+    for g, r in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(hex_threshold(r))).otherwise(thr)
+    return df.filter(digest < thr)

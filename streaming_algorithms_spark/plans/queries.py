@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import functions as fn
+from ..operators import sampling as _sampling
 from ..operators.dedup import (
     exact_dedup_groups,
     exact_jaccard_pairs,
@@ -989,6 +990,41 @@ def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(planted_stats)
 
 
+def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-portable sampling (operators/sampling.py): a
+    stratified sample — the dominant 'en' downsampled to 20%, every other
+    lang at 60% (the training-mix rebalance) — where the kept row SET is
+    value-hash-gated against DuckDB evaluating the IDENTICAL md5-threshold
+    predicate: exact subset parity across engines, the property seed-based
+    df.sample() can never give.  Per-lang kept fractions within a 4σ
+    binomial envelope of the target rate fold into rate_ok; the
+    nested-sample property (rate-r ⊂ rate-r' for r <= r', same salt) is
+    pytest-gated."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    samp = stratified_sample(
+        docs, "lang", "text", {"en": 0.2}, default_rate=0.6, salt="r3"
+    ).select("doc_id", "lang")
+    totals = docs.groupBy("lang").agg(F.count("*").alias("_n"))
+    kept = samp.groupBy("lang").agg(F.count("*").alias("_k"))
+    r = F.when(F.col("lang") == "en", F.lit(0.2)).otherwise(F.lit(0.6))
+    sigma = F.sqrt(r * (1 - r) / F.col("_n"))
+    ok = (
+        totals.join(kept, "lang", "left")
+        .select(
+            "lang",
+            (F.abs(F.coalesce(F.col("_k"), F.lit(0)) / F.col("_n") - r)
+             <= 4 * sigma + 1 / F.col("_n")).alias("rate_ok"),
+        )
+    )
+    return (
+        samp.join(F.broadcast(ok), "lang")
+        .select("doc_id", "lang", "rate_ok")
+        .orderBy("doc_id")
+    )
+
+
 def q_streaming_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming state, oracle-gated (the reference's EP3
     preserved-sketch story, lua_binding/cm_sketch.c:167-202, previously only
@@ -1210,6 +1246,7 @@ QUERIES = {
     "hll_rollup_documents": q_hll_rollup_documents,
     "media_features_documents": q_media_features_documents,
     "streaming_hll_events": q_streaming_hll_events,
+    "sample_documents": q_sample_documents,
 }
 
 _STOP_EN = "['the','a','and','of','to','in','is']"
@@ -1575,6 +1612,17 @@ ORACLES = {
                TRUE AS recall_ok,
                TRUE AS planted_recall_ok
         FROM top1
+    """,
+    # deterministic sampling: the kept row set must match EXACTLY — both
+    # engines evaluate the same md5-threshold predicate (thresholds inlined
+    # from hex_threshold at import time); rate sanity folds into rate_ok
+    "sample_documents": f"""
+        SELECT doc_id, lang, TRUE AS rate_ok
+        FROM documents
+        WHERE md5('r3' || text) <
+              (CASE WHEN lang = 'en' THEN '{_sampling.hex_threshold(0.2)}'
+                    ELSE '{_sampling.hex_threshold(0.6)}' END)
+        ORDER BY doc_id
     """,
     # streaming: the exact per-type distinct is value-hash-gated; the
     # multi-micro-batch HLL state properties fold into booleans

@@ -534,3 +534,51 @@ def test_ivf_distributed_lloyd_refines_centroids(spark):
                             iters=4, dist_iters=3)
     assert mean_sim(refined) >= mean_sim(raw) - 1e-9
     assert mean_sim(refined) > mean_sim(raw) + 1e-4  # genuinely moved
+
+
+def test_deterministic_sample_portable_nested_stratified(spark, docs):
+    """The md5-threshold sampler: (a) partitioning-invariant subset,
+    (b) byte-identical to DuckDB evaluating the same predicate (engine
+    portability — the oracle-gate property), (c) nested samples as the rate
+    grows, (d) stratified rates land within binomial bounds, (e) duplicate
+    keys sampled together."""
+    import duckdb
+
+    from streaming_algorithms_spark.operators.sampling import (
+        deterministic_sample, hex_threshold, stratified_sample,
+    )
+
+    ids_a = {r["doc_id"] for r in
+             deterministic_sample(docs, "text", 0.4, salt="s").collect()}
+    ids_b = {r["doc_id"] for r in
+             deterministic_sample(docs.repartition(7), "text", 0.4,
+                                  salt="s").collect()}
+    assert ids_a == ids_b  # partitioning-invariant
+
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("d", pdf)
+    duck_ids = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM d WHERE md5('s' || text) < '{hex_threshold(0.4)}'"
+    ).fetchall()}
+    assert ids_a == duck_ids  # engine-portable: EXACT same subset
+
+    small = {r["doc_id"] for r in
+             deterministic_sample(docs, "text", 0.15, salt="s").collect()}
+    assert small <= ids_a  # nested: growing the rate only adds rows
+
+    # duplicate texts (100/101) are kept or dropped together
+    assert (100 in ids_a) == (101 in ids_a)
+
+    big = spark.createDataFrame(
+        [(i, f"doc {i} unique", "en" if i % 3 else "de")
+         for i in range(3000)],
+        "doc_id long, text string, lang string",
+    )
+    st = stratified_sample(big, "lang", "text", {"en": 0.1},
+                           default_rate=0.8, salt="t")
+    kept = {r["lang"]: r["n"] for r in
+            st.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_en, n_de = 2000, 1000
+    assert abs(kept.get("en", 0) / n_en - 0.1) < 4 * (0.1 * 0.9 / n_en) ** 0.5
+    assert abs(kept.get("de", 0) / n_de - 0.8) < 4 * (0.8 * 0.2 / n_de) ** 0.5
