@@ -108,6 +108,45 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def exact_containment_pairs(train: DataFrame, eval_df: DataFrame,
+                            id_col: str, text_col: str, n: int = 3,
+                            threshold: float = 0.5) -> DataFrame:
+    """Cross-corpus contamination by ASYMMETRIC containment (Broder 1997):
+    |shingles(eval) ∩ shingles(train)| / |shingles(eval)| >= threshold.
+    An eval doc wholly quoted inside a much larger train doc scores 1.0
+    here while symmetric Jaccard stays tiny — the direction that matters
+    for benchmark decontamination.
+
+    Exact and quadratic in co-shingled docs by design (the verification
+    oracle; the scale path over full corpora is fingerprint-based — see
+    text.cross_fingerprint_overlap).  Joins key on xxhash64(shingle):
+    8-byte keys cross the shuffle, never shingle strings.  Output:
+    (train_id, eval_id, containment)."""
+    sh_t = (
+        word_shingles(train, id_col, text_col, n)
+        .select(F.col(id_col).alias("train_id"),
+                F.xxhash64("shingle").alias("_sh"))
+    )
+    sh_e = (
+        word_shingles(eval_df, id_col, text_col, n)
+        .select(F.col(id_col).alias("eval_id"),
+                F.xxhash64("shingle").alias("_sh"))
+        .cache()
+    )
+    sizes_e = sh_e.groupBy("eval_id").agg(F.count("*").alias("_sz"))
+    inter = (
+        sh_e.join(sh_t, "_sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes_e), "eval_id")
+        .withColumn("containment", F.col("_inter") / F.col("_sz"))
+        .filter(F.col("containment") >= threshold)
+        .select("train_id", "eval_id", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -125,3 +125,35 @@ def fingerprint_overlap(df: DataFrame, id_col: str, text_col: str,
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def cross_fingerprint_overlap(train: DataFrame, eval_df: DataFrame,
+                              id_col: str, text_col: str,
+                              min_shared: int = 3, max_doc_freq: int = 64,
+                              k: int = 16, window: int = 8) -> DataFrame:
+    """Cross-corpus contamination at scale: winnowed fingerprints on BOTH
+    corpora, one (fingerprint) shuffle, and the same hot-fingerprint cap as
+    fingerprint_overlap — computed over the COMBINED doc frequency, so
+    boilerplate present in either corpus is dropped before the join.  Cost
+    is linear in fingerprints plus bucket-bounded pair emit; the exact
+    verification oracle is dedup.exact_containment_pairs.  Output:
+    (train_id, eval_id, shared)."""
+    fps_t = rolling_fingerprints(train, id_col, text_col, k, window).select(
+        F.col(id_col).alias("train_id"), "fingerprint"
+    )
+    fps_e = rolling_fingerprints(eval_df, id_col, text_col, k, window).select(
+        F.col(id_col).alias("eval_id"), "fingerprint"
+    )
+    keep = (
+        fps_t.select("fingerprint").unionAll(fps_e.select("fingerprint"))
+        .groupBy("fingerprint").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_doc_freq)
+        .select("fingerprint")
+    )
+    return (
+        fps_e.join(keep, "fingerprint", "left_semi")
+        .join(fps_t, "fingerprint")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

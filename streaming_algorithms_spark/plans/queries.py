@@ -990,6 +990,31 @@ def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(planted_stats)
 
 
+def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination by ASYMMETRIC containment (Broder 1997):
+    the deterministic doc_id < 250 slice plays the training corpus, the
+    [250, 500) slice the eval set; pairs with
+    |shingles(eval) ∩ shingles(train)| / |shingles(eval)| >= 0.3 are the
+    contaminated ones (an eval doc quoted inside a larger train doc scores
+    1.0 even when symmetric Jaccard is tiny — the direction benchmark
+    decontamination needs).  Exact and value-hash-gated against the full
+    SQL re-derivation; like the other quadratic oracles it is capped to the
+    fixed 500-doc slice so it is O(1) in sf.  The linear-cost scale path
+    (cross_fingerprint_overlap: winnowed fingerprints, combined-frequency
+    boilerplate cap) is recall-gated against this exact operator in pytest."""
+    from ..operators.dedup import exact_containment_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") < 250)
+    ev = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 500))
+    return (
+        exact_containment_pairs(train, ev, "doc_id", "text", n=3,
+                                threshold=0.3)
+        .select("train_id", "eval_id", F.round("containment", 6).alias("containment"))
+        .orderBy("train_id", "eval_id")
+    )
+
+
 def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic engine-portable sampling (operators/sampling.py): a
     stratified sample — the dominant 'en' downsampled to 20%, every other
@@ -1090,6 +1115,68 @@ def q_streaming_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("batches") >= 2).alias("multi_batch_ok"),
             )
             .orderBy("event_type")
+        )
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen dedup with BOUNDED Bloom state, oracle-gated:
+    events replay as a 4-file stream (maxFilesPerTrigger=1) through
+    ``streaming_bloom_dedup`` (32 hash-routed Bloom states, fpr 1e-9) in
+    append mode — duplicates must be suppressed ACROSS micro-batches, which
+    only works if the Bloom state survives the batch boundary.  Gates:
+    exact distinct user count value-hash-gated vs DuckDB; no_dup_emits_ok
+    (emitted values are globally unique — state preserved), subset_ok
+    (every emitted value really occurs in events), complete_ok (first-seen
+    count within the 1e-9-FP envelope of the exact distinct count)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import streaming_bloom_dedup
+
+    ev = load_table(spark, "events", sf_dir)
+    stream_dir = tempfile.mkdtemp(prefix="sas_dedup_in_")
+    ckpt = tempfile.mkdtemp(prefix="sas_dedup_ckpt_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(stream_dir)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        first_seen = streaming_bloom_dedup(stream, "user_id")
+        qname = f"sdedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            first_seen.writeStream.format("memory").queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.table(qname)
+        seen = ev.select(F.col("user_id").cast("string").alias("user_id")).distinct()
+        stats = emitted.agg(
+            F.count("*").alias("_n"),
+            F.countDistinct("user_id").alias("_nd"),
+        )
+        stray = emitted.join(seen, "user_id", "left_anti").agg(
+            F.count("*").alias("_stray")
+        )
+        exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+        return (
+            exact.crossJoin(stats).crossJoin(stray)
+            .select(
+                "exact_distinct",
+                (F.col("_n") == F.col("_nd")).alias("no_dup_emits_ok"),
+                (F.col("_stray") == 0).alias("subset_ok"),
+                ((F.col("_n") <= F.col("exact_distinct"))
+                 & (F.col("_n") >= F.floor(F.col("exact_distinct") * 0.999))
+                 ).alias("complete_ok"),
+            )
         )
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
@@ -1247,6 +1334,8 @@ QUERIES = {
     "media_features_documents": q_media_features_documents,
     "streaming_hll_events": q_streaming_hll_events,
     "sample_documents": q_sample_documents,
+    "contamination_documents": q_contamination_documents,
+    "streaming_dedup_events": q_streaming_dedup_events,
 }
 
 _STOP_EN = "['the','a','and','of','to','in','is']"
@@ -1613,6 +1702,30 @@ ORACLES = {
                TRUE AS planted_recall_ok
         FROM top1
     """,
+    # asymmetric containment (train slice x eval slice), exact — full SQL
+    # re-derivation with the same word-3-gram shingles as the Jaccard oracles
+    "contamination_documents": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents WHERE doc_id < 500
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+            WHERE a.doc_id < 250 AND b.doc_id >= 250
+            GROUP BY 1, 2
+        )
+        SELECT train_id, eval_id,
+               ROUND(i * 1.0 / se.sz, 6) AS containment
+        FROM inter JOIN sizes se ON se.doc_id = eval_id
+        WHERE i * 1.0 / se.sz >= 0.3
+        ORDER BY train_id, eval_id
+    """,
     # deterministic sampling: the kept row set must match EXACTLY — both
     # engines evaluate the same md5-threshold predicate (thresholds inlined
     # from hex_threshold at import time); rate sanity folds into rate_ok
@@ -1632,6 +1745,15 @@ ORACLES = {
                TRUE AS hll_ok,
                TRUE AS multi_batch_ok
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # streaming bloom dedup: exact distinct value-hash-gated; cross-batch
+    # suppression / subset / completeness fold into booleans
+    "streaming_dedup_events": """
+        SELECT COUNT(DISTINCT user_id) AS exact_distinct,
+               TRUE AS no_dup_emits_ok,
+               TRUE AS subset_ok,
+               TRUE AS complete_ok
+        FROM events
     """,
     # multimodal: content features over the text payload (octet length,
     # sha256, per-doc char entropy — ASCII text, so bytes == chars), native

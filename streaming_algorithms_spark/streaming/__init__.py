@@ -1,3 +1,8 @@
-from .stateful import streaming_hll_distinct, streaming_windowed_stats
+from .stateful import (
+    streaming_bloom_dedup,
+    streaming_hll_distinct,
+    streaming_windowed_stats,
+)
 
-__all__ = ["streaming_hll_distinct", "streaming_windowed_stats"]
+__all__ = ["streaming_bloom_dedup", "streaming_hll_distinct",
+           "streaming_windowed_stats"]

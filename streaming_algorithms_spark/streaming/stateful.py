@@ -99,3 +99,65 @@ def streaming_hll_distinct(stream: DataFrame, key_col: str, value_col: str,
             "update", GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_bloom_dedup(stream: DataFrame, value_col: str,
+                          capacity: int = 1 << 20, fpr: float = 1e-9,
+                          n_buckets: int = 32) -> DataFrame:
+    """Streaming FIRST-SEEN filter with BOUNDED state: each value routes to
+    one of ``n_buckets`` independent Bloom-filter states by a deterministic
+    hash (so the operator parallelizes across buckets while remaining a
+    global dedup), and every micro-batch emits only values never seen in
+    any earlier batch OF THE STREAM.  Duplicates are ALWAYS suppressed
+    (Bloom has no false negatives); a genuinely new value is lost only to a
+    false positive (P ~ fpr, sized per bucket) — the classic trade that
+    bounds state at ~capacity bits forever, where exact streaming dedup
+    (dropDuplicates) grows state with the distinct count.
+
+    The distributed re-expression of the reference workload's duplicate
+    alerting (heka_message_monitor.lua:359-410) as an emitting filter.
+    Within a batch, first occurrence wins; output schema is the single
+    ``value_col`` column (join back on it for full rows)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ..sketches import BloomFilter
+
+    out_schema = f"`{value_col}` string"
+    state_schema = "bloom binary"
+    per_bucket = max(capacity // n_buckets, 1024)
+
+    def update_fn(key, pdfs, state: GroupState):
+        if state.exists:
+            bloom = BloomFilter.from_bytes(bytes(state.get[0]))
+        else:
+            bloom = BloomFilter(per_bucket, fpr)
+        emitted = []
+        for pdf in pdfs:
+            uniq = pd.unique(pdf[value_col])  # within-chunk, order-stable
+            if not len(uniq):
+                continue
+            keys = [str(v).encode("utf-8") for v in uniq]
+            new_mask = ~bloom.contains_batch(keys)
+            new_keys = [k for k, m in zip(keys, new_mask) if m]
+            if new_keys:
+                bloom.update_batch(new_keys)
+                emitted.append(uniq[new_mask])
+        state.update((bloom.to_bytes(),))
+        vals = np.concatenate(emitted) if emitted else np.array([], object)
+        yield pd.DataFrame({value_col: vals})
+
+    routed = (
+        stream.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(value_col).cast("string"),
+            F.pmod(F.xxhash64(value_col), F.lit(n_buckets)).alias("_bucket"),
+        )
+    )
+    return (
+        routed.groupBy("_bucket")
+        .applyInPandasWithState(
+            update_fn, out_schema, state_schema,
+            "append", GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -582,3 +582,49 @@ def test_deterministic_sample_portable_nested_stratified(spark, docs):
     n_en, n_de = 2000, 1000
     assert abs(kept.get("en", 0) / n_en - 0.1) < 4 * (0.1 * 0.9 / n_en) ** 0.5
     assert abs(kept.get("de", 0) / n_de - 0.8) < 4 * (0.8 * 0.2 / n_de) ** 0.5
+
+
+def test_containment_asymmetric_and_fingerprint_scale_path(spark):
+    """Planted contamination: an eval doc fully quoted inside a much larger
+    train doc must score containment 1.0 (while symmetric Jaccard is tiny),
+    and the linear-cost cross_fingerprint_overlap scale path must surface
+    every exact-containment pair (its fingerprints are a subset of the
+    shared k-grams) while boilerplate shared by all docs stays capped."""
+    from streaming_algorithms_spark.operators.dedup import (
+        exact_containment_pairs, exact_jaccard_pairs,
+    )
+    from streaming_algorithms_spark.operators.text import (
+        cross_fingerprint_overlap,
+    )
+
+    rng = np.random.default_rng(13)
+    quote = " ".join(f"quoted{j:03d}" for j in range(30))
+    big_train = quote + " " + " ".join(
+        f"trainpad{j}x{rng.integers(10**6)}" for j in range(300)
+    )
+    train_rows = [(0, big_train)] + [
+        (i, " ".join(f"t{i}w{j}q{rng.integers(10**6)}" for j in range(40)))
+        for i in range(1, 20)
+    ]
+    eval_rows = [(100, quote)] + [
+        (100 + i, " ".join(f"e{i}w{j}q{rng.integers(10**6)}" for j in range(40)))
+        for i in range(1, 20)
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+
+    cont = {(r["train_id"], r["eval_id"]): r["containment"]
+            for r in exact_containment_pairs(train, ev, "doc_id", "text",
+                                             threshold=0.5).collect()}
+    assert cont == {(0, 100): 1.0}
+    # symmetric Jaccard on the union misses the quoted pair at this threshold
+    jac = {(r["id_a"], r["id_b"])
+           for r in exact_jaccard_pairs(train.unionByName(ev), "doc_id",
+                                        "text", threshold=0.5).collect()}
+    assert (0, 100) not in jac
+
+    fp = {(r["train_id"], r["eval_id"])
+          for r in cross_fingerprint_overlap(train, ev, "doc_id", "text",
+                                             min_shared=3).collect()}
+    assert (0, 100) in fp
+    assert fp == {(0, 100)}  # unique-token docs create no spurious pairs

@@ -180,3 +180,35 @@ def test_streaming_hll_restart_parity(spark, webpages, tmp_path):
     rse = 1.04 / (2 ** 12) ** 0.5
     for lang, ex in exact.items():
         assert abs(got[lang][0] - ex) <= max(3 * rse * ex, 3)
+
+
+def test_streaming_bloom_dedup_suppresses_across_batches(spark, tmp_path):
+    """First-seen semantics across micro-batches: values repeated in a LATER
+    file must be suppressed (Bloom state survives the batch boundary),
+    emitted values are globally unique, and every distinct value is emitted
+    exactly once (fpr 1e-9 -> no FP losses at this size)."""
+    from streaming_algorithms_spark.streaming import streaming_bloom_dedup
+
+    d = tmp_path / "dedup_in"
+    rows0 = [(f"u{i}",) for i in range(500)]
+    rows1 = [(f"u{i}",) for i in range(250, 750)]  # 250 repeats + 250 new
+    spark.createDataFrame(rows0, "user string").write.parquet(str(d / "b=0"))
+    spark.createDataFrame(rows1, "user string").write.parquet(str(d / "b=1"))
+    stream = (
+        spark.readStream.schema("user string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = streaming_bloom_dedup(stream, "user", capacity=1 << 16, n_buckets=8)
+    q = (
+        out.writeStream.format("memory").queryName("bloom_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = [r["user"] for r in spark.table("bloom_dedup").collect()]
+    assert len(emitted) == len(set(emitted))  # no duplicate emits, ever
+    assert set(emitted) == {f"u{i}" for i in range(750)}  # complete
