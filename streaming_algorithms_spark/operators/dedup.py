@@ -84,9 +84,9 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """All pairs with word-n-gram Jaccard >= threshold.  Exact (quadratic in
     co-shingled docs) — the correctness oracle for MinHash-LSH.
 
-    The size tables are broadcast-hinted: they are one row per doc and this
-    exact path is only for verification-scale inputs by construction (the
-    scale path is MinHash-LSH), so the hint is always safe here."""
+    The size tables are one row per doc (corpus cardinality), so they carry
+    NO broadcast hint — AQE broadcasts them when actually small (the
+    verification-scale case) and falls back to a shuffled join otherwise."""
     sh = word_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -100,7 +100,7 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard",
                     F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
@@ -140,7 +140,7 @@ def exact_containment_pairs(train: DataFrame, eval_df: DataFrame,
         .agg(F.count("*").alias("_inter"))
     )
     return (
-        inter.join(F.broadcast(sizes_e), "eval_id")
+        inter.join(sizes_e, "eval_id")
         .withColumn("containment", F.col("_inter") / F.col("_sz"))
         .filter(F.col("containment") >= threshold)
         .select("train_id", "eval_id", "containment")
@@ -202,8 +202,8 @@ def exact_jaccard_for_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
         p.join(inter, ["id_a", "id_b"], "left")
-        .join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        .join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .withColumn(
             "jaccard",
             F.coalesce(F.col("inter"), F.lit(0))

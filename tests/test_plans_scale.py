@@ -184,3 +184,26 @@ def test_no_collect_limit_in_any_gated_query_plan(spark):
         plan = _physical_plan(q(spark, sf_dir))
         assert "CollectLimit" not in plan, (name, plan)
         spark.catalog.clearCache()
+
+
+def test_no_forced_broadcast_of_corpus_sized_sides(spark, webpages_parquet):
+    """Per-doc size tables (corpus cardinality) must never carry a mandatory
+    broadcast hint — sweep the exact-dedup/Jaccard/containment operators'
+    logical plans; AQE picks broadcast at runtime when a side is actually
+    small."""
+    from streaming_algorithms_spark.operators.dedup import (
+        exact_containment_pairs, exact_dedup, exact_jaccard_pairs,
+    )
+
+    df = spark.read.parquet(webpages_parquet)
+    targets = [
+        exact_dedup(df, "url", "text"),
+        exact_jaccard_pairs(df.withColumnRenamed("url", "doc_id"),
+                            "doc_id", "text"),
+        exact_containment_pairs(
+            df.limit(500).withColumnRenamed("url", "doc_id"),
+            df.withColumnRenamed("url", "doc_id"), "doc_id", "text"),
+    ]
+    for out in targets:
+        logical = _full_explain(out).split("== Physical Plan ==")[0]
+        assert "broadcast" not in logical.lower(), logical
