@@ -398,6 +398,66 @@ def hll_pairwise_overlap(df: DataFrame, key_col: str, col: str,
     return j.mapInPandas(gen, out_schema)
 
 
+def kmv_pairwise_set_ops(df: DataFrame, key_col: str, col: str,
+                         k: int = 1024, pairs: Sequence[tuple] = None) -> DataFrame:
+    """Theta-sketch set ALGEBRA between groups — union, intersection, and
+    one-sided DIFFERENCE — from ONE scan: per-group bottom-k/KMV sketches
+    (two-stage partial aggregation), then pair estimates from the merged
+    sketches' tag arrays alone (sketches/bottomk.theta_set_estimates).
+    The capability HLL register algebra cannot give: inclusion-exclusion
+    yields |A∩B| but never |A\\B| with usable error; the Theta cut gives
+    every set expression at ~1/sqrt(k) relative error on the union scale,
+    and is EXACT while groups are under k distinct values.
+
+    At 100 TB: one scan + O(pairs) tag-array intersections of <= k u64s.
+    pairs defaults to all (a < b) combinations of observed keys.  Returns
+    (key_a, key_b, est_union, est_intersection, est_a_minus_b,
+    est_b_minus_a)."""
+    from ..sketches import BottomKSample, theta_set_estimates
+
+    df = df.filter(F.col(col).isNotNull() & F.col(key_col).isNotNull())
+
+    def update(sk: BottomKSample, pdf: pd.DataFrame) -> None:
+        sk.update_batch(list(encode_utf8(pdf[col])))
+
+    partials = build_partials(
+        ensure_parallelism(df.select(key_col, col)), [key_col],
+        lambda: BottomKSample(k), update,
+    )
+    merged = merge_sketch_rows(partials, [key_col],
+                               BottomKSample.from_bytes).cache()
+    spark = df.sparkSession
+    kt = df.schema[key_col].dataType.simpleString()
+    if pairs is None:
+        ks = sorted(r[key_col] for r in merged.select(key_col).collect())
+        pairs = [(a, b) for i, a in enumerate(ks) for b in ks[i + 1:]]
+    pairs_df = spark.createDataFrame(list(pairs), f"key_a {kt}, key_b {kt}")
+    sa = merged.select(F.col(key_col).alias("key_a"), F.col("sketch").alias("_ska"))
+    sb = merged.select(F.col(key_col).alias("key_b"), F.col("sketch").alias("_skb"))
+    j = pairs_df.join(sa, "key_a").join(sb, "key_b")
+    out_schema = (f"key_a {kt}, key_b {kt}, est_union bigint, "
+                  "est_intersection bigint, est_a_minus_b bigint, "
+                  "est_b_minus_a bigint")
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for ka, kb, ba, bb in zip(pdf["key_a"], pdf["key_b"],
+                                      pdf["_ska"], pdf["_skb"]):
+                est = theta_set_estimates(BottomKSample.from_bytes(bytes(ba)),
+                                          BottomKSample.from_bytes(bytes(bb)))
+                recs.append((ka, kb,
+                             int(round(est["est_union"])),
+                             int(round(est["est_intersection"])),
+                             int(round(est["est_a_minus_b"])),
+                             int(round(est["est_b_minus_a"]))))
+            yield pd.DataFrame(recs, columns=[
+                "key_a", "key_b", "est_union", "est_intersection",
+                "est_a_minus_b", "est_b_minus_a"])
+
+    return j.mapInPandas(gen, out_schema)
+
+
 def welford_stats(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
     """Exact count/mean/variance/sd/usd via mergeable Welford/Chan
     (reference: running_stats.c + our Chan merge, SURVEY §2.3)."""

@@ -908,6 +908,60 @@ def q_token_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_diff_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set DIFFERENCE between every lang pair's distinct-token
+    sets — the sketch-algebra capability HLL cannot express (inclusion-
+    exclusion never yields a one-sided |A\\B| with usable error; the Theta
+    cut does, at ~1/sqrt(k) of the union).  One scan builds per-lang
+    bottom-k/KMV sketches; pair estimates come from tag-array intersections
+    of the merged sketches alone.  Exact |A\\B| and |B\\A| (token joins,
+    reproduced by the SQL oracle) are value-hash-gated; each theta estimate
+    folds into a 4σ-of-union bound boolean."""
+    from ..operators.sketch_agg import kmv_pairwise_set_ops
+
+    k = 1024
+    rel = 1.0 / np.sqrt(k - 2)
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("lang", F.explode(fn.tokens(F.col("text"))).alias("token"))
+    dt = toks.distinct().cache()
+    est = kmv_pairwise_set_ops(dt, "lang", "token", k=k).select(
+        F.col("key_a").alias("lang_a"), F.col("key_b").alias("lang_b"),
+        "est_union", "est_a_minus_b", "est_b_minus_a",
+    )
+    sizes = dt.groupBy("lang").agg(F.count("*").alias("n"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("a.lang") < F.col("b.lang"))
+        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    grid = (
+        sa.crossJoin(sb).filter(F.col("lang_a") < F.col("lang_b"))
+        .join(inter, ["lang_a", "lang_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    bound = 4 * rel * n_union + 5
+    return (
+        grid.join(est, ["lang_a", "lang_b"])
+        .select(
+            "lang_a", "lang_b",
+            (F.col("n_a") - F.col("n_inter")).alias("n_a_minus_b"),
+            (F.col("n_b") - F.col("n_inter")).alias("n_b_minus_a"),
+            (F.abs(F.col("est_a_minus_b") - (F.col("n_a") - F.col("n_inter")))
+             <= bound).alias("diff_ab_ok"),
+            (F.abs(F.col("est_b_minus_a") - (F.col("n_b") - F.col("n_inter")))
+             <= bound).alias("diff_ba_ok"),
+            (F.abs(F.col("est_union") - n_union) <= bound).alias("union_ok"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
 def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (coarse k-means quantizer) in full-probe mode
     (n_probe = n_lists): provably exact — every vector lands in some list
@@ -1336,6 +1390,7 @@ QUERIES = {
     "sample_documents": q_sample_documents,
     "contamination_documents": q_contamination_documents,
     "streaming_dedup_events": q_streaming_dedup_events,
+    "token_diff_langs": q_token_diff_langs,
 }
 
 _STOP_EN = "['the','a','and','of','to','in','is']"
@@ -1701,6 +1756,40 @@ ORACLES = {
                TRUE AS recall_ok,
                TRUE AS planted_recall_ok
         FROM top1
+    """,
+    # theta-sketch set difference: exact one-sided differences are
+    # value-hash-gated (string token joins; Spark joins the same distinct
+    # token set); theta estimates fold into 4σ-of-union booleans
+    "token_diff_langs": """
+        WITH toks AS (
+            SELECT DISTINCT lang, token FROM (
+                SELECT lang,
+                       UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+                FROM documents
+            )
+        ),
+        sizes AS (SELECT lang, COUNT(*) AS n FROM toks GROUP BY lang),
+        grid AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b
+            FROM (SELECT DISTINCT lang FROM toks) a
+            JOIN (SELECT DISTINCT lang FROM toks) b ON a.lang < b.lang
+        ),
+        inter AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS i
+            FROM toks a JOIN toks b ON a.token = b.token AND a.lang < b.lang
+            GROUP BY 1, 2
+        )
+        SELECT g.lang_a, g.lang_b,
+               CAST(sa.n - COALESCE(i.i, 0) AS BIGINT) AS n_a_minus_b,
+               CAST(sb.n - COALESCE(i.i, 0) AS BIGINT) AS n_b_minus_a,
+               TRUE AS diff_ab_ok,
+               TRUE AS diff_ba_ok,
+               TRUE AS union_ok
+        FROM grid g
+        JOIN sizes sa ON sa.lang = g.lang_a
+        JOIN sizes sb ON sb.lang = g.lang_b
+        LEFT JOIN inter i ON i.lang_a = g.lang_a AND i.lang_b = g.lang_b
+        ORDER BY 1, 2
     """,
     # asymmetric containment (train slice x eval slice), exact — full SQL
     # re-derivation with the same word-3-gram shingles as the Jaccard oracles

@@ -6,7 +6,7 @@ Each sketch is a commutative monoid: ``zero`` (constructor), vectorized
 """
 
 from .bloom import BloomFilter
-from .bottomk import BottomKSample
+from .bottomk import BottomKSample, theta_set_estimates
 from .cm_sketch import CountMinSketch, key_bytes
 from .cuckoo import CuckooFilter
 from .hll import HyperLogLog
@@ -22,6 +22,7 @@ from .xxhash import xxh32, xxh32_batch, xxh64, xxh64_batch
 __all__ = [
     "BloomFilter",
     "BottomKSample",
+    "theta_set_estimates",
     "CuckooFilter",
     "SpaceSaving",
     "TDigest",

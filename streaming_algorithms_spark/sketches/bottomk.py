@@ -94,6 +94,20 @@ class BottomKSample:
             parts.append(key)
         return b"".join(parts)
 
+    def theta_int(self):
+        """Theta-sketch threshold in EXACT integer tag space: the k-th
+        smallest tag (None while under capacity — the sketch is then an
+        EXACT distinct set).  Integer, so threshold comparisons never hit
+        float53 rounding against 64-bit tags."""
+        if self.tags.size < self.k:
+            return None
+        return int(self.tags[-1])
+
+    def theta(self) -> float:
+        """theta_int as a fraction of the hash space (1.0 under capacity)."""
+        ti = self.theta_int()
+        return 1.0 if ti is None else ti / _U64_MAX
+
     @classmethod
     def from_bytes(cls, buf: bytes) -> "BottomKSample":
         k, n = np.frombuffer(buf[:8], "<u4")
@@ -110,3 +124,38 @@ class BottomKSample:
             raise ValueError("bad bottom-k buffer")
         sk.keys = keys
         return sk
+
+
+def theta_set_estimates(a: BottomKSample, b: BottomKSample) -> dict:
+    """Theta-sketch set algebra (Dasgupta et al., the DataSketches Theta
+    construction) over two bottom-k/KMV sketches: cut BOTH samples to the
+    common threshold θ = min(θ_A, θ_B); every retained tag is then a
+    uniform θ-rate sample of its set, so |S| ≈ count/θ composes through
+    ARBITRARY set expressions — including DIFFERENCE, which HLL register
+    algebra fundamentally cannot express (inclusion-exclusion gives A∩B but
+    never a one-sided A\\B with usable error).  Exact (θ=1) while both
+    sketches are under capacity.
+
+    Membership logic: a tag t < θ ≤ θ_B present in A's sample is in B's set
+    iff t appears in B's sample (B keeps ALL tags below its own θ_B), so
+    set ops on the tag arrays are decisive — no false positives beyond
+    64-bit hash collisions.  Returns est_union / est_intersection /
+    est_a_minus_b / est_b_minus_a / theta; relative error ~1/sqrt(k) on the
+    union scale."""
+    cuts = [t for t in (a.theta_int(), b.theta_int()) if t is not None]
+    if not cuts:
+        th, ta, tb = 1.0, a.tags, b.tags  # both exact
+    else:
+        cut = np.uint64(min(cuts))  # exact integer threshold, no float loss
+        th = int(cut) / _U64_MAX
+        ta = a.tags[a.tags < cut]
+        tb = b.tags[b.tags < cut]
+    inter = np.intersect1d(ta, tb, assume_unique=True)
+    scale = 1.0 / th
+    return {
+        "est_union": (ta.size + tb.size - inter.size) * scale,
+        "est_intersection": inter.size * scale,
+        "est_a_minus_b": (ta.size - inter.size) * scale,
+        "est_b_minus_a": (tb.size - inter.size) * scale,
+        "theta": th,
+    }

@@ -221,3 +221,46 @@ def test_sketch_rollup_equals_rescan(spark, webpages):
     glob_scan = hll_distinct(wp, [], "url", p=12).collect()[0]["approx_distinct"]
     assert by_level[0] == {("ALL", "ALL"): glob_scan}
     assert len(by_level[2]) > len(by_level[1]) >= 2
+
+
+def test_kmv_theta_set_ops_known_overlap(spark):
+    """Theta set algebra on sets with KNOWN difference: A/B/C of 4000
+    elements, |A\\B|=|B\\A|=2000, |A\\C|=4000 — union/intersection AND the
+    one-sided differences (the op HLL algebra cannot give) must land within
+    ~4/sqrt(k) of the union; the kernel is additionally exact under
+    capacity (checked with a small pair)."""
+    from streaming_algorithms_spark.operators.sketch_agg import (
+        kmv_pairwise_set_ops,
+    )
+    from streaming_algorithms_spark.sketches import (
+        BottomKSample, theta_set_estimates,
+    )
+
+    rows = (
+        [("A", f"x{i}") for i in range(4000)]
+        + [("B", f"x{i}") for i in range(2000, 6000)]
+        + [("C", f"z{i}") for i in range(4000)]
+    )
+    df = spark.createDataFrame(rows, "grp string, item string").repartition(8)
+    k = 1024
+    tol = 4 / (k - 2) ** 0.5
+    got = {(r["key_a"], r["key_b"]): r
+           for r in kmv_pairwise_set_ops(df, "grp", "item", k=k).collect()}
+    exact = {("A", "B"): (6000, 2000, 2000, 2000),
+             ("A", "C"): (8000, 0, 4000, 4000),
+             ("B", "C"): (8000, 0, 4000, 4000)}
+    for pair, (nu, ni, nab, nba) in exact.items():
+        r = got[pair]
+        assert abs(r["est_union"] - nu) <= tol * nu + 5, (pair, dict(r.asDict()))
+        assert abs(r["est_intersection"] - ni) <= tol * nu + 5
+        assert abs(r["est_a_minus_b"] - nab) <= tol * nu + 5
+        assert abs(r["est_b_minus_a"] - nba) <= tol * nu + 5
+
+    # under capacity -> exact
+    sa, sb = BottomKSample(256), BottomKSample(256)
+    sa.update_batch([f"a{i}".encode() for i in range(100)])
+    sb.update_batch([f"a{i}".encode() for i in range(60, 160)])
+    est = theta_set_estimates(sa, sb)
+    assert est["theta"] == 1.0
+    assert est["est_union"] == 160 and est["est_intersection"] == 40
+    assert est["est_a_minus_b"] == 60 and est["est_b_minus_a"] == 60
