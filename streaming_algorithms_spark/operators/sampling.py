@@ -70,3 +70,39 @@ def stratified_sample(df: DataFrame, group_col: str, key_col: str,
     for g, r in sorted(rates.items()):
         thr = F.when(F.col(group_col) == g, F.lit(hex_threshold(r))).otherwise(thr)
     return df.filter(digest < thr)
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
+                    group_cols=(), salt: str = "") -> DataFrame:
+    """Efraimidis–Spirakis (2006) weighted sampling WITHOUT replacement,
+    deterministic and engine-portable: each key gets a uniform
+    u = md5-derived fraction in (0, 1); its exponential race time
+    e = -ln(u)/w makes the k smallest e per group a weighted sample with
+    P(first pick = i) = w_i / Σw — importance-weighted corpus selection
+    (sample ∝ quality score, length, dedup weight...).
+
+    Same portability contract as deterministic_sample: u comes from the
+    first 15 md5 hex digits (a 60-bit integer — every engine's
+    int->double conversion rounds the SAME integer to the SAME double
+    under round-to-nearest, and the /2^60 divisor is exact), so
+    DuckDB/Trino reproduce the IDENTICAL sample with the same formula
+    up to libm ln() last-ulp ties, which the key tie-break resolves
+    identically.  Pure Catalyst (md5 + window),
+    zero Python; rows with non-positive or NULL weight are excluded (their
+    race time is undefined)."""
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col))), 1, 15),
+               16, 10).cast("double") / F.lit(float(16 ** 15))
+    )
+    e = -F.log(F.greatest(u, F.lit(1e-18))) / F.col(weight_col)
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        e.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1044,6 +1044,23 @@ def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(planted_stats)
 
 
+def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample, oracle-gated by EXACT subset
+    parity: top-20 docs per lang by exponential race time with weight
+    n_chars (importance-weighted corpus selection — long docs more likely).
+    Both engines derive u from the same 15 md5 hex digits and rank by
+    -ln(u)/w, so the sampled (lang, doc_id) set must match exactly."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        weighted_sample(docs, "text", "n_chars", k=20,
+                        group_cols=("lang",), salt="w")
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus contamination by ASYMMETRIC containment (Broder 1997):
     the deterministic doc_id < 250 slice plays the training corpus, the
@@ -1391,6 +1408,7 @@ QUERIES = {
     "contamination_documents": q_contamination_documents,
     "streaming_dedup_events": q_streaming_dedup_events,
     "token_diff_langs": q_token_diff_langs,
+    "weighted_sample_documents": q_weighted_sample_documents,
 }
 
 _STOP_EN = "['the','a','and','of','to','in','is']"
@@ -1756,6 +1774,25 @@ ORACLES = {
                TRUE AS recall_ok,
                TRUE AS planted_recall_ok
         FROM top1
+    """,
+    # weighted sampling: exact subset parity — identical md5-derived uniform
+    # and exponential race formula on both engines (16^15 = 2^60 exactly)
+    "weighted_sample_documents": """
+        WITH s AS (
+            SELECT lang, doc_id,
+                   -ln(greatest(
+                        CAST('0x' || substring(md5('w' || text), 1, 15) AS BIGINT)
+                        / 1152921504606846976.0, 1e-18)) / n_chars AS e,
+                   text
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY e ASC, text ASC) AS rn
+            FROM s
+        ) WHERE rn <= 20 ORDER BY lang, doc_id
     """,
     # theta-sketch set difference: exact one-sided differences are
     # value-hash-gated (string token joins; Spark joins the same distinct

@@ -628,3 +628,50 @@ def test_containment_asymmetric_and_fingerprint_scale_path(spark):
                                              min_shared=3).collect()}
     assert (0, 100) in fp
     assert fp == {(0, 100)}  # unique-token docs create no spurious pairs
+
+
+def test_weighted_sample_es_property_and_portability(spark):
+    """Efraimidis–Spirakis: (a) deterministic + partitioning-invariant,
+    (b) inclusion frequency tracks weight (k=1 winner across salts follows
+    P(i) = w_i/sum(w), verified via a pure-numpy replication of the SAME
+    md5 formula — which also proves engine portability of the math),
+    (c) per-group k is respected and zero/NULL weights are excluded."""
+    import hashlib
+    import math
+
+    rows = [(f"item{i}", float(wt), "g")
+            for i, wt in enumerate([1, 1, 1, 1, 8, 8])]
+    rows += [("zeroed", 0.0, "g"), ("nullw", None, "g")]
+    df = spark.createDataFrame(rows, "key string, wt double, grp string")
+
+    from streaming_algorithms_spark.operators.sampling import weighted_sample
+
+    def local_winner(salt):
+        best = None
+        for key, wt, _ in rows:
+            if not wt:
+                continue
+            u = int(hashlib.md5((salt + key).encode()).hexdigest()[:15], 16) / 16 ** 15
+            e = -math.log(max(u, 1e-18)) / wt
+            if best is None or e < best[0]:
+                best = (e, key)
+        return best[1]
+
+    wins = {}
+    for t in range(120):
+        wins[local_winner(f"s{t}")] = wins.get(local_winner(f"s{t}"), 0) + 1
+    heavy = sum(wins.get(f"item{i}", 0) for i in (4, 5))
+    assert heavy > 0.65 * 120  # expected 16/20 = 0.8 of wins
+
+    got = {r["key"] for r in
+           weighted_sample(df, "key", "wt", k=3, group_cols=("grp",),
+                           salt="s0").collect()}
+    got_rep = {r["key"] for r in
+               weighted_sample(df.repartition(5), "key", "wt", k=3,
+                               group_cols=("grp",), salt="s0").collect()}
+    assert got == got_rep and len(got) == 3
+    assert "zeroed" not in got and "nullw" not in got
+    # spark agrees with the pure-python replication for the k=1 winner
+    one = weighted_sample(df, "key", "wt", k=1, group_cols=("grp",),
+                          salt="s0").collect()[0]["key"]
+    assert one == local_winner("s0")
