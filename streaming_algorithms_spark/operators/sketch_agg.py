@@ -412,16 +412,22 @@ def kmv_pairwise_set_ops(df: DataFrame, key_col: str, col: str,
     At 100 TB: one scan + O(pairs) tag-array intersections of <= k u64s.
     pairs defaults to all (a < b) combinations of observed keys.  Returns
     (key_a, key_b, est_union, est_intersection, est_a_minus_b,
-    est_b_minus_a)."""
+    est_b_minus_a).
+
+    Hot-path shape: tags are Spark's codegen'd ``xxhash64`` computed in the
+    JVM projection — only 8-byte hashes cross the Arrow boundary (never the
+    value strings), and the sketches run in tag-only mode (pure-numpy
+    bottom-k, no key storage)."""
     from ..sketches import BottomKSample, theta_set_estimates
 
     df = df.filter(F.col(col).isNotNull() & F.col(key_col).isNotNull())
+    hashed = df.select(key_col, F.xxhash64(col).alias("_h"))
 
     def update(sk: BottomKSample, pdf: pd.DataFrame) -> None:
-        sk.update_batch(list(encode_utf8(pdf[col])))
+        sk.update_tags(pdf["_h"].to_numpy(np.int64).view(np.uint64))
 
     partials = build_partials(
-        ensure_parallelism(df.select(key_col, col)), [key_col],
+        ensure_parallelism(hashed), [key_col],
         lambda: BottomKSample(k), update,
     )
     merged = merge_sketch_rows(partials, [key_col],

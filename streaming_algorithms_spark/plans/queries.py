@@ -1218,7 +1218,12 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(stream_dir)
         )
-        first_seen = streaming_bloom_dedup(stream, "user_id")
+        # capacity sized to the expected distinct count with ~20x headroom
+        # (events has ~1.5k distinct users at sf0.1) — the operator contract
+        # at real scale: size the filter for the stream's distinct volume
+        first_seen = streaming_bloom_dedup(stream, "user_id",
+                                           capacity=1 << 15, fpr=1e-8,
+                                           n_buckets=16)
         qname = f"sdedup_{uuid.uuid4().hex[:8]}"
         q = (
             first_seen.writeStream.format("memory").queryName(qname)

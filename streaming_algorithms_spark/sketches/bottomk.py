@@ -49,6 +49,26 @@ class BottomKSample:
         sel_sorted = sel[np.argsort(h[sel], kind="stable")]
         self._merge_arrays(h[sel_sorted], [keys[i] for i in sel_sorted])
 
+    def update_tags(self, tags: np.ndarray) -> None:
+        """Tag-only update from PRECOMPUTED 64-bit hashes (e.g. Spark's
+        codegen'd xxhash64): the hot path when only distinct estimates /
+        theta set algebra are needed — 8-byte hashes cross the Arrow
+        boundary instead of key strings, and the bottom-k select is pure
+        numpy.  Mixing with key-carrying update_batch on the SAME sketch is
+        unsupported (tags would come from different hash functions); the
+        keys list stays empty, so sample() returns [] in this mode."""
+        tags = np.asarray(tags, np.uint64)
+        if not tags.size:
+            return
+        if self.keys:
+            raise ValueError("update_tags on a key-carrying sketch")
+        sel = np.unique(tags)[: self.k]  # sorted + dedup in one shot
+        if self.tags.size == 0:
+            self.tags = sel.copy()
+            return
+        merged = np.union1d(self.tags, sel)
+        self.tags = merged[: self.k]
+
     def _merge_arrays(self, tags: np.ndarray, keys: list) -> None:
         if self.tags.size == 0:
             self.tags = tags[: self.k].copy()
@@ -68,6 +88,13 @@ class BottomKSample:
     def merge(self, other: "BottomKSample") -> "BottomKSample":
         if self.k != other.k:
             raise ValueError("bottom-k size mismatch")
+        if not self.keys and not other.keys and (self.tags.size or other.tags.size):
+            # tag-only mode: pure numpy union + bottom-k
+            self.tags = np.union1d(self.tags, other.tags)[: self.k]
+            return self
+        if (bool(self.keys) != bool(other.keys)
+                and self.tags.size and other.tags.size):
+            raise ValueError("cannot merge tag-only with key-carrying sketch")
         self._merge_arrays(other.tags, other.keys)
         return self
 
@@ -85,9 +112,12 @@ class BottomKSample:
     def relative_error(self) -> float:
         return 1.0 / math.sqrt(self.k - 2)
 
-    # LE layout: u32 k, u32 n, u64 tags, then per key u32 len + bytes
+    # LE layout: u32 k, u32 n, u64 tags[n], then per key u32 len + bytes —
+    # the key section is OMITTED for tag-only sketches (update_tags mode);
+    # key-carrying buffers always have n keys, so the formats disambiguate
+    # by remaining length.
     def to_bytes(self) -> bytes:
-        parts = [np.array([self.k, len(self.keys)], "<u4").tobytes(),
+        parts = [np.array([self.k, self.tags.size], "<u4").tobytes(),
                  self.tags.astype("<u8").tobytes()]
         for key in self.keys:
             parts.append(np.array([len(key)], "<u4").tobytes())
@@ -114,6 +144,9 @@ class BottomKSample:
         sk = cls(int(k))
         sk.tags = np.frombuffer(buf[8 : 8 + 8 * int(n)], "<u8").copy()
         off = 8 + 8 * int(n)
+        if off == len(buf):
+            sk.keys = []  # tag-only buffer
+            return sk
         keys = []
         for _ in range(int(n)):
             ln = int(np.frombuffer(buf[off : off + 4], "<u4")[0])
