@@ -1370,6 +1370,31 @@ def q_media_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint per-row invariant, driver-gated: *extracted text per
+    url stays byte-identical* (BASELINE.json input_hint).
+
+    Spark side renders each document's text into a full deterministic HTML
+    page (chrome + entity-escaped paragraphs + numeric character refs —
+    operators.html_text.render_page) and then runs the EXTRACTION operator
+    over the html bytes only; the answer columns are md5/length of the
+    *extracted* text.  The DuckDB oracle computes md5/length of the original
+    ``text`` column directly — per-row hash equality therefore proves the
+    render -> extract roundtrip reconstructs every document byte-for-byte,
+    end to end through real Spark plumbing (two mapInPandas stages, no
+    shuffle: extraction is a pure map over input splits at any scale)."""
+    from ..operators.html_text import html_to_text, render_html
+
+    docs = load_table(spark, "documents", sf_dir)
+    pages = render_html(docs, "doc_id", "text")
+    extracted = html_to_text(pages, "doc_id", "html")
+    return extracted.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1408,6 +1433,7 @@ QUERIES = {
     "token_overlap_langs": q_token_overlap_langs,
     "hll_rollup_documents": q_hll_rollup_documents,
     "media_features_documents": q_media_features_documents,
+    "html_extract_documents": q_html_extract_documents,
     "streaming_hll_events": q_streaming_hll_events,
     "sample_documents": q_sample_documents,
     "contamination_documents": q_contamination_documents,
@@ -1911,6 +1937,16 @@ ORACLES = {
                TRUE AS wav_ok
         FROM documents d JOIN ent e ON e.doc_id = d.doc_id
         ORDER BY d.doc_id
+    """,
+    # the Spark side never reads `text` into the answer: it renders text ->
+    # html bytes, extracts text back OUT of the html, and hashes the
+    # extraction; this oracle hashes the original column — per-row md5
+    # equality == byte-identical extraction (the input_hint invariant)
+    "html_extract_documents": """
+        SELECT doc_id,
+               md5(text) AS text_md5,
+               CAST(length(text) AS INT) AS n_chars
+        FROM documents ORDER BY doc_id
     """,
     # byte-length arithmetic is value-hash-gated; the winnowing density
     # bounds fold into fp_density_ok (see q_fingerprints_documents)

@@ -4,7 +4,10 @@ Schema per BASELINE.json ``input_hint`` / FIXTURES.md §B1:
 
     url     STRING     -- "https://{host}/{path}"; host Zipf(s=1.1) (skew!)
     warc_ts TIMESTAMP  -- uniform over a 30-day window, ms truncation
-    html    BINARY     -- deterministic filler bytes (never read by sketch jobs)
+    html    BINARY     -- full deterministic page (html_text.render_page):
+                          chrome + entity-escaped body; html_to_text(html)
+                          == text byte-identically (never read by sketch
+                          jobs — column pruning is plan-asserted)
     text    STRING     -- deterministic token sequence; Zipf tokens per lang;
                           token count ~ lognormal
     lang    STRING     -- Zipf over ~40 codes ("en" dominates)
@@ -29,6 +32,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..operators.html_text import render_page
 
 SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -73,7 +78,10 @@ def _gen_batch(ids: np.ndarray, n_rows: int, n_hosts: int, seed: int,
         toks = np.searchsorted(vocab_cdf, c.random(n_tok))
         text = " ".join(f"{lang}_w{t}" for t in toks)
         url = f"https://host{host}.example.com/{lang}/p{uid}"
-        html_body = f"<html><body>{text[:256]}</body></html>".encode()
+        # full deterministic page (boilerplate chrome + entity-escaped body):
+        # operators.html_text.html_to_text(html) reconstructs `text`
+        # byte-identically — the input_hint invariant, test-asserted
+        html_body = render_page(text, title=url)
         out_url.append(url)
         out_text.append(text)
         out_lang.append(lang)
