@@ -793,3 +793,99 @@ def bloom_might_contain(df: DataFrame, col: str, bloom: BloomFilter,
             yield pdf
 
     return df.mapInPandas(probe, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Gram / covariance summaries of an embedding column
+# ---------------------------------------------------------------------------
+
+
+class _ExactGram:
+    """Exact A'A accumulator (d x d float64) — the trivially-mergeable exact
+    counterpart of FrequentDirections, used as the gate's exact side and as
+    a standalone one-pass covariance operator (d^2 doubles per partial:
+    32 KB at d=64, constant in the row count)."""
+
+    def __init__(self, d: int):
+        self.d = d
+        self.g = np.zeros((d, d), np.float64)
+        self.fro_sq = 0.0
+        self.n_rows = 0
+
+    def update(self, X: np.ndarray) -> None:
+        self.g += X.T @ X
+        self.fro_sq += float((X * X).sum())
+        self.n_rows += X.shape[0]
+
+    def merge(self, o: "_ExactGram") -> "_ExactGram":
+        self.g += o.g
+        self.fro_sq += o.fro_sq
+        self.n_rows += o.n_rows
+        return self
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        return (struct.pack("<Iqd", self.d, self.n_rows, self.fro_sq)
+                + self.g.astype("<f8").tobytes())
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "_ExactGram":
+        import struct
+
+        d, n, f = struct.unpack_from("<Iqd", buf, 0)
+        sk = cls(d)
+        off = struct.calcsize("<Iqd")
+        sk.g = np.frombuffer(buf, "<f8", d * d, off).reshape(d, d).copy()
+        sk.n_rows, sk.fro_sq = n, f
+        return sk
+
+
+def _vec_block(pdf: pd.DataFrame, vec_col: str, d: int) -> np.ndarray:
+    arrs = pdf[vec_col].to_numpy()
+    if not len(arrs):
+        return np.zeros((0, d), np.float64)
+    return np.vstack([np.asarray(a, np.float64) for a in arrs])
+
+
+def exact_gram(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+    """One-row DataFrame: exact Gram of the embedding column, flattened
+    row-major — ``(gram_flat array<double>, fro_sq double, n_rows bigint)``.
+    One scan, partial d x d accumulators, associative merge: the exact path
+    is itself 100-TB-shaped (shuffle volume = partitions x d^2 doubles)."""
+    return sketch_aggregate(
+        df.select(vec_col), [],
+        lambda: _ExactGram(d),
+        lambda sk, pdf: sk.update(_vec_block(pdf, vec_col, d)),
+        _ExactGram.from_bytes,
+        lambda sk, rows: {
+            "gram_flat": sk.g.reshape(-1).tolist(),
+            "fro_sq": sk.fro_sq,
+            "n_rows": rows,
+        },
+        "gram_flat array<double>, fro_sq double, n_rows bigint",
+    )
+
+
+def fd_gram(df: DataFrame, vec_col: str, d: int, ell: int = 32) -> DataFrame:
+    """Frequent-Directions Gram sketch of an embedding column (Liberty 2013):
+    one-row DataFrame ``(gram_flat array<double>, fro_sq double, bound
+    double, n_rows bigint)`` with the published guarantee
+    ``||A'A - B'B||_2 <= fro_sq / ell`` (entrywise too).  Deterministic,
+    mergeable (associativity test-gated), partial size O(ell x d) doubles
+    regardless of row count."""
+    from ..sketches.frequent_directions import FrequentDirections
+
+    return sketch_aggregate(
+        df.select(vec_col), [],
+        lambda: FrequentDirections(ell, d),
+        lambda sk, pdf: sk.insert_batch(_vec_block(pdf, vec_col, d)),
+        FrequentDirections.from_bytes,
+        lambda sk, rows: {
+            "gram_flat": sk.gram().reshape(-1).tolist(),
+            "fro_sq": sk.fro_sq,
+            "bound": sk.error_bound(),
+            "n_rows": rows,
+        },
+        "gram_flat array<double>, fro_sq double, bound double, n_rows bigint",
+    )

@@ -1395,6 +1395,48 @@ def q_html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_fd_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-Directions Gram sketch, gated entrywise: Spark computes the
+    EXACT Gram A'A distributedly (one-pass d x d partial accumulators) and
+    the FD sketch B'B (Liberty 2013, ell=32), then emits one row per upper-
+    triangle entry with the exact value (hash-gated vs the DuckDB pairwise
+    SUM) and a boolean asserting |exact - sketch| <= ||A||_F^2 / ell — the
+    published FD guarantee (entrywise <= spectral).  Bound violation fails
+    the value hash, so the gate tests the sketch itself.
+
+    Scale shape: both passes shuffle only O(partitions x d^2) / O(partitions
+    x ell x d) doubles — constant in the corpus size; the expansion to
+    (i, j) rows is d^2 = 4096 rows regardless of input."""
+    from ..operators.sketch_agg import exact_gram, fd_gram
+
+    D, ELL = 64, 32
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    ex = exact_gram(emb, "embedding", D).select(
+        F.col("gram_flat").alias("exact_flat")
+    )
+    fd = fd_gram(emb, "embedding", D, ELL).select(
+        F.col("gram_flat").alias("fd_flat"), "bound"
+    )
+    return (
+        ex.crossJoin(fd)
+        .select(F.posexplode("exact_flat").alias("pos", "exact_v"),
+                "fd_flat", "bound")
+        .select(
+            F.floor(F.col("pos") / D).cast("int").alias("i"),
+            F.pmod("pos", F.lit(D)).cast("int").alias("j"),
+            F.round("exact_v", 6).alias("exact_gram"),
+            (F.abs(F.col("exact_v") - F.element_at("fd_flat", F.col("pos") + 1))
+             <= F.col("bound") + F.lit(1e-9)).alias("within_bound"),
+        )
+        .filter(F.col("i") <= F.col("j"))
+        .orderBy("i", "j")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1434,6 +1476,7 @@ QUERIES = {
     "hll_rollup_documents": q_hll_rollup_documents,
     "media_features_documents": q_media_features_documents,
     "html_extract_documents": q_html_extract_documents,
+    "fd_gram_embeddings": q_fd_gram_embeddings,
     "streaming_hll_events": q_streaming_hll_events,
     "sample_documents": q_sample_documents,
     "contamination_documents": q_contamination_documents,
@@ -1947,6 +1990,22 @@ ORACLES = {
                md5(text) AS text_md5,
                CAST(length(text) AS INT) AS n_chars
         FROM documents ORDER BY doc_id
+    """,
+    # exact Gram entries are value-hash-gated (pairwise SUM over unnested
+    # embeddings); the FD sketch's published bound folds into within_bound
+    "fd_gram_embeddings": """
+        WITH e AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS idx,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        )
+        SELECT CAST(a.idx - 1 AS INT) AS i,
+               CAST(b.idx - 1 AS INT) AS j,
+               ROUND(SUM(a.v * b.v), 6) AS exact_gram,
+               TRUE AS within_bound
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.idx <= b.idx
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     # byte-length arithmetic is value-hash-gated; the winnowing density
     # bounds fold into fp_density_ok (see q_fingerprints_documents)

@@ -9,6 +9,7 @@ from .bloom import BloomFilter
 from .bottomk import BottomKSample, theta_set_estimates
 from .cm_sketch import CountMinSketch, key_bytes
 from .cuckoo import CuckooFilter
+from .frequent_directions import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
 from .matrix import Matrix
@@ -24,6 +25,7 @@ __all__ = [
     "BottomKSample",
     "theta_set_estimates",
     "CuckooFilter",
+    "FrequentDirections",
     "SpaceSaving",
     "TDigest",
     "CountMinSketch",
