@@ -254,7 +254,7 @@ def merge_sketch_rows(partials: DataFrame, keys: Sequence[str],
 
 def hll_distinct(df: DataFrame, keys: Sequence[str], col: str, p: int = 14,
                  out_col: str = "approx_distinct",
-                 jvm_hash: bool = True) -> DataFrame:
+                 jvm_hash: bool = True, salt_partitions: int = 0) -> DataFrame:
     """Approximate COUNT(DISTINCT col) GROUP BY keys via mergeable HLL.
     Replaces the reference workload's external hyperloglog module
     (heka_message_monitor.lua:506-512).
@@ -287,6 +287,7 @@ def hll_distinct(df: DataFrame, keys: Sequence[str], col: str, p: int = 14,
         from_bytes=HyperLogLog.from_bytes,
         finalize=lambda sk, rows: {out_col: int(round(sk.estimate())), "rows_seen": rows},
         out_value_schema=f"{out_col} bigint, rows_seen bigint",
+        salt_partitions=salt_partitions,
     )
 
 

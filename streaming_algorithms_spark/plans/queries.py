@@ -1395,6 +1395,40 @@ def q_html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_salted_hll_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's skew story, driver-gated: distinct-token HLL per
+    ``lang`` — a Zipf-skewed key ("en" dominates) — through the THREE-stage
+    salted aggregation (``salt_partitions=8``): per-partition partials, an
+    intermediate merge per (lang, salt) that bounds stage-2 fan-in, then the
+    final per-lang merge.  Monoid associativity makes salting semantics-free,
+    which is exactly what the gate proves: the salted estimate must land
+    within the same published 1.04/sqrt(2^p) bound of the exact distinct
+    count (hash-gated vs DuckDB).  At 100 TB the hot key's merge tree fans
+    in over salt_partitions reducers instead of one."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    est = hll_distinct(toks, ["lang"], "token", p=14,
+                       salt_partitions=8).drop("rows_seen")
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    rse = 1.04 / np.sqrt(2 ** 14)
+    return (
+        exact.join(est, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.greatest(3 * rse * F.col("exact_distinct"), F.lit(3.0))
+            ).alias("hll_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_fd_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-Directions Gram sketch, gated entrywise: Spark computes the
     EXACT Gram A'A distributedly (one-pass d x d partial accumulators) and
@@ -1477,6 +1511,7 @@ QUERIES = {
     "media_features_documents": q_media_features_documents,
     "html_extract_documents": q_html_extract_documents,
     "fd_gram_embeddings": q_fd_gram_embeddings,
+    "salted_hll_tokens_documents": q_salted_hll_tokens_documents,
     "streaming_hll_events": q_streaming_hll_events,
     "sample_documents": q_sample_documents,
     "contamination_documents": q_contamination_documents,
@@ -1990,6 +2025,20 @@ ORACLES = {
                md5(text) AS text_md5,
                CAST(length(text) AS INT) AS n_chars
         FROM documents ORDER BY doc_id
+    """,
+    # exact distinct-token counts are value-hash-gated; the salted 3-stage
+    # HLL estimate folds into hll_ok (same bound as hll_distinct_users —
+    # salting must be semantics-free)
+    "salted_hll_tokens_documents": """
+        WITH t AS (
+            SELECT lang,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(DISTINCT token) AS exact_distinct,
+               TRUE AS hll_ok
+        FROM t GROUP BY lang ORDER BY lang
     """,
     # exact Gram entries are value-hash-gated (pairwise SUM over unnested
     # embeddings); the FD sketch's published bound folds into within_bound
