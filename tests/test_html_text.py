@@ -33,6 +33,27 @@ def test_roundtrip_adversarial_tokens():
     assert [o for o in out] == cases
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # whitespace-canonical text: single-space-joined non-space chunks drawn
+    # from printable unicode (entities, tag fragments, specials included)
+    _chunk = st.text(
+        st.characters(blacklist_categories=("Zs", "Cc", "Cs", "Zl", "Zp")),
+        min_size=1, max_size=12,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_chunk, min_size=0, max_size=90))
+    def test_roundtrip_hypothesis(chunks):
+        text = " ".join(chunks)
+        out = extract_text_series(pd.Series([render_page(text)])).iloc[0]
+        assert out == text
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_boilerplate_never_leaks_and_numrefs_present():
     html = render_page("alpha beta " * 50, title="Home of chrome & terms")
     s = html.decode()
