@@ -94,14 +94,44 @@ class HyperLogLog:
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
-    # LE layout: u8 p, then m register bytes
+    # Wire layout, auto-selected per sketch (decisive at scale: hierarchical
+    # / per-host rollups carry one sketch per group, and most groups are
+    # small — dense p=14 is 16 KB/group regardless of content, sparse is
+    # ~5 B per set register):
+    #   dense : u8 p, then m register bytes                  (byte0 < 0x80)
+    #   sparse: u8 (0x80|p), u32 count, count x u32 ascending register
+    #           indices, count x u8 values                   (byte0 >= 0x80)
+    # p <= 18 < 0x80, so bit 7 of byte 0 is free to flag sparse; dense
+    # buffers from older versions parse unchanged.  Sparse emission sorts
+    # indices, so equal-content sketches still serialize byte-identically
+    # (the merge-order-free property tests rely on that).
+    _SPARSE_FLAG = 0x80
+
     def to_bytes(self) -> bytes:
+        nz = np.flatnonzero(self.registers)
+        if 5 + 5 * nz.size < 1 + self.m:
+            return (
+                bytes([self._SPARSE_FLAG | self.p])
+                + np.array([nz.size], "<u4").tobytes()
+                + nz.astype("<u4").tobytes()
+                + self.registers[nz].tobytes()
+            )
         return bytes([self.p]) + self.registers.tobytes()
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "HyperLogLog":
-        p = buf[0]
-        sk = cls(p)
+        b0 = buf[0]
+        if b0 & cls._SPARSE_FLAG:
+            sk = cls(b0 & 0x7F)
+            n = int(np.frombuffer(buf, "<u4", 1, 1)[0])
+            if len(buf) != 5 + 5 * n:
+                raise ValueError("bad sparse HLL buffer")
+            idx = np.frombuffer(buf, "<u4", n, 5).astype(np.int64)
+            if n and (idx[-1] >= sk.m or np.any(np.diff(idx) <= 0)):
+                raise ValueError("bad sparse HLL indices")
+            sk.registers[idx] = np.frombuffer(buf, np.uint8, n, 5 + 4 * n)
+            return sk
+        sk = cls(b0)
         if len(buf) != 1 + sk.m:
             raise ValueError("bad HLL buffer")
         sk.registers = np.frombuffer(buf[1:], np.uint8).copy()

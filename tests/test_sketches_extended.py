@@ -334,3 +334,51 @@ def test_cuckoo_stash_cap_never_exceeded_and_failure_is_clean():
     assert cf.to_bytes() == snapshot
     assert cf.n_items == len(inserted)
     assert cf.contains_batch(inserted).all()
+
+
+# --------------------------------------------------------------------------
+# sparse HLL wire format
+# --------------------------------------------------------------------------
+
+
+def test_hll_sparse_wire_roundtrip_and_compat():
+    import numpy as np
+
+    from streaming_algorithms_spark.sketches import HyperLogLog
+
+    sk = HyperLogLog(14)
+    sk.update_batch([f"u{i}".encode() for i in range(200)])
+    b = sk.to_bytes()
+    # small sketch serializes sparse and much smaller than dense
+    assert b[0] & 0x80
+    assert len(b) < (1 + sk.m) // 10
+    back = HyperLogLog.from_bytes(b)
+    assert np.array_equal(back.registers, sk.registers)
+
+    # legacy dense buffer (pre-sparse wire format) still parses
+    legacy = bytes([sk.p]) + sk.registers.tobytes()
+    assert np.array_equal(HyperLogLog.from_bytes(legacy).registers,
+                          sk.registers)
+
+    # mixed-format merge is lossless
+    m = HyperLogLog.from_bytes(b).merge(HyperLogLog.from_bytes(legacy))
+    assert np.array_equal(m.registers, sk.registers)
+
+    # near-full sketch auto-selects dense
+    big = HyperLogLog(10)
+    big.update_batch([f"u{i}".encode() for i in range(50_000)])
+    bb = big.to_bytes()
+    assert not (bb[0] & 0x80)
+    assert np.array_equal(HyperLogLog.from_bytes(bb).registers, big.registers)
+
+    # byte identity is preserved: same content, different build path
+    sk2 = HyperLogLog(14)
+    for i in range(0, 200, 7):
+        sk2.update_batch([f"u{j}".encode() for j in range(i, min(i + 7, 200))])
+    assert sk2.to_bytes() == sk.to_bytes()
+
+    # corrupted sparse buffers are rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        HyperLogLog.from_bytes(b[:-1])
