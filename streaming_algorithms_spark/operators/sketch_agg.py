@@ -890,3 +890,31 @@ def fd_gram(df: DataFrame, vec_col: str, d: int, ell: int = 32) -> DataFrame:
         },
         "gram_flat array<double>, fro_sq double, bound double, n_rows bigint",
     )
+
+
+def count_sketch_f2(df: DataFrame, keys: Sequence[str], col: str,
+                    width: int = 2048, depth: int = 5) -> DataFrame:
+    """Second-moment (F2 = sum of squared frequencies) estimate per key
+    group via Count-Sketch / AMS — the self-join-size estimation primitive
+    (unbiased, unlike CMS).  JVM-side xxhash64 in the scan projection: only
+    (keys, 8-byte hash) cross the Arrow boundary; shuffle carries one
+    (depth x width) signed-counter table per (partition, key) — linear
+    sketch, element-wise-add merge, any partition order."""
+    from ..sketches.count_sketch import CountSketch
+
+    hashed = df.filter(F.col(col).isNotNull()).select(
+        *keys, F.xxhash64(col).alias("_h")
+    )
+
+    def update(sk: "CountSketch", pdf: pd.DataFrame) -> None:
+        sk.update_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
+
+    return sketch_aggregate(
+        ensure_parallelism(hashed), keys,
+        factory=lambda: CountSketch(width, depth),
+        update=update,
+        from_bytes=CountSketch.from_bytes,
+        finalize=lambda sk, rows: {"f2_estimate": sk.f2_estimate(),
+                                   "rows_seen": rows},
+        out_value_schema="f2_estimate double, rows_seen bigint",
+    )

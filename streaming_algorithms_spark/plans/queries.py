@@ -1429,6 +1429,35 @@ def q_salted_hll_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_countsketch_f2_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch / AMS second moment per l_returnflag: the self-join-size
+    estimation primitive (F2 = sum over part keys of frequency^2).  The
+    exact F2 is value-hash-gated vs the DuckDB pairwise re-derivation; the
+    AMS median-of-rows estimate folds into f2_ok with the published
+    sqrt(8/width) relative bound, so a sketch miss fails the value hash.
+    Unbiased point estimates (the part CMS can't do) are pytest-gated
+    against exact per-key counts."""
+    from ..operators.sketch_agg import count_sketch_f2
+
+    li = load_table(spark, "lineitem", sf_dir)
+    est = count_sketch_f2(li, ["l_returnflag"], "l_partkey").drop("rows_seen")
+    cnts = li.groupBy("l_returnflag", "l_partkey").agg(F.count("*").alias("cnt"))
+    exact = cnts.groupBy("l_returnflag").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("exact_f2")
+    )
+    rel = float(np.sqrt(8.0 / 2048))
+    return (
+        exact.join(est, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_f2",
+            (F.abs(F.col("f2_estimate") - F.col("exact_f2"))
+             <= rel * F.col("exact_f2")).alias("f2_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_fd_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-Directions Gram sketch, gated entrywise: Spark computes the
     EXACT Gram A'A distributedly (one-pass d x d partial accumulators) and
@@ -1512,6 +1541,7 @@ QUERIES = {
     "html_extract_documents": q_html_extract_documents,
     "fd_gram_embeddings": q_fd_gram_embeddings,
     "salted_hll_tokens_documents": q_salted_hll_tokens_documents,
+    "countsketch_f2_lineitem": q_countsketch_f2_lineitem,
     "streaming_hll_events": q_streaming_hll_events,
     "sample_documents": q_sample_documents,
     "contamination_documents": q_contamination_documents,
@@ -2025,6 +2055,18 @@ ORACLES = {
                md5(text) AS text_md5,
                CAST(length(text) AS INT) AS n_chars
         FROM documents ORDER BY doc_id
+    """,
+    # exact F2 (self-join size) is value-hash-gated; the AMS estimate folds
+    # into f2_ok within the published sqrt(8/width) relative bound
+    "countsketch_f2_lineitem": """
+        WITH c AS (
+            SELECT l_returnflag, l_partkey, COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT l_returnflag,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2,
+               TRUE AS f2_ok
+        FROM c GROUP BY 1 ORDER BY 1
     """,
     # exact distinct-token counts are value-hash-gated; the salted 3-stage
     # HLL estimate folds into hll_ok (same bound as hll_distinct_users —

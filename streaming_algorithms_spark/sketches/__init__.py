@@ -8,6 +8,7 @@ Each sketch is a commutative monoid: ``zero`` (constructor), vectorized
 from .bloom import BloomFilter
 from .bottomk import BottomKSample, theta_set_estimates
 from .cm_sketch import CountMinSketch, key_bytes
+from .count_sketch import CountSketch
 from .cuckoo import CuckooFilter
 from .frequent_directions import FrequentDirections
 from .hll import HyperLogLog
@@ -24,6 +25,7 @@ __all__ = [
     "BloomFilter",
     "BottomKSample",
     "theta_set_estimates",
+    "CountSketch",
     "CuckooFilter",
     "FrequentDirections",
     "SpaceSaving",
