@@ -918,3 +918,61 @@ def count_sketch_f2(df: DataFrame, keys: Sequence[str], col: str,
                                    "rows_seen": rows},
         out_value_schema="f2_estimate double, rows_seen bigint",
     )
+
+
+def count_sketch_build(df: DataFrame, keys: Sequence[str], col: str,
+                       width: int = 2048, depth: int = 5) -> DataFrame:
+    """Per-key-group merged Count-Sketch, kept SERIALIZED: (keys...,
+    sketch binary, rows bigint).  The probe-side counterpart of
+    ``count_sketch_f2`` — collect the (few, small) per-group sketches and
+    broadcast them to estimate frequencies of candidate keys without
+    re-scanning the stream (the bloom_build/might_contain pattern; a
+    (5 x 2048) i64 table is 80 KB per group)."""
+    from ..sketches.count_sketch import CountSketch
+
+    hashed = df.filter(F.col(col).isNotNull()).select(
+        *keys, F.xxhash64(col).alias("_h")
+    )
+
+    def update(sk: "CountSketch", pdf: pd.DataFrame) -> None:
+        sk.update_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
+
+    partials = build_partials(ensure_parallelism(hashed), keys,
+                              lambda: CountSketch(width, depth), update)
+    return merge_sketch_rows(partials, list(keys), CountSketch.from_bytes)
+
+
+def count_sketch_probe(df: DataFrame, key_cols: Sequence[str], col: str,
+                       sketches: dict, out_col: str = "cs_estimate") -> DataFrame:
+    """Vectorized frequency estimates for candidate rows: ``sketches`` maps
+    key-group tuples -> serialized Count-Sketch bytes (from
+    ``count_sketch_build``).  Hashing matches the build side exactly (JVM
+    xxhash64 in the projection); the sketch bytes ship in the task closure
+    like a broadcast."""
+    from ..sketches.count_sketch import CountSketch
+
+    key_cols = list(key_cols)
+    blobs = {tuple(k) if isinstance(k, (list, tuple)) else (k,): v
+             for k, v in sketches.items()}
+
+    def probe(batches):
+        cache = {k: CountSketch.from_bytes(v) for k, v in blobs.items()}
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            est = np.full(len(pdf), np.nan)
+            h = pdf["_h"].to_numpy(np.int64).view(np.uint64)
+            for k, sub in pdf.groupby(key_cols, sort=False, dropna=False):
+                kk = k if isinstance(k, tuple) else (k,)
+                sk = cache.get(kk)
+                if sk is not None:
+                    pos = sub.index.to_numpy()
+                    est[pos] = sk.estimate_hashes(h[pos])
+            pdf[out_col] = est
+            yield pdf
+
+    prepped = df.withColumn("_h", F.xxhash64(col))
+    probe_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in prepped.schema.fields
+    ) + f", {out_col} double"
+    out_fields = [f.name for f in df.schema.fields]
+    return prepped.mapInPandas(probe, probe_schema).select(*out_fields, out_col)

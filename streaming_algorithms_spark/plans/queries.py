@@ -1458,6 +1458,48 @@ def q_countsketch_f2_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_countsketch_hh_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch POINT estimates, driver-gated: build one merged sketch
+    per l_returnflag (count_sketch_build — 80 KB per group), broadcast the
+    bytes, and probe the exact top-10 part keys per flag
+    (count_sketch_probe, bloom_might_contain pattern).  Exact counts and
+    the deterministic top-10 selection (cnt DESC, partkey ASC) are
+    value-hash-gated; |estimate - exact| <= 4*sqrt(F2/width) — the
+    published Count-Sketch point guarantee with the EXACT F2 — folds into
+    hh_ok.  This gates the signed-median machinery itself, which the F2
+    query alone does not."""
+    from pyspark.sql import Window
+
+    from ..operators.sketch_agg import count_sketch_build, count_sketch_probe
+
+    li = load_table(spark, "lineitem", sf_dir)
+    built = count_sketch_build(li, ["l_returnflag"], "l_partkey").collect()
+    sketches = {(r["l_returnflag"],): r["sketch"] for r in built}
+
+    cnts = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_partkey").asc()
+    )
+    top = (cnts.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= 10).drop("rn"))
+    f2 = cnts.groupBy("l_returnflag").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("f2")
+    )
+    probed = count_sketch_probe(top, ["l_returnflag"], "l_partkey", sketches)
+    return (
+        probed.join(f2, "l_returnflag")
+        .select(
+            "l_returnflag", "l_partkey",
+            F.col("cnt").alias("exact_cnt"),
+            (F.abs(F.col("cs_estimate") - F.col("cnt"))
+             <= 4 * F.sqrt(F.col("f2") / F.lit(2048.0))).alias("hh_ok"),
+        )
+        .orderBy("l_returnflag", "l_partkey")
+    )
+
+
 def q_fd_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-Directions Gram sketch, gated entrywise: Spark computes the
     EXACT Gram A'A distributedly (one-pass d x d partial accumulators) and
@@ -1542,6 +1584,7 @@ QUERIES = {
     "fd_gram_embeddings": q_fd_gram_embeddings,
     "salted_hll_tokens_documents": q_salted_hll_tokens_documents,
     "countsketch_f2_lineitem": q_countsketch_f2_lineitem,
+    "countsketch_hh_lineitem": q_countsketch_hh_lineitem,
     "streaming_hll_events": q_streaming_hll_events,
     "sample_documents": q_sample_documents,
     "contamination_documents": q_contamination_documents,
@@ -2067,6 +2110,23 @@ ORACLES = {
                CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2,
                TRUE AS f2_ok
         FROM c GROUP BY 1 ORDER BY 1
+    """,
+    # exact top-10 per-key counts (deterministic tie-break) are value-hash-
+    # gated; the Count-Sketch point estimate folds into hh_ok within the
+    # published 4*sqrt(F2/width) guarantee computed from the EXACT F2
+    "countsketch_hh_lineitem": """
+        WITH c AS (
+            SELECT l_returnflag, l_partkey, COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT l_returnflag, l_partkey, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY cnt DESC, l_partkey ASC) AS rn
+            FROM c
+        )
+        SELECT l_returnflag, l_partkey, cnt AS exact_cnt, TRUE AS hh_ok
+        FROM t WHERE rn <= 10 ORDER BY 1, 2
     """,
     # exact distinct-token counts are value-hash-gated; the salted 3-stage
     # HLL estimate folds into hll_ok (same bound as hll_distinct_users —

@@ -77,3 +77,36 @@ def test_unbiasedness_sign_symmetry():
     F2 = float((freqs.astype(np.float64) ** 2).sum())
     assert np.abs(est).max() <= 4 * np.sqrt(F2 / 2048)
     assert abs(float(np.mean(est))) <= np.sqrt(F2 / 2048)  # centered near 0
+
+
+def test_build_probe_roundtrip_spark(spark):
+    """count_sketch_build -> broadcast bytes -> count_sketch_probe: estimates
+    on present keys near their true counts, absent keys near zero."""
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark.operators.sketch_agg import (
+        count_sketch_build,
+        count_sketch_probe,
+    )
+
+    rows = [(g, int(k)) for g in ("a", "b")
+            for k in np.repeat(np.arange(200), np.maximum(1, 2000 // np.arange(1, 201)))]
+    df = spark.createDataFrame(rows, "grp string, key long").repartition(8)
+    built = count_sketch_build(df, ["grp"], "key", width=1024, depth=5).collect()
+    sketches = {(r["grp"],): r["sketch"] for r in built}
+    assert set(sketches) == {("a",), ("b",)}
+
+    exact = {(r["grp"], r["key"]): r["cnt"] for r in
+             df.groupBy("grp", "key").agg(F.count("*").alias("cnt")).collect()}
+    F2 = {g: sum(v * v for (gg, _), v in exact.items() if gg == g)
+          for g in ("a", "b")}
+
+    cand = spark.createDataFrame(
+        [(g, int(k)) for g in ("a", "b") for k in range(0, 250, 10)],
+        "grp string, key long",
+    )
+    out = count_sketch_probe(cand, ["grp"], "key", sketches).collect()
+    for r in out:
+        true = exact.get((r["grp"], r["key"]), 0)
+        bound = 4 * np.sqrt(F2[r["grp"]] / 1024)
+        assert abs(r["cs_estimate"] - true) <= bound, (r, true, bound)
