@@ -95,3 +95,18 @@ def cosine_similarity(a, b) -> Column:
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
     return dot / (na * nb)
+
+
+def url_host(col) -> Column:
+    """Host component of a url column — the north-rule skew key (Zipfian
+    hosts).  Pure Catalyst (`parse_url`, codegen'd); NULL for malformed
+    urls.  Typical use: ``hll_distinct(df, [url_host("url")...])`` or a
+    salted host rollup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.parse_url(c, F.lit("HOST"))
+
+
+def url_path(col) -> Column:
+    """Path component of a url column (pure Catalyst)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.parse_url(c, F.lit("PATH"))

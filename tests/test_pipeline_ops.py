@@ -675,3 +675,23 @@ def test_weighted_sample_es_property_and_portability(spark):
     one = weighted_sample(df, "key", "wt", k=1, group_cols=("grp",),
                           salt="s0").collect()[0]["key"]
     assert one == local_winner("s0")
+
+
+def test_url_host_function(spark, webpages):
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark import functions as fn
+
+    out = (webpages.limit(500)
+           .select("url", fn.url_host("url").alias("host"),
+                   fn.url_path("url").alias("path"))
+           .collect())
+    for r in out:
+        # generator urls: https://host{h}.example.com/{lang}/p{uid}
+        assert r["url"].startswith(f"https://{r['host']}/")
+        assert r["host"].endswith(".example.com")
+        assert r["url"].endswith(r["path"])
+    # host is a usable skew key: few distinct hosts, zipf-dominated
+    n_hosts = (webpages.select(fn.url_host("url").alias("h"))
+               .distinct().count())
+    assert 1 < n_hosts <= 200
