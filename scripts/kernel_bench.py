@@ -71,6 +71,19 @@ def main():
     hll = HyperLogLog(14)
     out["hll_add_hashes"], _ = rate(n, hll.add_hashes, h)
 
+    # Count-Sketch (extension): 200k signed updates, w=2048 d=5
+    from streaming_algorithms_spark.sketches import CountSketch
+
+    cs = CountSketch(2048, 5)
+    out["count_sketch_update_hashes"], _ = rate(n, cs.update_hashes, h)
+
+    # Frequent Directions (extension): 50k x 64 rows, ell=32 (amortized SVD)
+    from streaming_algorithms_spark.sketches import FrequentDirections
+
+    X = rng.normal(size=(50_000, 64))
+    fd = FrequentDirections(32, 64)
+    out["frequent_directions_rows"], _ = rate(len(X), fd.insert_batch, X)
+
     # time series: 1M adds, 2-row ring (test_time_series.c:813-829) —
     # sequential ring parity; the distributed path is groupBy(window)
     ts = TimeSeries(2, 1)
