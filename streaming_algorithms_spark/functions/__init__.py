@@ -110,3 +110,48 @@ def url_path(col) -> Column:
     """Path component of a url column (pure Catalyst)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.parse_url(c, F.lit("PATH"))
+
+
+def canonical_url(col) -> Column:
+    """Canonical form of a url — the standard exact-dedup key for web
+    corpora.  Pure Catalyst (regex + higher-order filter, codegen'd), and
+    every rule is re-derivable verbatim in ANSI-ish SQL (the
+    url_canon_documents oracle re-implements it in DuckDB):
+
+    1. fragment dropped;
+    2. scheme and host lowercased;
+    3. default ports stripped (http:80, https:443), others kept;
+    4. duplicate slashes in the path collapsed, trailing slash dropped
+       (root stays "/"; empty path becomes "/");
+    5. tracking params removed (utm_*, gclid, fbclid), remaining params
+       kept in original order; "?" dropped when nothing survives.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s1 = F.regexp_replace(c, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(s1, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(s1, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.lower(F.regexp_replace(hostport, ":[0-9]+$", ""))
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    keep_port = (port != F.lit("")) & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    pathquery = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    path = F.regexp_extract(pathquery, r"^([^?]*)", 1)
+    query = F.regexp_extract(pathquery, r"\?(.*)$", 1)
+    path_c = F.regexp_replace(path, "/{2,}", "/")
+    path_c = F.regexp_replace(path_c, "/+$", "")
+    path_c = F.when(path_c == "", F.lit("/")).otherwise(path_c)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.rlike(r"^(?i)(utm_[^=]*|gclid|fbclid)="),
+    )
+    qjoin = F.array_join(params, "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path_c,
+        F.when(qjoin != "", F.concat(F.lit("?"), qjoin)).otherwise(F.lit("")),
+    )

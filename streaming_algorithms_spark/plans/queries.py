@@ -1429,6 +1429,38 @@ def q_salted_hll_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_url_canon_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization, full-SQL-parity gated: a deterministic messy
+    url is synthesized per doc_id (mixed-case scheme/host, default and
+    non-default ports, duplicate slashes, trailing slash, tracking params,
+    fragments — all CASE doc_id%k, so DuckDB rebuilds the identical input),
+    then fn.canonical_url normalizes it in pure Catalyst while the oracle
+    re-implements every rule in SQL.  Per-row string equality across two
+    engines gates the whole rule set (the exact-dedup key for web corpora;
+    north-star analogue: distinct-url counting needs canonical keys)."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://Host"), (d % 50).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":80"))
+         .when(d % 4 == 1, F.lit(":443"))
+         .when(d % 4 == 2, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("//sec/"), (d % 7).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit("?utm_source=feed&id="), d.cast("string")))
+         .when(d % 5 == 1, F.concat(F.lit("?id="), d.cast("string"), F.lit("&gclid=abc")))
+         .when(d % 5 == 2, F.lit("?a=1&b=2"))
+         .when(d % 5 == 3, F.lit("#frag"))
+         .otherwise(F.lit("")),
+    )
+    return (
+        docs.select("doc_id", messy.alias("url"))
+        .select("doc_id", fn.canonical_url("url").alias("canon_url"))
+        .orderBy("doc_id")
+    )
+
+
 def q_countsketch_f2_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Sketch / AMS second moment per l_returnflag: the self-join-size
     estimation primitive (F2 = sum over part keys of frequency^2).  The
@@ -1584,6 +1616,7 @@ QUERIES = {
     "fd_gram_embeddings": q_fd_gram_embeddings,
     "salted_hll_tokens_documents": q_salted_hll_tokens_documents,
     "countsketch_f2_lineitem": q_countsketch_f2_lineitem,
+    "url_canon_documents": q_url_canon_documents,
     "countsketch_hh_lineitem": q_countsketch_hh_lineitem,
     "streaming_hll_events": q_streaming_hll_events,
     "sample_documents": q_sample_documents,
@@ -2098,6 +2131,61 @@ ORACLES = {
                md5(text) AS text_md5,
                CAST(length(text) AS INT) AS n_chars
         FROM documents ORDER BY doc_id
+    """,
+    # full SQL parity: the messy url synthesis AND every canonicalization
+    # rule are re-derived verbatim (regexp_replace needs the 'g' flag in
+    # DuckDB where Spark replaces globally by default)
+    "url_canon_documents": """
+        WITH m AS (
+            SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                || '://Host' || (doc_id % 50) || '.Example.COM'
+                || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                                    WHEN 2 THEN ':8080' ELSE '' END)
+                || '//sec/' || (doc_id % 7)
+                || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                || (CASE doc_id % 5
+                       WHEN 0 THEN '?utm_source=feed&id=' || doc_id
+                       WHEN 1 THEN '?id=' || doc_id || '&gclid=abc'
+                       WHEN 2 THEN '?a=1&b=2'
+                       WHEN 3 THEN '#frag' ELSE '' END) AS url
+            FROM documents
+        ),
+        s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM m),
+        p AS (SELECT doc_id,
+                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+              FROM s1),
+        h AS (SELECT doc_id, scheme, rest,
+                regexp_extract(rest, '^([^/?]*)', 1) AS hostport FROM p),
+        parts AS (SELECT doc_id, scheme,
+                lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+                regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                substr(rest, length(hostport) + 1) AS pathquery
+              FROM h),
+        pq AS (SELECT doc_id, scheme, host, port,
+                regexp_extract(pathquery, '^([^?]*)', 1) AS path,
+                regexp_extract(pathquery, '\\?(.*)$', 1) AS query
+              FROM parts),
+        norm AS (SELECT doc_id, scheme, host, port,
+                CASE WHEN regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'),
+                                         '/+$', '') = ''
+                     THEN '/'
+                     ELSE regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'),
+                                         '/+$', '') END AS path_c,
+                array_to_string(list_filter(string_split(query, '&'),
+                    x -> x <> '' AND NOT regexp_matches(
+                        x, '^(?i)(utm_[^=]*|gclid|fbclid)=')), '&') AS qjoin
+              FROM pq)
+        SELECT doc_id,
+               scheme || '://' || host
+               || CASE WHEN port <> ''
+                        AND NOT ((scheme = 'http' AND port = '80')
+                                 OR (scheme = 'https' AND port = '443'))
+                       THEN ':' || port ELSE '' END
+               || path_c
+               || CASE WHEN qjoin <> '' THEN '?' || qjoin ELSE '' END AS canon_url
+        FROM norm ORDER BY doc_id
     """,
     # exact F2 (self-join size) is value-hash-gated; the AMS estimate folds
     # into f2_ok within the published sqrt(8/width) relative bound

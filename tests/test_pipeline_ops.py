@@ -695,3 +695,22 @@ def test_url_host_function(spark, webpages):
     n_hosts = (webpages.select(fn.url_host("url").alias("h"))
                .distinct().count())
     assert 1 < n_hosts <= 200
+
+
+def test_canonical_url_rules(spark):
+    from streaming_algorithms_spark import functions as fn
+
+    cases = [
+        ("HTTP://Example.COM:80/a/b/?utm_source=x&id=7#frag",
+         "http://example.com/a/b?id=7"),
+        ("https://Host.net:443/", "https://host.net/"),
+        ("https://host.net:8080//a//b/", "https://host.net:8080/a/b"),
+        ("http://h.com", "http://h.com/"),
+        ("http://h.com/?utm_a=1&UTM_b=2&gclid=z", "http://h.com/"),
+        ("http://h.com/p?a=1&fbclid=x&b=2", "http://h.com/p?a=1&b=2"),
+        ("https://h.com/p#only-frag", "https://h.com/p"),
+        ("http://h.com:8080", "http://h.com:8080/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(fn.canonical_url("url")).collect()]
+    assert got == [w for _, w in cases]
