@@ -73,7 +73,8 @@ def stratified_sample(df: DataFrame, group_col: str, key_col: str,
 
 
 def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
-                    group_cols=(), salt: str = "") -> DataFrame:
+                    group_cols=(), salt: str = "",
+                    tiebreak_col: str | None = None) -> DataFrame:
     """Efraimidis–Spirakis (2006) weighted sampling WITHOUT replacement,
     deterministic and engine-portable: each key gets a uniform
     u = md5-derived fraction in (0, 1); its exponential race time
@@ -86,10 +87,16 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
     int->double conversion rounds the SAME integer to the SAME double
     under round-to-nearest, and the /2^60 divisor is exact), so
     DuckDB/Trino reproduce the IDENTICAL sample with the same formula
-    up to libm ln() last-ulp ties, which the key tie-break resolves
+    up to libm ln() last-ulp ties, which the tie-break resolves
     identically.  Pure Catalyst (md5 + window),
     zero Python; rows with non-positive or NULL weight are excluded (their
-    race time is undefined)."""
+    race time is undefined).
+
+    ``tiebreak_col`` (default: key_col) orders rows whose race times tie.
+    Pass a UNIQUE NUMERIC column (a row id): two rows with byte-identical
+    key text have identical u and e, and a string tie-break cannot order
+    them — Spark would then rank by shuffle arrival (run-to-run
+    nondeterministic) while the oracle ranks by its own scan order."""
     from pyspark.sql import Window
 
     u = (
@@ -98,7 +105,7 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
     )
     e = -F.log(F.greatest(u, F.lit(1e-18))) / F.col(weight_col)
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
-        e.asc(), F.col(key_col).asc()
+        e.asc(), F.col(tiebreak_col or key_col).asc()
     )
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))

@@ -77,8 +77,9 @@ def estimate_scan_partitions(df: DataFrame) -> int | None:
     ``df.inputFiles()`` — maxSplitBytes = min(maxPartitionBytes,
     max(openCostInBytes, totalBytes / defaultParallelism)), tasks ≈
     ceil((total + nFiles·openCost) / maxSplitBytes).  Returns None for
-    non-file plans (in-memory test frames) and len(files) for remote
-    filesystems where stat is unavailable — both conservative fallbacks."""
+    non-file plans (in-memory test frames) and _ASSUME_PARALLEL for remote
+    filesystems where stat is unavailable (callers must then never inject
+    a raw-row repartition — see the sentinel's comment)."""
     import os
     from urllib.parse import urlparse
 
@@ -98,15 +99,24 @@ def estimate_scan_partitions(df: DataFrame) -> int | None:
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("", "file"):
-            return len(files)  # remote FS: file count is the cheap estimate
+            return _ASSUME_PARALLEL  # remote FS: can't stat — never repartition
         try:
             total += os.path.getsize(u.path)
         except OSError:
-            return len(files)
+            return _ASSUME_PARALLEL
     par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     padded = total + len(files) * open_cost
     max_split = min(max_part, max(open_cost, padded // par or 1))
     return max(1, -(-padded // max_split))
+
+
+# sentinel: "assume the scan is already parallel enough".  Returned when
+# file sizes cannot be stat'd (remote filesystems): reporting len(files)
+# there would make ensure_parallelism inject a FULL raw-row repartition of
+# an s3://corpus with few large files — the one shuffle this machinery
+# exists to avoid.  At production scale missing a repartition costs
+# nothing; adding one costs the whole corpus over the wire.
+_ASSUME_PARALLEL = 1 << 30
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int = None) -> DataFrame:

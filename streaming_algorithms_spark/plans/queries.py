@@ -1055,7 +1055,7 @@ def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return (
         weighted_sample(docs, "text", "n_chars", k=20,
-                        group_cols=("lang",), salt="w")
+                        group_cols=("lang",), salt="w", tiebreak_col="doc_id")
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
@@ -1407,7 +1407,7 @@ def q_salted_hll_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     in over salt_partitions reducers instead of one."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
-        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        "lang", F.explode(fn.tokens(F.col("text"))).alias("token")
     )
     est = hll_distinct(toks, ["lang"], "token", p=14,
                        salt_partitions=8).drop("rows_seen")
@@ -2005,7 +2005,7 @@ ORACLES = {
         SELECT lang, doc_id FROM (
             SELECT lang, doc_id,
                    ROW_NUMBER() OVER (PARTITION BY lang
-                                      ORDER BY e ASC, text ASC) AS rn
+                                      ORDER BY e ASC, doc_id ASC) AS rn
             FROM s
         ) WHERE rn <= 20 ORDER BY lang, doc_id
     """,

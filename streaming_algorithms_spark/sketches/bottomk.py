@@ -39,6 +39,11 @@ class BottomKSample:
         keys = list(keys)
         if not keys:
             return
+        if self.tags.size and not self.keys:
+            # symmetric counterpart of the update_tags guard: a tag-only
+            # sketch has tags with no aligned keys, so a key-carrying
+            # update would silently mis-pair tags and keys in _merge_arrays
+            raise ValueError("update_batch on a tag-only sketch")
         h = xxh64_batch(keys)
         # batch-local dedup + bottom-k before the merge
         order = np.argsort(h, kind="stable")

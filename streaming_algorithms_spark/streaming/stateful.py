@@ -81,7 +81,11 @@ def streaming_hll_distinct(stream: DataFrame, key_col: str, value_col: str,
             sk, batches = HyperLogLog(p), 0
         for pdf in pdfs:
             sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
-            batches += 1
+        # ONE increment per invocation: update_fn runs once per key per
+        # MICRO-BATCH, while the iterator may deliver several Arrow chunks
+        # (maxRecordsPerBatch) — counting chunks would let the
+        # multi_batch_ok >= 2 gate pass inside a single micro-batch
+        batches += 1
         state.update((_STATE_VERSION + sk.to_bytes(), batches))
         yield pd.DataFrame(
             {key_col: [key[0]], "approx_distinct": [int(round(sk.estimate()))],

@@ -382,3 +382,20 @@ def test_hll_sparse_wire_roundtrip_and_compat():
 
     with pytest.raises(ValueError):
         HyperLogLog.from_bytes(b[:-1])
+
+
+def test_bottomk_mode_mixing_guards_are_symmetric():
+    import numpy as np
+    import pytest
+
+    from streaming_algorithms_spark.sketches import BottomKSample
+
+    tag_only = BottomKSample(4)
+    tag_only.update_tags(np.array([5, 9], np.uint64))
+    with pytest.raises(ValueError):
+        tag_only.update_batch([b"alpha"])  # would mis-pair tags and keys
+
+    keyed = BottomKSample(4)
+    keyed.update_batch([b"alpha"])
+    with pytest.raises(ValueError):
+        keyed.update_tags(np.array([5], np.uint64))
