@@ -116,3 +116,58 @@ def test_matrix_profile_anytime_upper_bounds_full():
     # and full profile is permutation-invariant of diagonal order
     full2, _ = matrix_profile(v, m=8, percent=100, seed=999)
     np.testing.assert_allclose(full, full2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.binary(min_size=1, max_size=8),
+                          st.integers(1, 50)), min_size=1, max_size=120),
+       st.integers(2, 5))
+def test_count_sketch_merge_linearity(items, n_parts):
+    """Count-Sketch is a linear sketch: any partition of the stream merges
+    to the byte-identical table of the one-shot build."""
+    import numpy as np
+
+    from streaming_algorithms_spark.sketches import CountSketch
+    from streaming_algorithms_spark.sketches.xxhash import xxh64_batch
+
+    keys = [k for k, _ in items]
+    counts = np.array([c for _, c in items], np.int64)
+    h = xxh64_batch(keys)
+    whole = CountSketch(256, 3)
+    whole.update_hashes(h, counts)
+    parts = [CountSketch(256, 3) for _ in range(n_parts)]
+    for i in range(n_parts):
+        sl = slice(i, None, n_parts)
+        if len(h[sl]):
+            parts[i].update_hashes(h[sl], counts[sl])
+    merged = CountSketch(256, 3)
+    for p in parts:
+        merged.merge(CountSketch.from_bytes(p.to_bytes()))
+    assert merged.to_bytes() == whole.to_bytes()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 400), st.integers(2, 4))
+def test_frequent_directions_bound_random_matrices(seed, n_rows, n_parts):
+    """FD's published bound ||A'A - B'B||_2 <= ||A||_F^2/ell holds for
+    arbitrary inputs split across arbitrary partitions."""
+    import numpy as np
+
+    from streaming_algorithms_spark.sketches import FrequentDirections
+
+    rng = np.random.default_rng(seed)
+    d, ell = 12, 4
+    A = rng.normal(scale=rng.uniform(0.1, 10), size=(n_rows, d))
+    parts = np.array_split(A, n_parts)
+    sks = []
+    for p in parts:
+        s = FrequentDirections(ell, d)
+        if len(p):
+            s.insert_batch(p)
+        sks.append(s)
+    m = FrequentDirections.from_bytes(sks[0].to_bytes())
+    for s in sks[1:]:
+        m.merge(FrequentDirections.from_bytes(s.to_bytes()))
+    err = np.linalg.norm(A.T @ A - m.gram(), 2)
+    assert err <= m.error_bound() * (1 + 1e-9) + 1e-9
+    assert m.n_rows == n_rows
