@@ -125,6 +125,10 @@ def canonical_url(col) -> Column:
        (root stays "/"; empty path becomes "/");
     5. tracking params removed (utm_*, gclid, fbclid), remaining params
        kept in original order; "?" dropped when nothing survives.
+
+    Inputs without a scheme (relative paths, protocol-relative ``//host``
+    forms) return NULL — the same contract as ``url_host``; a canonical
+    key only exists for absolute urls.
     """
     c = F.col(col) if isinstance(col, str) else col
     s1 = F.regexp_replace(c, "#.*$", "")
@@ -149,9 +153,15 @@ def canonical_url(col) -> Column:
         & ~p.rlike(r"^(?i)(utm_[^=]*|gclid|fbclid)="),
     )
     qjoin = F.array_join(params, "&")
-    return F.concat(
-        scheme, F.lit("://"), host,
-        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
-        path_c,
-        F.when(qjoin != "", F.concat(F.lit("?"), qjoin)).otherwise(F.lit("")),
+    # no scheme => not an absolute url => NULL (same contract as url_host):
+    # emitting a '://'-prefixed string would collapse distinct path-like
+    # inputs into one dedup key and skip host lowercasing for
+    # protocol-relative urls
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(
+        F.concat(
+            scheme, F.lit("://"), host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            path_c,
+            F.when(qjoin != "", F.concat(F.lit("?"), qjoin)).otherwise(F.lit("")),
+        )
     )

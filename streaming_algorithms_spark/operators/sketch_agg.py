@@ -103,7 +103,11 @@ def estimate_scan_partitions(df: DataFrame) -> int | None:
         try:
             total += os.path.getsize(u.path)
         except OSError:
-            return _ASSUME_PARALLEL
+            # LOCAL file that can't be stat'd (deleted/replaced mid-plan):
+            # unlike the remote case, assume-parallel is wrong here — a
+            # small local input would silently lose its Python-stage
+            # spread; the file count is the conservative local estimate
+            return len(files)
     par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     padded = total + len(files) * open_cost
     max_split = min(max_part, max(open_cost, padded // par or 1))

@@ -714,3 +714,14 @@ def test_canonical_url_rules(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(fn.canonical_url("url")).collect()]
     assert got == [w for _, w in cases]
+
+
+def test_canonical_url_schemeless_is_null(spark):
+    from streaming_algorithms_spark import functions as fn
+
+    df = spark.createDataFrame(
+        [("/h.com/a",), ("//h.com/a",), ("not a url",), (None,)],
+        "url string",
+    )
+    got = [r[0] for r in df.select(fn.canonical_url("url")).collect()]
+    assert got == [None, None, None, None]
