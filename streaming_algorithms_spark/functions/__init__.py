@@ -165,3 +165,35 @@ def canonical_url(col) -> Column:
             F.when(qjoin != "", F.concat(F.lit("?"), qjoin)).otherwise(F.lit("")),
         )
     )
+
+
+# PII patterns (emails, NANP-style phones, IPv4) — kept to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded repetition, \b word boundaries.  No lookarounds (RE2
+# has none).
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_count(col) -> Column:
+    """Number of PII matches (emails + phones + IPv4) in a text column —
+    pure Catalyst, codegen'd; the filter/quality signal for corpus
+    curation."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0)))
+    # redact emails before counting phones/IPs: an IP-like or phone-like
+    # substring inside an email (user.555-123-4567@x.com) counts once
+    no_email = F.regexp_replace(c, PII_EMAIL, "[EMAIL]")
+    n = n + F.size(F.regexp_extract_all(no_email, F.lit(PII_PHONE), F.lit(0)))
+    no_phone = F.regexp_replace(no_email, PII_PHONE, "[PHONE]")
+    return n + F.size(F.regexp_extract_all(no_phone, F.lit(PII_IPV4), F.lit(0)))
+
+
+def redact_pii(col) -> Column:
+    """Replace emails/phones/IPv4 with typed placeholders, in that order
+    (emails first so their local parts can't be re-matched as phones)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, PII_EMAIL, "[EMAIL]")
+    out = F.regexp_replace(out, PII_PHONE, "[PHONE]")
+    return F.regexp_replace(out, PII_IPV4, "[IP]")

@@ -1461,6 +1461,38 @@ def q_url_canon_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection/redaction, full-SQL-parity gated: deterministic PII
+    (emails incl. mixed case, dotted/dashed phones, IPv4) is appended to
+    each document by CASE doc_id%k arithmetic both engines rebuild
+    identically; fn.pii_count and fn.redact_pii run in pure Catalyst while
+    the oracle re-derives the same regex pipeline in DuckDB (RE2) with
+    explicit 'g' flags.  Gated columns: exact match count per doc and the
+    md5 of the fully redacted text — per-row hash equality proves the
+    redaction output byte-identical across engines.  The patterns live in
+    functions.PII_* (single source, substituted into the oracle)."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, F.concat(F.lit(" contact user"), d.cast("string"),
+                                    F.lit("@Example.COM now")))
+         .when(d % 4 == 1, F.lit(" call 555-123-4567 or 555.987.6543"))
+         .when(d % 4 == 2, F.concat(F.lit(" server 10.0."),
+                                    (d % 256).cast("string"), F.lit(".7 up")))
+         .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" cc admin@test.org")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            fn.pii_count(synth).alias("n_pii"),
+            F.md5(fn.redact_pii(synth)).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_countsketch_f2_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Sketch / AMS second moment per l_returnflag: the self-join-size
     estimation primitive (F2 = sum over part keys of frequency^2).  The
@@ -1617,6 +1649,7 @@ QUERIES = {
     "salted_hll_tokens_documents": q_salted_hll_tokens_documents,
     "countsketch_f2_lineitem": q_countsketch_f2_lineitem,
     "url_canon_documents": q_url_canon_documents,
+    "pii_documents": q_pii_documents,
     "countsketch_hh_lineitem": q_countsketch_hh_lineitem,
     "streaming_hll_events": q_streaming_hll_events,
     "sample_documents": q_sample_documents,
@@ -2132,6 +2165,36 @@ ORACLES = {
                CAST(length(text) AS INT) AS n_chars
         FROM documents ORDER BY doc_id
     """,
+    # full SQL parity: PII synthesis AND the count/redact regex pipeline
+    # re-derived in DuckDB RE2 ('g' flags explicit; patterns substituted
+    # from functions.PII_* so both engines share one source of truth)
+    "pii_documents": """
+        WITH m AS (
+            SELECT doc_id, text
+                || (CASE doc_id % 4
+                       WHEN 0 THEN ' contact user' || doc_id || '@Example.COM now'
+                       WHEN 1 THEN ' call 555-123-4567 or 555.987.6543'
+                       WHEN 2 THEN ' server 10.0.' || (doc_id % 256) || '.7 up'
+                       ELSE '' END)
+                || (CASE WHEN doc_id % 5 = 0 THEN ' cc admin@test.org'
+                         ELSE '' END) AS s
+            FROM documents
+        ),
+        r1 AS (SELECT doc_id, s,
+                      regexp_replace(s, '<EMAIL_RE>', '[EMAIL]', 'g') AS s1
+               FROM m),
+        r2 AS (SELECT doc_id, s, s1,
+                      regexp_replace(s1, '<PHONE_RE>', '[PHONE]', 'g') AS s2
+               FROM r1)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(s, '<EMAIL_RE>'))
+                    + len(regexp_extract_all(s1, '<PHONE_RE>'))
+                    + len(regexp_extract_all(s2, '<IPV4_RE>')) AS INT) AS n_pii,
+               md5(regexp_replace(s2, '<IPV4_RE>', '[IP]', 'g')) AS redacted_md5
+        FROM r2 ORDER BY doc_id
+    """.replace("<EMAIL_RE>", fn.PII_EMAIL)
+       .replace("<PHONE_RE>", fn.PII_PHONE)
+       .replace("<IPV4_RE>", fn.PII_IPV4),
     # full SQL parity: the messy url synthesis AND every canonicalization
     # rule are re-derived verbatim (regexp_replace needs the 'g' flag in
     # DuckDB where Spark replaces globally by default)

@@ -725,3 +725,26 @@ def test_canonical_url_schemeless_is_null(spark):
     )
     got = [r[0] for r in df.select(fn.canonical_url("url")).collect()]
     assert got == [None, None, None, None]
+
+
+def test_pii_count_and_redact(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark import functions as fn
+
+    cases = [
+        ("mail me at a.b@x.org or c@y.co.uk thanks", 2,
+         "mail me at [EMAIL] or [EMAIL] thanks"),
+        ("call 555-123-4567 or 555.987.6543", 2, "call [PHONE] or [PHONE]"),
+        ("host 10.0.0.7 and 192.168.1.255", 2, "host [IP] and [IP]"),
+        # a phone-like substring inside an email local part counts ONCE
+        ("user.555-123-4567@x.com", 1, "[EMAIL]"),
+        ("version 1.2.3 is not an ip", 0, "version 1.2.3 is not an ip"),
+        ("nothing here", 0, "nothing here"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in cases], "t string")
+    out = df.select(fn.pii_count("t").alias("n"),
+                    fn.redact_pii(F.col("t")).alias("r")).collect()
+    for (t, want_n, want_r), row in zip(cases, out):
+        assert row["n"] == want_n, (t, row["n"])
+        assert row["r"] == want_r, (t, row["r"])
