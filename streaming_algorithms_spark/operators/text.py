@@ -157,3 +157,47 @@ def cross_fingerprint_overlap(train: DataFrame, eval_df: DataFrame,
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — pure DataFrame ops, no Python.
+
+    score = tf * (ln((N+1)/(df_t+1)) + 1) (smoothed idf).  Ranking uses
+    ROUND(score, 9) with a term tie-break: two engines' libm ln() can
+    differ in the last ulp, and rounding first collapses those into exact
+    ties that the lexical tie-break resolves identically (the same
+    portability trick as the md5-derived sampling keys).
+
+    Scale shape: one (id, term) shuffle for tf, one (term) shuffle for
+    document frequency, N as an aggregated singleton (AQE broadcasts it),
+    then a per-doc window top-k — no driver collect, no quadratic stage.
+    Output: (id, term, score) with score rounded to 6dp."""
+    from pyspark.sql import Window
+
+    from .. import functions as fn
+
+    toks = df.select(F.col(id_col),
+                     F.explode(fn.tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
+    dft = toks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("_dft")
+    )
+    n = df.select(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(n)
+        .withColumn(
+            "score",
+            F.col("_tf")
+            * (F.log((F.col("_n") + 1.0) / (F.col("_dft") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col(id_col), "term", F.round("score", 6).alias("score"))
+    )

@@ -1461,6 +1461,22 @@ def q_url_canon_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf), full-SQL-parity
+    gated: both engines compute tf, document frequency, N, and
+    score = tf*(ln((N+1)/(df+1))+1), rank by ROUND(score,9) DESC with a
+    lexical tie-break (rounding first collapses cross-libm last-ulp ln()
+    differences into ties the tie-break resolves identically), and emit
+    (doc_id, term, score@6dp) — per-row equality across engines."""
+    from ..operators.text import tfidf_top_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        tfidf_top_terms(docs, "doc_id", "text", k=3)
+        .orderBy("doc_id", "term")
+    )
+
+
 def q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection/redaction, full-SQL-parity gated: deterministic PII
     (emails incl. mixed case, dotted/dashed phones, IPv4) is appended to
@@ -1650,6 +1666,7 @@ QUERIES = {
     "countsketch_f2_lineitem": q_countsketch_f2_lineitem,
     "url_canon_documents": q_url_canon_documents,
     "pii_documents": q_pii_documents,
+    "tfidf_documents": q_tfidf_documents,
     "countsketch_hh_lineitem": q_countsketch_hh_lineitem,
     "streaming_hll_events": q_streaming_hll_events,
     "sample_documents": q_sample_documents,
@@ -2164,6 +2181,34 @@ ORACLES = {
                md5(text) AS text_md5,
                CAST(length(text) AS INT) AS n_chars
         FROM documents ORDER BY doc_id
+    """,
+    # full SQL parity: tf, document frequency, N, smoothed idf and the
+    # round-then-tie-break ranking re-derived verbatim
+    "tfidf_documents": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS dft
+                  FROM toks GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * (ln((n.n + 1.0) / (dfreq.dft + 1.0)) + 1.0) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY round(score, 9) DESC,
+                                               term ASC) AS rn
+            FROM scored
+        )
+        SELECT doc_id, term, ROUND(score, 6) AS score
+        FROM ranked WHERE rn <= 3
+        ORDER BY doc_id, term
     """,
     # full SQL parity: PII synthesis AND the count/redact regex pipeline
     # re-derived in DuckDB RE2 ('g' flags explicit; patterns substituted

@@ -748,3 +748,28 @@ def test_pii_count_and_redact(spark):
     for (t, want_n, want_r), row in zip(cases, out):
         assert row["n"] == want_n, (t, row["n"])
         assert row["r"] == want_r, (t, row["r"])
+
+
+def test_tfidf_top_terms_matches_numpy(spark):
+    import math
+
+    from streaming_algorithms_spark.operators.text import tfidf_top_terms
+
+    rows = [(0, "apple banana apple rare"), (1, "banana banana cherry"),
+            (2, "apple cherry cherry cherry unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["term"]): r["score"]
+           for r in tfidf_top_terms(df, "doc_id", "text", k=2).collect()}
+
+    # hand-derive: N=3; df: apple 2, banana 2, cherry 2, rare 1, unique 1
+    def score(tf, dft):
+        return round(tf * (math.log(4.0 / (dft + 1.0)) + 1.0), 6)
+
+    # doc 0: apple tf2 df2 -> 2*(ln(4/3)+1); rare tf1 df1 -> ln(2)+1
+    assert out[(0, "apple")] == score(2, 2)
+    assert out[(0, "rare")] == score(1, 1)
+    # doc 2 top-2: cherry tf3, then unique (rarer) beats apple (tf1 df2)
+    assert out[(2, "cherry")] == score(3, 2)
+    assert out[(2, "unique")] == score(1, 1)
+    assert (2, "apple") not in out
+    assert len(out) == 6
