@@ -113,3 +113,32 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def split_assign(col, splits: Mapping[str, float], salt: str = ""):
+    """Deterministic train/val/test split assignment — a Catalyst CASE over
+    cumulative md5-hex thresholds (the sample_predicate machinery): each
+    key lands in exactly one named split with probability equal to its
+    fraction, the assignment is a pure function of (key, salt, split
+    spec), and every engine that can md5 reproduces it byte-for-byte.
+    Fractions must sum to 1 (+-1e-9); splits are laid out on the hex line
+    in the mapping's iteration order, so pass an ordered mapping."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    digest = F.md5(F.concat(F.lit(salt), F.col(col) if isinstance(col, str) else col))
+    expr = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = digest < F.lit(hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def assign_splits(df: DataFrame, key_col: str, splits: Mapping[str, float],
+                  salt: str = "", out_col: str = "split") -> DataFrame:
+    """Add a deterministic split column (see split_assign)."""
+    return df.withColumn(out_col, split_assign(key_col, splits, salt))

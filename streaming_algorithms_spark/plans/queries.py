@@ -1461,6 +1461,24 @@ def q_url_canon_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by content hash),
+    gated by EXACT per-row parity: both engines compare the same
+    md5(salt||text) digest against the same cumulative hex thresholds, so
+    the (doc_id, split) assignment must match byte-for-byte — the
+    reproducible-split primitive every training pipeline needs (retries,
+    repartitions, and engine swaps cannot move a document across splits)."""
+    from ..operators.sampling import assign_splits
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        assign_splits(docs, "text",
+                      {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s3")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q_tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf), full-SQL-parity
     gated: both engines compute tf, document frequency, N, and
@@ -1667,6 +1685,7 @@ QUERIES = {
     "url_canon_documents": q_url_canon_documents,
     "pii_documents": q_pii_documents,
     "tfidf_documents": q_tfidf_documents,
+    "split_documents": q_split_documents,
     "countsketch_hh_lineitem": q_countsketch_hh_lineitem,
     "streaming_hll_events": q_streaming_hll_events,
     "sample_documents": q_sample_documents,
@@ -2180,6 +2199,21 @@ ORACLES = {
         SELECT doc_id,
                md5(text) AS text_md5,
                CAST(length(text) AS INT) AS n_chars
+        FROM documents ORDER BY doc_id
+    """,
+    # deterministic splits: the same digest-vs-cumulative-threshold CASE,
+    # thresholds inlined from hex_threshold at import time.  The second
+    # threshold uses the SAME float accumulation as split_assign
+    # (0.8 + 0.1 = 0.9000000000000001 in binary, a different double than
+    # 0.9 — inlining hex_threshold(0.9) would leave a ~1e-16 band where
+    # the engines disagree).
+    "split_documents": f"""
+        SELECT doc_id,
+               CASE WHEN md5('s3' || text) <
+                         '{_sampling.hex_threshold(0.8)}' THEN 'train'
+                    WHEN md5('s3' || text) <
+                         '{_sampling.hex_threshold(0.8 + 0.1)}' THEN 'val'
+                    ELSE 'test' END AS split
         FROM documents ORDER BY doc_id
     """,
     # full SQL parity: tf, document frequency, N, smoothed idf and the

@@ -773,3 +773,35 @@ def test_tfidf_top_terms_matches_numpy(spark):
     assert out[(2, "unique")] == score(1, 1)
     assert (2, "apple") not in out
     assert len(out) == 6
+
+
+def test_split_assign_properties(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(3000)],
+        "doc_id long, text string",
+    )
+    out = assign_splits(df, "text", {"train": 0.8, "val": 0.1, "test": 0.1},
+                        salt="s")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # every row in exactly one split; fractions within a 4-sigma binomial band
+    assert sum(counts.values()) == 3000
+    assert abs(counts["train"] - 2400) <= 4 * (3000 * 0.8 * 0.2) ** 0.5
+    assert abs(counts["val"] - 300) <= 4 * (3000 * 0.1 * 0.9) ** 0.5
+    # deterministic: a second run with the same spec is identical
+    again = assign_splits(df, "text", {"train": 0.8, "val": 0.1, "test": 0.1},
+                          salt="s")
+    assert out.exceptAll(again).count() == 0
+    # different salt moves documents
+    moved = assign_splits(df, "text", {"train": 0.8, "val": 0.1, "test": 0.1},
+                          salt="other")
+    assert out.exceptAll(moved).count() > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        assign_splits(df, "text", {"a": 0.5, "b": 0.6})
