@@ -122,7 +122,11 @@ def split_assign(col, splits: Mapping[str, float], salt: str = ""):
     fraction, the assignment is a pure function of (key, salt, split
     spec), and every engine that can md5 reproduces it byte-for-byte.
     Fractions must sum to 1 (+-1e-9); splits are laid out on the hex line
-    in the mapping's iteration order, so pass an ordered mapping."""
+    in the mapping's iteration order, so pass an ordered mapping.
+
+    NULL keys get a NULL split (no digest exists) — they would otherwise
+    all fall silently into the last-named split, leaking a systematic
+    subpopulation into evaluation."""
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
@@ -135,7 +139,8 @@ def split_assign(col, splits: Mapping[str, float], salt: str = ""):
         cond = digest < F.lit(hex_threshold(cum))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
-    return last if expr is None else expr.otherwise(last)
+    chain = last if expr is None else expr.otherwise(last)
+    return F.when(digest.isNull(), F.lit(None).cast("string")).otherwise(chain)
 
 
 def assign_splits(df: DataFrame, key_col: str, splits: Mapping[str, float],

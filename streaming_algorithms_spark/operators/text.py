@@ -180,9 +180,10 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     toks = df.select(F.col(id_col),
                      F.explode(fn.tokens(F.col(text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
-    dft = toks.groupBy("term").agg(
-        F.countDistinct(id_col).alias("_dft")
-    )
+    # document frequency FROM tf (one row per (doc, term) already): avoids
+    # re-tokenizing the corpus for a second exploded scan and turns
+    # countDistinct into a plain count
+    dft = tf.groupBy("term").agg(F.count("*").alias("_dft"))
     n = df.select(F.count("*").alias("_n"))
     scored = (
         tf.join(dft, "term")

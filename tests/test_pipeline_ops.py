@@ -805,3 +805,15 @@ def test_split_assign_properties(spark):
 
     with pytest.raises(ValueError):
         assign_splits(df, "text", {"a": 0.5, "b": 0.6})
+
+
+def test_split_assign_null_keys_get_null_split(spark):
+    from streaming_algorithms_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["split"] for r in
+           assign_splits(df, "text", {"train": 0.9, "test": 0.1}).collect()}
+    assert out[2] is None
+    assert out[1] in ("train", "test") and out[3] in ("train", "test")
