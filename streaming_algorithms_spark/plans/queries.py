@@ -1192,6 +1192,80 @@ def q_streaming_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_streaming_kll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KLL quantiles, oracle-gated: events replay as a 4-file
+    stream (maxFilesPerTrigger=1) through ``streaming_kll_quantiles`` —
+    the KLL sketch is per-key binary state in ``applyInPandasWithState``
+    and must survive/merge across >= 2 micro-batches (multi_batch_ok).
+    After the drain, the exact per-type median (linear interpolation, SQL
+    quantile_cont parity) is value-hash-gated, and kll_ok asserts the
+    final state's estimate has exact rank within 3% of 0.5 (k=200's
+    empirical envelope, test-gated at 2%) — computed by ranking the
+    estimate against the REAL value distribution, so a broken state merge
+    fails the gate."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import streaming_kll_quantiles
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    stream_dir = tempfile.mkdtemp(prefix="sas_skll_in_")
+    ckpt = tempfile.mkdtemp(prefix="sas_skll_ckpt_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(stream_dir)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        est = streaming_kll_quantiles(stream, "event_type", "value",
+                                      k=200, qs=(0.5,))
+        qname = f"skll_{uuid.uuid4().hex[:8]}"
+        q = (
+            est.writeStream.format("memory").queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        updates = spark.table(qname)
+        w = Window.partitionBy("event_type").orderBy(F.desc("batches"))
+        final = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("event_type", "q50", "batches")
+        )
+        # exact rank of the streaming estimate within the true distribution
+        ranked = (
+            ev.join(final, "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.avg((F.col("value") <= F.col("q50")).cast("double")).alias("_rank"),
+                F.first("batches").alias("batches"),
+            )
+        )
+        exact = _exact_quantiles(ev, "event_type", "value", {"exact_median": 0.5})
+        return (
+            exact.join(ranked, "event_type")
+            .select(
+                "event_type",
+                F.round("exact_median", 6).alias("exact_median"),
+                (F.abs(F.col("_rank") - 0.5) <= 0.03).alias("kll_ok"),
+                (F.col("batches") >= 2).alias("multi_batch_ok"),
+            )
+            .orderBy("event_type")
+        )
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-seen dedup with BOUNDED Bloom state, oracle-gated:
     events replay as a 4-file stream (maxFilesPerTrigger=1) through
@@ -1691,6 +1765,7 @@ QUERIES = {
     "sample_documents": q_sample_documents,
     "contamination_documents": q_contamination_documents,
     "streaming_dedup_events": q_streaming_dedup_events,
+    "streaming_kll_events": q_streaming_kll_events,
     "token_diff_langs": q_token_diff_langs,
     "weighted_sample_documents": q_weighted_sample_documents,
 }
@@ -2200,6 +2275,18 @@ ORACLES = {
                md5(text) AS text_md5,
                CAST(length(text) AS INT) AS n_chars
         FROM documents ORDER BY doc_id
+    """,
+    # streaming KLL: the exact per-type median (linear interpolation) is
+    # value-hash-gated; the streaming sketch's rank-error and the
+    # multi-micro-batch state property fold into booleans
+    "streaming_kll_events": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS exact_median,
+               TRUE AS kll_ok,
+               TRUE AS multi_batch_ok
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+        GROUP BY event_type ORDER BY event_type
     """,
     # deterministic splits: the same digest-vs-cumulative-threshold CASE,
     # thresholds inlined from hex_threshold at import time.  The second

@@ -1,8 +1,9 @@
 from .stateful import (
     streaming_bloom_dedup,
     streaming_hll_distinct,
+    streaming_kll_quantiles,
     streaming_windowed_stats,
 )
 
 __all__ = ["streaming_bloom_dedup", "streaming_hll_distinct",
-           "streaming_windowed_stats"]
+           "streaming_kll_quantiles", "streaming_windowed_stats"]

@@ -165,3 +165,59 @@ def streaming_bloom_dedup(stream: DataFrame, value_col: str,
             "append", GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_kll_quantiles(stream: DataFrame, key_col: str, value_col: str,
+                            k: int = 200,
+                            qs: tuple = (0.5, 0.95)) -> DataFrame:
+    """Per-key running quantiles over a stream: a KLL sketch is the state
+    (binary) in ``applyInPandasWithState`` — the mergeable distributed
+    replacement for the reference's sequential P² accumulators, with the
+    same preserved-state contract as ``streaming_hll_distinct``.
+
+    State layout: version byte + serialized KLL.  v1 is the first format;
+    a future wire change must bump the byte so restored state is rejected
+    loudly instead of merging incompatible sketches.  The per-key state is
+    O(k log n) values regardless of stream length.  Emits one update row
+    per (key, micro-batch) with the current quantile estimates and the
+    micro-batch counter (the driver gate uses the max counter row)."""
+    import numpy as np
+
+    from ..sketches import KLL
+
+    _STATE_VERSION = b"\x01"
+    qcols = [f"q{int(q * 100)}" for q in qs]
+    out_schema = (f"`{key_col}` string, "
+                  + ", ".join(f"{c} double" for c in qcols)
+                  + ", n_seen long, batches long")
+    state_schema = "sketch binary, batches long"
+
+    def update_fn(key, pdfs, state: GroupState):
+        if state.exists:
+            buf, batches = state.get
+            buf = bytes(buf)
+            if buf[:1] != _STATE_VERSION:
+                raise ValueError(
+                    "streaming_kll_quantiles: restored state has an unknown "
+                    "version byte; restart with a fresh checkpointLocation"
+                )
+            sk = KLL.from_bytes(buf[1:])
+        else:
+            sk, batches = KLL(k), 0
+        for pdf in pdfs:
+            sk.update_batch(pdf[value_col].to_numpy(np.float64))
+        batches += 1  # once per micro-batch invocation, never per Arrow chunk
+        state.update((_STATE_VERSION + sk.to_bytes(), batches))
+        rec = {key_col: key[0],
+               "n_seen": int(sk.n), "batches": batches}
+        for q, c in zip(qs, qcols):
+            rec[c] = float(sk.quantile(q))
+        yield pd.DataFrame([rec])
+
+    src = stream.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    ).select(key_col, value_col)
+    return src.groupBy(key_col).applyInPandasWithState(
+        update_fn, out_schema, state_schema,
+        "update", GroupStateTimeout.NoTimeout,
+    )
