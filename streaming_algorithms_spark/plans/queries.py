@@ -1503,6 +1503,48 @@ def q_salted_hll_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_host_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host heavy hitters — the north star's skew workload end-to-end:
+    synthesize a SKEWED url per doc (host0 ~50%, host1 ~25%, long tail),
+    extract the host by PARSING the url Spark-side (fn.url_host /
+    parse_url), and feed it through mergeable Space-Saving.  The oracle
+    derives hosts from the synthesis formula directly, so the gate covers
+    the parser AND the sketch: exact top-5 host counts are value-hash-
+    gated, and ss_ok asserts each exact count sits inside the sketch's
+    Metwally [lo, hi] interval."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id")
+    host_id = (
+        F.when(d % 2 == 0, F.lit(0))
+        .when(d % 4 == 1, F.lit(1))
+        .otherwise(d % 50)
+    )
+    urls = docs.select(
+        F.concat(F.lit("https://host"), host_id.cast("string"),
+                 F.lit(".example.com/p/"), d.cast("string")).alias("url")
+    )
+    hosts = urls.select(fn.url_host("url").alias("host"))
+    ss = space_saving_topk(hosts, [], "host", top_k=50, k_counters=256)
+    exact_top = (
+        hosts.groupBy("host").agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("host"))
+        .limit(5)
+    )
+    return (
+        exact_top.join(ss, exact_top["host"] == ss["item"], "left")
+        .select(
+            "host",
+            "exact_cnt",
+            (
+                F.col("count_lo").isNotNull()
+                & (F.col("count_lo") <= F.col("exact_cnt"))
+                & (F.col("exact_cnt") <= F.col("count_hi"))
+            ).alias("ss_ok"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("host"))
+    )
+
+
 def q_url_canon_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization, full-SQL-parity gated: a deterministic messy
     url is synthesized per doc_id (mixed-case scheme/host, default and
@@ -1757,6 +1799,7 @@ QUERIES = {
     "salted_hll_tokens_documents": q_salted_hll_tokens_documents,
     "countsketch_f2_lineitem": q_countsketch_f2_lineitem,
     "url_canon_documents": q_url_canon_documents,
+    "host_topk_documents": q_host_topk_documents,
     "pii_documents": q_pii_documents,
     "tfidf_documents": q_tfidf_documents,
     "split_documents": q_split_documents,
@@ -2275,6 +2318,22 @@ ORACLES = {
                md5(text) AS text_md5,
                CAST(length(text) AS INT) AS n_chars
         FROM documents ORDER BY doc_id
+    """,
+    # host heavy hitters: the oracle derives hosts from the synthesis
+    # FORMULA while Spark parses them out of the url — exact top-5 counts
+    # hash-gated, Space-Saving [lo,hi] interval folds into ss_ok
+    "host_topk_documents": """
+        WITH h AS (
+            SELECT 'host' ||
+                   (CASE WHEN doc_id % 2 = 0 THEN 0
+                         WHEN doc_id % 4 = 1 THEN 1
+                         ELSE doc_id % 50 END) || '.example.com' AS host
+            FROM documents
+        )
+        SELECT host, COUNT(*) AS exact_cnt, TRUE AS ss_ok
+        FROM h GROUP BY host
+        ORDER BY exact_cnt DESC, host ASC
+        LIMIT 5
     """,
     # streaming KLL: the exact per-type median (linear interpolation) is
     # value-hash-gated; the streaming sketch's rank-error and the
