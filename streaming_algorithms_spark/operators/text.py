@@ -202,3 +202,46 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("_rn") <= k)
         .select(F.col(id_col), "term", F.round("score", 6).alias("score"))
     )
+
+
+def sequence_packing_plan(df: DataFrame, id_col: str, text_col: str,
+                          seq_len: int = 512,
+                          order_col: str | None = None) -> DataFrame:
+    """GPT-style sequence-packing plan: documents are (logically)
+    concatenated in ``order_col`` order (default: id) and the token stream
+    is chunked into fixed ``seq_len`` sequences, documents splitting
+    across chunk boundaries — the standard pretraining packing that wastes
+    zero tokens (vs. first-fit binning, which is sequential and lossy).
+
+    Emits per doc: n_tokens, the global start offset, and the
+    (sequence, offset) coordinates of the doc's first and last token —
+    everything a downstream tokenizer shard needs to materialize its
+    sequences without a global pass.  Pure Catalyst: one token-count
+    projection + one window cumsum; all integer arithmetic, so the plan
+    is engine-exact (SQL-parity gated).  The window's global ordering is
+    the one unavoidable total order; at scale, range-partition by the
+    order column so the cumsum runs as a partial-then-offset two-pass."""
+    from pyspark.sql import Window
+
+    from .. import functions as fn
+
+    order = order_col or id_col
+    w = (Window.orderBy(order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = df.select(
+        F.col(id_col),
+        fn.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    return (
+        toks.withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_cum") - F.col("n_tokens")).alias("start_offset"),
+            F.floor((F.col("_cum") - F.col("n_tokens")) / seq_len)
+             .cast("long").alias("start_seq"),
+            F.pmod(F.col("_cum") - F.col("n_tokens"), F.lit(seq_len))
+             .cast("long").alias("start_pos"),
+            F.floor((F.col("_cum") - 1) / seq_len).cast("long").alias("end_seq"),
+        )
+    )

@@ -1503,6 +1503,20 @@ def q_salted_hll_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_packing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing plan (concatenate-then-chunk at 128
+    tokens), full-SQL-parity gated: per-doc token counts, global cumsum,
+    and the (sequence, offset) coordinates of every document's first and
+    last token are all integer arithmetic, so both engines must agree
+    byte-for-byte on every row — the zero-waste packing layout a
+    pretraining tokenizer shard consumes."""
+    from ..operators.text import sequence_packing_plan
+
+    docs = load_table(spark, "documents", sf_dir)
+    return sequence_packing_plan(docs, "doc_id", "text",
+                                 seq_len=128).orderBy("doc_id")
+
+
 def q_host_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host heavy hitters — the north star's skew workload end-to-end:
     synthesize a SKEWED url per doc (host0 ~50%, host1 ~25%, long tail),
@@ -1800,6 +1814,7 @@ QUERIES = {
     "countsketch_f2_lineitem": q_countsketch_f2_lineitem,
     "url_canon_documents": q_url_canon_documents,
     "host_topk_documents": q_host_topk_documents,
+    "packing_documents": q_packing_documents,
     "pii_documents": q_pii_documents,
     "tfidf_documents": q_tfidf_documents,
     "split_documents": q_split_documents,
@@ -2318,6 +2333,28 @@ ORACLES = {
                md5(text) AS text_md5,
                CAST(length(text) AS INT) AS n_chars
         FROM documents ORDER BY doc_id
+    """,
+    # sequence packing: token counts, global cumsum, and chunk coordinates
+    # are all integer arithmetic — full-row parity
+    "packing_documents": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               cum - n_tokens AS start_offset,
+               (cum - n_tokens) // 128 AS start_seq,
+               (cum - n_tokens) % 128 AS start_pos,
+               (cum - 1) // 128 AS end_seq
+        FROM c ORDER BY doc_id
     """,
     # host heavy hitters: the oracle derives hosts from the synthesis
     # FORMULA while Spark parses them out of the url — exact top-5 counts

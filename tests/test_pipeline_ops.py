@@ -817,3 +817,30 @@ def test_split_assign_null_keys_get_null_split(spark):
            assign_splits(df, "text", {"train": 0.9, "test": 0.1}).collect()}
     assert out[2] is None
     assert out[1] in ("train", "test") and out[3] in ("train", "test")
+
+
+def test_sequence_packing_plan_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark.operators.text import sequence_packing_plan
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["tok"] * n)) for i, n in
+         enumerate([5, 200, 1, 127, 128, 129, 300])],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            sequence_packing_plan(df, "doc_id", "text", seq_len=128).collect()}
+    # contiguity: each doc starts where the previous ended
+    offset = 0
+    for i in range(7):
+        r = rows[i]
+        assert r["start_offset"] == offset
+        assert r["start_seq"] == offset // 128
+        assert r["start_pos"] == offset % 128
+        offset += r["n_tokens"]
+        assert r["end_seq"] == (offset - 1) // 128
+    # doc 1 (200 tokens from offset 5) must span sequences 0..1
+    assert rows[1]["start_seq"] == 0 and rows[1]["end_seq"] == 1
+    # total sequences = ceil(total/128)
+    assert (offset - 1) // 128 == rows[6]["end_seq"]
