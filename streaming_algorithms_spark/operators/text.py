@@ -223,25 +223,26 @@ def sequence_packing_plan(df: DataFrame, id_col: str, text_col: str,
     order column so the cumsum runs as a partial-then-offset two-pass."""
     from pyspark.sql import Window
 
-    from .. import functions as fn
-
     order = order_col or id_col
     w = (Window.orderBy(order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cols = [F.col(id_col)] + ([F.col(order)] if order != id_col else [])
     toks = df.select(
-        F.col(id_col),
+        *cols,
         fn.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
+    start = F.col("_cum") - F.col("n_tokens")
+    # `div` is exact 64-bit integer division — floor(long/int) would go
+    # through double precision and can mis-chunk once the global cumsum
+    # exceeds 2^53 tokens
     return (
         toks.withColumn("_cum", F.sum("n_tokens").over(w))
         .select(
             id_col,
             "n_tokens",
-            (F.col("_cum") - F.col("n_tokens")).alias("start_offset"),
-            F.floor((F.col("_cum") - F.col("n_tokens")) / seq_len)
-             .cast("long").alias("start_seq"),
-            F.pmod(F.col("_cum") - F.col("n_tokens"), F.lit(seq_len))
-             .cast("long").alias("start_pos"),
-            F.floor((F.col("_cum") - 1) / seq_len).cast("long").alias("end_seq"),
+            start.alias("start_offset"),
+            F.expr(f"(_cum - n_tokens) div {int(seq_len)}").alias("start_seq"),
+            F.pmod(start, F.lit(seq_len)).cast("long").alias("start_pos"),
+            F.expr(f"(_cum - 1) div {int(seq_len)}").alias("end_seq"),
         )
     )

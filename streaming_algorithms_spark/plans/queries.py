@@ -1539,9 +1539,12 @@ def q_host_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hosts = urls.select(fn.url_host("url").alias("host"))
     ss = space_saving_topk(hosts, [], "host", top_k=50, k_counters=256)
+    # NUMERIC tie-break (CLAUDE.md rule): the tail hosts are exactly tied,
+    # so the top-5 cut must not depend on string collation
+    host_num = F.regexp_extract("host", r"host([0-9]+)", 1).cast("int")
     exact_top = (
         hosts.groupBy("host").agg(F.count("*").alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), F.asc("host"))
+        .orderBy(F.desc("exact_cnt"), host_num.asc())
         .limit(5)
     )
     return (
@@ -1555,7 +1558,7 @@ def q_host_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("exact_cnt") <= F.col("count_hi"))
             ).alias("ss_ok"),
         )
-        .orderBy(F.desc("exact_cnt"), F.asc("host"))
+        .orderBy(F.desc("exact_cnt"), host_num.asc())
     )
 
 
@@ -2369,7 +2372,8 @@ ORACLES = {
         )
         SELECT host, COUNT(*) AS exact_cnt, TRUE AS ss_ok
         FROM h GROUP BY host
-        ORDER BY exact_cnt DESC, host ASC
+        ORDER BY exact_cnt DESC,
+                 CAST(regexp_extract(host, 'host([0-9]+)', 1) AS INT) ASC
         LIMIT 5
     """,
     # streaming KLL: the exact per-type median (linear interpolation) is

@@ -186,7 +186,11 @@ def streaming_kll_quantiles(stream: DataFrame, key_col: str, value_col: str,
     from ..sketches import KLL
 
     _STATE_VERSION = b"\x01"
-    qcols = [f"q{int(q * 100)}" for q in qs]
+    # round, don't truncate: int(0.57*100) == 56 in binary floats, which
+    # would mislabel columns and let adjacent qs collide into duplicates
+    qcols = [f"q{int(round(q * 100))}" for q in qs]
+    if len(set(qcols)) != len(qcols):
+        raise ValueError(f"quantile labels collide at 1% resolution: {qs}")
     out_schema = (f"`{key_col}` string, "
                   + ", ".join(f"{c} double" for c in qcols)
                   + ", n_seen long, batches long")
