@@ -246,3 +246,80 @@ def sequence_packing_plan(df: DataFrame, id_col: str, text_col: str,
             F.expr(f"(_cum - 1) div {int(seq_len)}").alias("end_seq"),
         )
     )
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    §A1.1 quality filters): the fraction of duplicate word 3-grams and the
+    fraction of all 2-grams taken by the single most frequent 2-gram —
+    high values flag boilerplate/spam/keyword-stuffed pages.
+
+    Output: (id, n_tokens, dup_3gram_frac, top_2gram_frac), fractions
+    rounded to 6dp, NULL when the doc is too short to have the n-grams.
+    Shape: one narrow projection for the 3-gram stats (array ops, no
+    shuffle) plus one (id, 2-gram) count + per-doc max for the top-2-gram
+    stat — both SQL-re-derivable (full-parity oracle)."""
+    toks = fn.tokens(F.col(text_col))
+    n = F.size(toks)
+    tri = F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(0), n - 3),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3))),
+    )
+    base = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.when(n >= 3, F.round(
+            1.0 - F.size(F.array_distinct(tri)) / F.size(tri), 6
+        )).alias("dup_3gram_frac"),
+    )
+    bi = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(fn.tokens(F.col(text_col))) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(fn.tokens(F.col(text_col))) - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(fn.tokens(F.col(text_col)), i + 1, 2)
+                    ),
+                ),
+            )
+        ).alias("gram"),
+    )
+    top = (
+        bi.groupBy(id_col, "gram").agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_total"))
+        .select(F.col(id_col),
+                F.round(F.col("_top") / F.col("_total"), 6).alias("top_2gram_frac"))
+    )
+    return base.join(top, id_col, "left")
+
+
+def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-relative unigram log-probability per document — the cheap
+    stand-in for LM-perplexity quality filtering (CCNet-style): documents
+    whose tokens are unusually improbable under the corpus unigram
+    distribution are OOD/noise candidates; unusually probable ones are
+    boilerplate candidates.  score = mean over token OCCURRENCES of
+    ln(count(token)/total_tokens).
+
+    Pure DataFrame ops: one (token) frequency shuffle over the corpus,
+    one broadcast-able totals singleton, one (id) aggregation.  Output:
+    (id, n_tokens, logprob) with logprob rounded to 6dp — fully
+    SQL-re-derivable."""
+    toks = df.select(F.col(id_col),
+                     F.explode(fn.tokens(F.col(text_col))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("_cnt"))
+    total = freq.agg(F.sum("_cnt").alias("_total"))
+    return (
+        toks.join(freq, "term")
+        .crossJoin(total)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("_cnt") / F.col("_total"))), 6)
+             .alias("logprob"),
+        )
+    )

@@ -1503,6 +1503,30 @@ def q_salted_hll_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative unigram log-prob scoring (the cheap LM-perplexity
+    quality proxy, CCNet-style), full-SQL-parity gated: both engines build
+    the corpus unigram distribution and average ln(p(token)) over each
+    document's token occurrences; per-row equality at 6dp (cross-libm ln
+    differences are ~1e-16 relative, far inside the rounding)."""
+    from ..operators.text import unigram_logprob_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    return unigram_logprob_score(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1), full-SQL-
+    parity gated: duplicate-3-gram fraction and most-frequent-2-gram
+    fraction per document — the standard boilerplate/spam signals.  Both
+    engines re-derive the n-gram sets and fractions; per-row equality at
+    6dp."""
+    from ..operators.text import repetition_profile
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repetition_profile(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def q_packing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence-packing plan (concatenate-then-chunk at 128
     tokens), full-SQL-parity gated: per-doc token counts, global cumsum,
@@ -1818,6 +1842,8 @@ QUERIES = {
     "url_canon_documents": q_url_canon_documents,
     "host_topk_documents": q_host_topk_documents,
     "packing_documents": q_packing_documents,
+    "repetition_documents": q_repetition_documents,
+    "unigram_logprob_documents": q_unigram_logprob_documents,
     "pii_documents": q_pii_documents,
     "tfidf_documents": q_tfidf_documents,
     "split_documents": q_split_documents,
@@ -2336,6 +2362,58 @@ ORACLES = {
                md5(text) AS text_md5,
                CAST(length(text) AS INT) AS n_chars
         FROM documents ORDER BY doc_id
+    """,
+    # unigram log-prob: corpus distribution + per-doc occurrence average
+    # re-derived verbatim; mean over occurrences (not distinct tokens)
+    "unigram_logprob_documents": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents
+        ),
+        freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+        tot AS (SELECT SUM(cnt) AS total FROM freq)
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(AVG(ln(CAST(f.cnt AS DOUBLE) / tot.total)), 6) AS logprob
+        FROM toks t JOIN freq f USING (term) CROSS JOIN tot
+        GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    # Gopher repetition filters: n-gram sets and fractions re-derived
+    # verbatim (NULL for docs too short to have the n-grams, both sides)
+    "repetition_documents": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+                   CASE WHEN len(toks) >= 3 THEN
+                       ROUND(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)
+                             / len(tri), 6)
+                   END AS dup_3gram_frac
+            FROM (SELECT doc_id, toks,
+                         list_transform(range(len(toks) - 2), i ->
+                             toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                         ) AS tri
+                  FROM t) x
+        ),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(len(toks) - 1), i ->
+                       toks[i+1] || ' ' || toks[i+2])) AS gram
+            FROM t WHERE len(toks) >= 2
+        ),
+        top AS (
+            SELECT doc_id,
+                   ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_2gram_frac
+            FROM (SELECT doc_id, gram, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+            GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens, b.dup_3gram_frac, top.top_2gram_frac
+        FROM base b LEFT JOIN top USING (doc_id)
+        ORDER BY doc_id
     """,
     # sequence packing: token counts, global cumsum, and chunk coordinates
     # are all integer arithmetic — full-row parity

@@ -844,3 +844,42 @@ def test_sequence_packing_plan_invariants(spark):
     assert rows[1]["start_seq"] == 0 and rows[1]["end_seq"] == 1
     # total sequences = ceil(total/128)
     assert (offset - 1) // 128 == rows[6]["end_seq"]
+
+
+def test_repetition_profile_known_values(spark):
+    from streaming_algorithms_spark.operators.text import repetition_profile
+
+    rows = [
+        (0, "a b a b a b a b"),        # 8 toks; 6 tri, 2 distinct; 7 bi, top 'a b' 4/7
+        (1, "w x y z"),                 # no repetition: all tri/bi distinct
+        (2, "q r"),                     # too short for 3-grams
+        (3, "solo"),                    # too short for anything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           repetition_profile(df, "doc_id", "text").collect()}
+    assert out[0]["dup_3gram_frac"] == round(1 - 2 / 6, 6)
+    assert out[0]["top_2gram_frac"] == round(4 / 7, 6)
+    assert out[1]["dup_3gram_frac"] == 0.0
+    assert out[1]["top_2gram_frac"] == round(1 / 3, 6)
+    assert out[2]["dup_3gram_frac"] is None
+    assert out[2]["top_2gram_frac"] == 1.0
+    assert out[3]["dup_3gram_frac"] is None and out[3]["top_2gram_frac"] is None
+
+
+def test_unigram_logprob_known_values(spark):
+    import math
+
+    from streaming_algorithms_spark.operators.text import unigram_logprob_score
+
+    # corpus: 6 tokens total; a:3, b:2, c:1
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           unigram_logprob_score(df, "doc_id", "text").collect()}
+    lp0 = (2 * math.log(3 / 6) + math.log(2 / 6)) / 3
+    lp1 = (math.log(3 / 6) + math.log(2 / 6) + math.log(1 / 6)) / 3
+    assert out[0]["logprob"] == round(lp0, 6)
+    assert out[1]["logprob"] == round(lp1, 6)
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 3
