@@ -1503,6 +1503,49 @@ def q_salted_hll_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet — the artifact a dataset release ships:
+    doc/token totals, exact distinct vocabulary (HLL estimate gated within
+    the published bound), language entropy, exact-dup-document rate, and
+    mean quality score.  Everything is a composition of operators already
+    gated individually; this gates the COMPOSITION: one row, every column
+    value-hash-compared (exact values) or bound-gated (the sketch)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(fn.tokens(F.col("text"))).alias("term"))
+    vocab = hll_distinct(toks, [], "term", p=14).drop("rows_seen")
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(fn.token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.countDistinct("text").alias("distinct_texts"),
+        F.round(F.avg(fn.quality_score(F.col("text"))), 6).alias("mean_quality"),
+    )
+    exact_vocab = toks.agg(F.countDistinct("term").alias("exact_vocab"))
+    lang_ent = (
+        docs.groupBy("lang").agg(F.count("*").alias("_c"))
+        .crossJoin(docs.agg(F.count("*").alias("_n")))
+        .agg(F.round(
+            -F.sum((F.col("_c") / F.col("_n"))
+                   * F.log2(F.col("_c") / F.col("_n"))), 6
+        ).alias("lang_entropy_bits"))
+    )
+    rse = 1.04 / np.sqrt(2 ** 14)
+    return (
+        base.crossJoin(exact_vocab).crossJoin(vocab).crossJoin(lang_ent)
+        .select(
+            "n_docs",
+            "total_tokens",
+            "exact_vocab",
+            (F.abs(F.col("approx_distinct") - F.col("exact_vocab"))
+             <= F.greatest(3 * rse * F.col("exact_vocab"), F.lit(3.0))
+             ).alias("vocab_hll_ok"),
+            F.round(1.0 - F.col("distinct_texts") / F.col("n_docs"), 6)
+             .alias("dup_doc_rate"),
+            "lang_entropy_bits",
+            "mean_quality",
+        )
+    )
+
+
 def q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative unigram log-prob scoring (the cheap LM-perplexity
     quality proxy, CCNet-style), full-SQL-parity gated: both engines build
@@ -1844,6 +1887,7 @@ QUERIES = {
     "packing_documents": q_packing_documents,
     "repetition_documents": q_repetition_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
+    "corpus_card_documents": q_corpus_card_documents,
     "pii_documents": q_pii_documents,
     "tfidf_documents": q_tfidf_documents,
     "split_documents": q_split_documents,
@@ -2362,6 +2406,55 @@ ORACLES = {
                md5(text) AS text_md5,
                CAST(length(text) AS INT) AS n_chars
         FROM documents ORDER BY doc_id
+    """,
+    # corpus card: every exact column re-derived (totals, vocabulary,
+    # dup rate, language entropy, mean quality via the full quality_score
+    # composition); the HLL vocabulary estimate folds into vocab_hll_ok
+    "corpus_card_documents": f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                       AS n_punct
+            FROM documents
+        ),
+        s AS (
+            SELECT len(toks) AS n_tokens,
+                   n_punct * 1.0 / greatest(n_chars, 1) AS pr,
+                   len(list_filter(toks, x -> list_contains({_STOP_EN}, x)))
+                       * 1.0 / greatest(len(toks), 1) AS sr
+            FROM t
+        ),
+        q AS (
+            SELECT AVG((CASE WHEN n_tokens < 5 THEN 0.0
+                             WHEN n_tokens > 5000 THEN 0.2 ELSE 1.0 END) * 0.4
+                       + (CASE WHEN pr > 0.3 THEN 0.0 ELSE 1.0 END) * 0.3
+                       + LEAST(sr * 10.0, 1.0) * 0.3) AS mq
+            FROM s
+        ),
+        tk AS (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents
+        ),
+        base AS (SELECT COUNT(*) AS n_docs,
+                        COUNT(DISTINCT text) AS dtexts FROM documents),
+        ts AS (SELECT COUNT(*) AS total_tokens,
+                      COUNT(DISTINCT term) AS exact_vocab FROM tk),
+        lent AS (
+            SELECT ROUND(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)), 6)
+                       AS lang_entropy_bits
+            FROM (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+                 (SELECT COUNT(*) AS n FROM documents)
+        )
+        SELECT base.n_docs,
+               ts.total_tokens,
+               ts.exact_vocab,
+               TRUE AS vocab_hll_ok,
+               ROUND(1.0 - dtexts * 1.0 / base.n_docs, 6) AS dup_doc_rate,
+               lent.lang_entropy_bits,
+               ROUND(q.mq, 6) AS mean_quality
+        FROM base, ts, lent, q
     """,
     # unigram log-prob: corpus distribution + per-doc occurrence average
     # re-derived verbatim; mean over occurrences (not distinct tokens)
