@@ -277,12 +277,10 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.explode(
             F.when(
-                F.size(fn.tokens(F.col(text_col))) >= 2,
+                n >= 2,
                 F.transform(
-                    F.sequence(F.lit(0), F.size(fn.tokens(F.col(text_col))) - 2),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(fn.tokens(F.col(text_col)), i + 1, 2)
-                    ),
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
                 ),
             )
         ).alias("gram"),
@@ -313,7 +311,7 @@ def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str) -> DataFram
                      F.explode(fn.tokens(F.col(text_col))).alias("term"))
     freq = toks.groupBy("term").agg(F.count("*").alias("_cnt"))
     total = freq.agg(F.sum("_cnt").alias("_total"))
-    return (
+    scored = (
         toks.join(freq, "term")
         .crossJoin(total)
         .groupBy(id_col)
@@ -323,3 +321,7 @@ def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str) -> DataFram
              .alias("logprob"),
         )
     )
+    # keep EVERY input doc (NULL metrics for NULL/empty text) — the same
+    # per-doc row contract as repetition_profile, so joining the quality
+    # signals never silently drops documents
+    return df.select(id_col).join(scored, id_col, "left")
