@@ -75,3 +75,13 @@ def test_rows_only_queries_run(spark, name):
     df = q(spark, SF_DIR)
     assert df.count() >= 0  # runs, stable schema
     assert len(df.schema.fields) >= 2
+
+
+def test_registry_and_oracles_fully_aligned():
+    """Every query has an oracle and vice versa (the driver's strong gate
+    covers the whole registry — nothing silently rides the weaker
+    rows-only check), and names are unique non-empty SQL."""
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(q) == set(o), (set(q) ^ set(o))
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
+    assert all(callable(f) for f in q.values())
