@@ -86,11 +86,14 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
     first 15 md5 hex digits (a 60-bit integer — every engine's
     int->double conversion rounds the SAME integer to the SAME double
     under round-to-nearest, and the /2^60 divisor is exact), so
-    DuckDB/Trino reproduce the IDENTICAL sample with the same formula
-    up to libm ln() last-ulp ties, which the tie-break resolves
-    identically.  Pure Catalyst (md5 + window),
-    zero Python; rows with non-positive or NULL weight are excluded (their
-    race time is undefined).
+    DuckDB/Trino reproduce the IDENTICAL sample with the same formula.
+    Ranking uses ROUND(e, 9) (the tfidf_top_terms portability trick): two
+    libm ln() implementations can differ in the last ulp, and ranking the
+    unrounded double would let that flip the k-th-place cut; rounding
+    first collapses last-ulp differences into exact ties that the
+    tie-break resolves identically on both engines.  Pure Catalyst (md5 +
+    window), zero Python; rows with non-positive or NULL weight are
+    excluded (their race time is undefined).
 
     ``tiebreak_col`` (default: key_col) orders rows whose race times tie.
     Pass a UNIQUE NUMERIC column (a row id): two rows with byte-identical
@@ -105,7 +108,7 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
     )
     e = -F.log(F.greatest(u, F.lit(1e-18))) / F.col(weight_col)
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
-        e.asc(), F.col(tiebreak_col or key_col).asc()
+        F.round(e, 9).asc(), F.col(tiebreak_col or key_col).asc()
     )
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))

@@ -206,45 +206,79 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
 
 def sequence_packing_plan(df: DataFrame, id_col: str, text_col: str,
                           seq_len: int = 512,
-                          order_col: str | None = None) -> DataFrame:
+                          order_col: str | None = None,
+                          n_parts: int | None = None) -> DataFrame:
     """GPT-style sequence-packing plan: documents are (logically)
-    concatenated in ``order_col`` order (default: id) and the token stream
-    is chunked into fixed ``seq_len`` sequences, documents splitting
+    concatenated in ``order_col`` order (default: id; must be UNIQUE — the
+    cumulative sum over ties would depend on shuffle arrival) and the token
+    stream is chunked into fixed ``seq_len`` sequences, documents splitting
     across chunk boundaries — the standard pretraining packing that wastes
     zero tokens (vs. first-fit binning, which is sequential and lossy).
 
     Emits per doc: n_tokens, the global start offset, and the
     (sequence, offset) coordinates of the doc's first and last token —
     everything a downstream tokenizer shard needs to materialize its
-    sequences without a global pass.  Pure Catalyst: one token-count
-    projection + one window cumsum; all integer arithmetic, so the plan
-    is engine-exact (SQL-parity gated).  The window's global ordering is
-    the one unavoidable total order; at scale, range-partition by the
-    order column so the cumsum runs as a partial-then-offset two-pass."""
+    sequences without a global pass.
+
+    Scale shape — TWO-PASS RANGE-PARTITIONED CUMSUM, no global window:
+    ``repartitionByRange(n_parts, order)`` splits the corpus into ordered
+    ranges; pass 1 computes each range's local cumulative sum (a window
+    PARTITIONED by the range id — n_parts concurrent tasks); pass 2 turns
+    the n_parts per-range totals into exclusive prefix offsets (a window
+    over n_parts rows — trivially small) and broadcast-joins them back.
+    The only total order ever materialized is over one row per range, so
+    the plan has no single-task stage at any corpus size.  All integer
+    arithmetic, so the plan is engine-exact (SQL-parity gated)."""
     from pyspark.sql import Window
 
     order = order_col or id_col
-    w = (Window.orderBy(order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                               "200"))
     cols = [F.col(id_col)] + ([F.col(order)] if order != id_col else [])
     toks = df.select(
         *cols,
         fn.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
+    # pass 1: ordered ranges (RangePartitioner assigns ascending key ranges
+    # to ascending partition ids), local cumsum within each range.  The
+    # explicit numPartitions makes this a user-specified partitioning AQE
+    # never coalesces (CLAUDE.md rule for Python-free grouped stages too).
+    ranged = (toks.repartitionByRange(n_parts, F.col(order))
+              .withColumn("_pid", F.spark_partition_id()))
+    # NULL-token docs (NULL text) occupy ZERO width in the packed stream and
+    # get NULL coordinates — the COALESCE keeps the cumsum total and
+    # partition-shape independent (a partitioned SUM over an all-NULL range
+    # would otherwise yield NULL where the global window wouldn't)
+    contrib = F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+    w_local = (Window.partitionBy("_pid").orderBy(order)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = ranged.withColumn("_lcum", F.sum(contrib).over(w_local))
+    # pass 2: one row per range -> exclusive prefix offsets; the global
+    # orderBy here runs over n_parts rows, not the corpus
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (
+        local.groupBy("_pid").agg(F.sum(contrib).alias("_ptotal"))
+        .withColumn("_off", F.coalesce(F.sum("_ptotal").over(w_off),
+                                       F.lit(0).cast("long")))
+        .select("_pid", "_off")
+    )
+    merged = local.join(F.broadcast(offsets), "_pid").withColumn(
+        "_cum", F.col("_lcum") + F.col("_off")
+    )
     start = F.col("_cum") - F.col("n_tokens")
     # `div` is exact 64-bit integer division — floor(long/int) would go
     # through double precision and can mis-chunk once the global cumsum
     # exceeds 2^53 tokens
-    return (
-        toks.withColumn("_cum", F.sum("n_tokens").over(w))
-        .select(
-            id_col,
-            "n_tokens",
-            start.alias("start_offset"),
-            F.expr(f"(_cum - n_tokens) div {int(seq_len)}").alias("start_seq"),
-            F.pmod(start, F.lit(seq_len)).cast("long").alias("start_pos"),
-            F.expr(f"(_cum - 1) div {int(seq_len)}").alias("end_seq"),
-        )
+    return merged.select(
+        id_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        F.expr(f"(_cum - n_tokens) div {int(seq_len)}").alias("start_seq"),
+        F.pmod(start, F.lit(seq_len)).cast("long").alias("start_pos"),
+        F.when(F.col("n_tokens").isNotNull(),
+               F.expr(f"(_cum - 1) div {int(seq_len)}")).alias("end_seq"),
     )
 
 
@@ -256,9 +290,13 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Output: (id, n_tokens, dup_3gram_frac, top_2gram_frac), fractions
     rounded to 6dp, NULL when the doc is too short to have the n-grams.
-    Shape: one narrow projection for the 3-gram stats (array ops, no
-    shuffle) plus one (id, 2-gram) count + per-doc max for the top-2-gram
-    stat — both SQL-re-derivable (full-parity oracle)."""
+    Shape: ONE narrow projection, zero shuffles — both stats are array-
+    local.  The top-2-gram multiplicity is computed per doc as the longest
+    equal-run of the SORTED gram array (an O(n log n) Catalyst ``aggregate``
+    fold), so no corpus-sized 2-gram strings ever cross a shuffle (the
+    CLAUDE.md hashes-not-strings rule; the round-3 explode+groupBy plan
+    shuffled every 2-gram in the corpus and was the bench outlier).  Still
+    exact, so the full-parity SQL oracle is unchanged."""
     toks = fn.tokens(F.col(text_col))
     n = F.size(toks)
     tri = F.when(
@@ -266,33 +304,39 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.transform(F.sequence(F.lit(0), n - 3),
                     lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3))),
     )
-    base = df.select(
+    bi_sorted = F.when(
+        n >= 2,
+        F.array_sort(
+            F.transform(F.sequence(F.lit(0), n - 2),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+        ),
+    )
+
+    def _run(acc, x):
+        # current run length if x extends the previous gram, else 1;
+        # x == NULL prev (first element) falls to the otherwise branch
+        nxt = (F.when(x == acc["prev"], acc["run"] + 1)
+               .otherwise(F.lit(1).cast("long")))
+        return F.struct(x.alias("prev"), nxt.alias("run"),
+                        F.greatest(acc["best"], nxt).alias("best"))
+
+    top_mult = F.aggregate(
+        bi_sorted,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        _run,
+        lambda acc: acc["best"],
+    )
+    return df.select(
         F.col(id_col),
         n.alias("n_tokens"),
         F.when(n >= 3, F.round(
             1.0 - F.size(F.array_distinct(tri)) / F.size(tri), 6
         )).alias("dup_3gram_frac"),
+        F.when(n >= 2, F.round(top_mult / F.size(bi_sorted), 6))
+         .alias("top_2gram_frac"),
     )
-    bi = df.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                n >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), n - 2),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-                ),
-            )
-        ).alias("gram"),
-    )
-    top = (
-        bi.groupBy(id_col, "gram").agg(F.count("*").alias("_c"))
-        .groupBy(id_col)
-        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_total"))
-        .select(F.col(id_col),
-                F.round(F.col("_top") / F.col("_total"), 6).alias("top_2gram_frac"))
-    )
-    return base.join(top, id_col, "left")
 
 
 def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -303,22 +347,30 @@ def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str) -> DataFram
     boilerplate candidates.  score = mean over token OCCURRENCES of
     ln(count(token)/total_tokens).
 
-    Pure DataFrame ops: one (token) frequency shuffle over the corpus,
-    one broadcast-able totals singleton, one (id) aggregation.  Output:
-    (id, n_tokens, logprob) with logprob rounded to 6dp — fully
+    Pure DataFrame ops, pre-aggregated before the join (the tfidf_top_terms
+    shape): tokens collapse to per-(id, term) counts FIRST, so the freq
+    join and the totals crossJoin move (id, term, tf) rows — the distinct
+    vocabulary footprint per doc — instead of one row per token OCCURRENCE
+    (~3-10x smaller on natural text, and the (id, term) shuffle doubles as
+    the map-side combine).  The occurrence-weighted mean is then
+    sum(tf*ln(cnt/total))/sum(tf) — identical to the per-occurrence avg.
+    Output: (id, n_tokens, logprob) with logprob rounded to 6dp — fully
     SQL-re-derivable."""
     toks = df.select(F.col(id_col),
                      F.explode(fn.tokens(F.col(text_col))).alias("term"))
-    freq = toks.groupBy("term").agg(F.count("*").alias("_cnt"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
+    freq = tf.groupBy("term").agg(F.sum("_tf").alias("_cnt"))
     total = freq.agg(F.sum("_cnt").alias("_total"))
     scored = (
-        toks.join(freq, "term")
+        tf.join(freq, "term")
         .crossJoin(total)
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("_cnt") / F.col("_total"))), 6)
-             .alias("logprob"),
+            F.sum("_tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_tf") * F.log(F.col("_cnt") / F.col("_total")))
+                / F.sum("_tf"), 6,
+            ).alias("logprob"),
         )
     )
     # keep EVERY input doc (NULL metrics for NULL/empty text) — the same

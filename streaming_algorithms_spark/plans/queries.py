@@ -2266,7 +2266,9 @@ ORACLES = {
         FROM top1
     """,
     # weighted sampling: exact subset parity — identical md5-derived uniform
-    # and exponential race formula on both engines (16^15 = 2^60 exactly)
+    # and exponential race formula on both engines (16^15 = 2^60 exactly);
+    # ranking on ROUND(e, 9) matches the operator (cross-libm ln() last-ulp
+    # differences collapse into ties the doc_id tie-break resolves)
     "weighted_sample_documents": """
         WITH s AS (
             SELECT lang, doc_id,
@@ -2280,7 +2282,7 @@ ORACLES = {
         SELECT lang, doc_id FROM (
             SELECT lang, doc_id,
                    ROW_NUMBER() OVER (PARTITION BY lang
-                                      ORDER BY e ASC, doc_id ASC) AS rn
+                                      ORDER BY round(e, 9) ASC, doc_id ASC) AS rn
             FROM s
         ) WHERE rn <= 20 ORDER BY lang, doc_id
     """,
@@ -2457,7 +2459,10 @@ ORACLES = {
         FROM base, ts, lent, q
     """,
     # unigram log-prob: corpus distribution + per-doc occurrence average
-    # re-derived verbatim; mean over occurrences (not distinct tokens)
+    # re-derived verbatim; mean over occurrences (not distinct tokens).
+    # The final LEFT JOIN from documents mirrors the operator's per-doc row
+    # contract: a doc that produces zero token rows (NULL text) still emits
+    # a row with NULL metrics on BOTH engines.
     "unigram_logprob_documents": """
         WITH toks AS (
             SELECT doc_id,
@@ -2465,12 +2470,18 @@ ORACLES = {
             FROM documents
         ),
         freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
-        tot AS (SELECT SUM(cnt) AS total FROM freq)
-        SELECT t.doc_id,
-               COUNT(*) AS n_tokens,
-               ROUND(AVG(ln(CAST(f.cnt AS DOUBLE) / tot.total)), 6) AS logprob
-        FROM toks t JOIN freq f USING (term) CROSS JOIN tot
-        GROUP BY t.doc_id ORDER BY t.doc_id
+        tot AS (SELECT SUM(cnt) AS total FROM freq),
+        scores AS (
+            SELECT t.doc_id,
+                   COUNT(*) AS n_tokens,
+                   ROUND(AVG(ln(CAST(f.cnt AS DOUBLE) / tot.total)), 6)
+                       AS logprob
+            FROM toks t JOIN freq f USING (term) CROSS JOIN tot
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id, s.n_tokens, s.logprob
+        FROM documents d LEFT JOIN scores s USING (doc_id)
+        ORDER BY d.doc_id
     """,
     # Gopher repetition filters: n-gram sets and fractions re-derived
     # verbatim (NULL for docs too short to have the n-grams, both sides)
@@ -2509,7 +2520,12 @@ ORACLES = {
         ORDER BY doc_id
     """,
     # sequence packing: token counts, global cumsum, and chunk coordinates
-    # are all integer arithmetic — full-row parity
+    # are all integer arithmetic — full-row parity.  EVERY derived column is
+    # explicitly CAST to BIGINT: DuckDB's windowed SUM(BIGINT) returns
+    # HUGEINT, which (verified on 1.0.0) materializes as float64 in pandas —
+    # the driver's value hash then sees 15.0 vs Spark's int64 15 and fails
+    # despite identical values (the round-3 hash-red).  The CAST pins the
+    # arrow/pandas dtype to int64 on every DuckDB version.
     "packing_documents": """
         WITH t AS (
             SELECT doc_id,
@@ -2519,15 +2535,17 @@ ORACLES = {
         ),
         c AS (
             SELECT doc_id, n_tokens,
-                   SUM(n_tokens) OVER (ORDER BY doc_id
-                                       ROWS UNBOUNDED PRECEDING) AS cum
+                   CAST(SUM(COALESCE(n_tokens, 0))
+                        OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum
             FROM t
         )
         SELECT doc_id, n_tokens,
-               cum - n_tokens AS start_offset,
-               (cum - n_tokens) // 128 AS start_seq,
-               (cum - n_tokens) % 128 AS start_pos,
-               (cum - 1) // 128 AS end_seq
+               CAST(cum - n_tokens AS BIGINT) AS start_offset,
+               CAST((cum - n_tokens) // 128 AS BIGINT) AS start_seq,
+               CAST((cum - n_tokens) % 128 AS BIGINT) AS start_pos,
+               CAST(CASE WHEN n_tokens IS NULL THEN NULL
+                         ELSE (cum - 1) // 128 END AS BIGINT) AS end_seq
         FROM c ORDER BY doc_id
     """,
     # host heavy hitters: the oracle derives hosts from the synthesis

@@ -207,3 +207,30 @@ def test_no_forced_broadcast_of_corpus_sized_sides(spark, webpages_parquet):
     for out in targets:
         logical = _full_explain(out).split("== Physical Plan ==")[0]
         assert "broadcast" not in logical.lower(), logical
+
+
+def test_sequence_packing_two_pass_no_corpus_global_window(spark, webpages_parquet):
+    """The packing cumsum must be the two-pass range-partitioned shape:
+    a RangePartitioning exchange, the corpus-side window PARTITIONED by the
+    range id, and any SinglePartition exchange feeding only the per-range
+    totals aggregate (one row per partition) — never the raw table (the
+    round-3 unpartitioned Window.orderBy funneled the whole corpus through
+    one task)."""
+    from streaming_algorithms_spark.operators.text import sequence_packing_plan
+
+    df = spark.read.parquet(webpages_parquet).withColumnRenamed("url", "doc_id")
+    plan = _physical_plan(sequence_packing_plan(df, "doc_id", "text",
+                                                seq_len=512, n_parts=8))
+    assert "rangepartitioning" in plan.lower(), plan
+    # corpus-side cumsum window is partitioned by the range id
+    assert "windowspecdefinition(_pid" in plan, plan
+    # every SinglePartition exchange must sit above a HashAggregate (the
+    # n_parts-row totals), never directly above a file scan subtree
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        below = "\n".join(lines[i + 1:])
+        agg = below.find("HashAggregate")
+        scan = below.find("FileScan")
+        assert agg != -1 and (scan == -1 or agg < scan), plan
