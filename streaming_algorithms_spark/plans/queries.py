@@ -1840,10 +1840,308 @@ def q_fd_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL THREE structured-streaming sketch-state pipelines (HLL distinct,
+    KLL quantiles, Bloom first-seen dedup — the reference's EP3 preserved-
+    state story, lua_binding/cm_sketch.c:167-202) in one gated row set: each
+    replays events as a multi-file stream (maxFilesPerTrigger=1) through
+    ``applyInPandasWithState`` and must carry binary sketch state across
+    micro-batch boundaries.  The union folds each pipeline's row contract
+    into a common (metric, grp, exact_value, ok_a, ok_b) shape: exact
+    values stay value-hash-gated vs DuckDB, booleans keep their original
+    meanings (hll_ok/kll_ok/multi_batch_ok; dedup: suppression+subset /
+    completeness).  One registry row instead of three keeps the whole
+    registry inside the driver's 50-query correctness budget without
+    dropping any streaming gate."""
+    hll = q_streaming_hll_events(spark, sf_dir).select(
+        F.lit("hll_distinct").alias("metric"),
+        F.col("event_type").alias("grp"),
+        F.col("exact_distinct").cast("double").alias("exact_value"),
+        F.col("hll_ok").alias("ok_a"),
+        F.col("multi_batch_ok").alias("ok_b"),
+    )
+    kll = q_streaming_kll_events(spark, sf_dir).select(
+        F.lit("kll_median").alias("metric"),
+        F.col("event_type").alias("grp"),
+        F.col("exact_median").alias("exact_value"),
+        F.col("kll_ok").alias("ok_a"),
+        F.col("multi_batch_ok").alias("ok_b"),
+    )
+    ded = q_streaming_dedup_events(spark, sf_dir).select(
+        F.lit("bloom_dedup").alias("metric"),
+        F.lit("(all)").alias("grp"),
+        F.col("exact_distinct").cast("double").alias("exact_value"),
+        (F.col("no_dup_emits_ok") & F.col("subset_ok")).alias("ok_a"),
+        F.col("complete_ok").alias("ok_b"),
+    )
+    return hll.unionByName(kll).unionByName(ded).orderBy("metric", "grp")
+
+
+def q_token_setops_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA over per-lang distinct-token sets, both families
+    in one gate: HLL register-merge inclusion-exclusion (union/intersection)
+    AND Theta/KMV one-sided differences (the op HLL cannot express).  The
+    corpus is tokenized ONCE; the distinct (lang, token) set feeds the HLL
+    side (pre-hashed — idempotent inserts give identical registers), the
+    KMV side, and the exact joins.  Exact sizes/intersections/differences
+    are value-hash-gated vs the SQL re-derivation; every estimate folds
+    into its published-bound boolean (HLL: 3σ via inclusion-exclusion
+    compounding; Theta: 4σ of the union at ~1/sqrt(k))."""
+    from ..operators.sketch_agg import hll_pairwise_overlap, kmv_pairwise_set_ops
+
+    p = 14
+    k = 1024
+    rse = 1.04 / np.sqrt(2 ** p)
+    rel = 1.0 / np.sqrt(k - 2)
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("lang", F.explode(fn.tokens(F.col("text"))).alias("token"))
+    dt = toks.distinct().cache()
+    hll_est = hll_pairwise_overlap(
+        dt.select("lang", F.xxhash64("token").alias("_t")),
+        "lang", "_t", p=p, col_is_hash=True,
+    ).select(
+        F.col("key_a").alias("lang_a"), F.col("key_b").alias("lang_b"),
+        F.col("est_union").alias("_hll_union"), "est_intersection",
+    )
+    kmv_est = kmv_pairwise_set_ops(dt, "lang", "token", k=k).select(
+        F.col("key_a").alias("lang_a"), F.col("key_b").alias("lang_b"),
+        F.col("est_union").alias("_kmv_union"),
+        "est_a_minus_b", "est_b_minus_a",
+    )
+    sizes = dt.groupBy("lang").agg(F.count("*").alias("n"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("a.lang") < F.col("b.lang"))
+        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    grid = (
+        sa.crossJoin(sb).filter(F.col("lang_a") < F.col("lang_b"))
+        .join(inter, ["lang_a", "lang_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    tbound = 4 * rel * n_union + 5
+    return (
+        grid.join(hll_est, ["lang_a", "lang_b"])
+        .join(kmv_est, ["lang_a", "lang_b"])
+        .select(
+            "lang_a", "lang_b", "n_a", "n_b", "n_inter",
+            (F.col("n_a") - F.col("n_inter")).alias("n_a_minus_b"),
+            (F.col("n_b") - F.col("n_inter")).alias("n_b_minus_a"),
+            (F.abs(F.col("_hll_union") - n_union)
+             <= 3 * rse * n_union + 3).alias("union_ok"),
+            (F.abs(F.col("est_intersection") - F.col("n_inter"))
+             <= 3 * rse * (F.col("n_a") + F.col("n_b") + n_union) + 5
+             ).alias("inter_ok"),
+            (F.abs(F.col("est_a_minus_b") - (F.col("n_a") - F.col("n_inter")))
+             <= tbound).alias("diff_ab_ok"),
+            (F.abs(F.col("est_b_minus_a") - (F.col("n_b") - F.col("n_inter")))
+             <= tbound).alias("diff_ba_ok"),
+            (F.abs(F.col("_kmv_union") - n_union) <= tbound).alias("theta_union_ok"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+def q_countsketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch / AMS, BOTH capabilities in one gate over one shared
+    per-key count table: (a) F2 self-join-size per l_returnflag (exact F2
+    value-hash-gated; AMS median-of-rows estimate within the published
+    sqrt(8/width) bound folds into ok), and (b) signed-median POINT
+    estimates for the exact top-10 part keys per flag (build->broadcast->
+    probe; |estimate-exact| <= 4*sqrt(F2/width) with the EXACT F2).  Rows
+    carry a metric tag; f2 rows use l_partkey = -1 (never a real key)."""
+    from pyspark.sql import Window
+
+    from ..operators.sketch_agg import (
+        count_sketch_build,
+        count_sketch_f2,
+        count_sketch_probe,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    cnts = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.count("*").alias("cnt")
+    ).cache()
+    f2 = cnts.groupBy("l_returnflag").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("f2")
+    )
+    est = count_sketch_f2(li, ["l_returnflag"], "l_partkey").drop("rows_seen")
+    rel = float(np.sqrt(8.0 / 2048))
+    f2_rows = (
+        f2.join(est, "l_returnflag")
+        .select(
+            F.lit("f2").alias("metric"),
+            "l_returnflag",
+            F.lit(-1).cast("bigint").alias("l_partkey"),
+            F.col("f2").cast("bigint").alias("exact_value"),
+            (F.abs(F.col("f2_estimate") - F.col("f2"))
+             <= rel * F.col("f2")).alias("ok"),
+        )
+    )
+    built = count_sketch_build(li, ["l_returnflag"], "l_partkey").collect()
+    sketches = {(r["l_returnflag"],): r["sketch"] for r in built}
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_partkey").asc()
+    )
+    top = (cnts.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= 10).drop("rn"))
+    probed = count_sketch_probe(top, ["l_returnflag"], "l_partkey", sketches)
+    point_rows = (
+        probed.join(f2, "l_returnflag")
+        .select(
+            F.lit("point").alias("metric"),
+            "l_returnflag",
+            F.col("l_partkey").cast("bigint").alias("l_partkey"),
+            F.col("cnt").cast("bigint").alias("exact_value"),
+            (F.abs(F.col("cs_estimate") - F.col("cnt"))
+             <= 4 * F.sqrt(F.col("f2") / F.lit(2048.0))).alias("ok"),
+        )
+    )
+    return f2_rows.unionByName(point_rows).orderBy(
+        "metric", "l_returnflag", "l_partkey"
+    )
+
+
+def q_p2_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity P² median AND equiprobable histogram (b=8) of
+    n_chars per lang in one sequential pass over the doc_id-ordered stream
+    (P² is not mergeable — SURVEY §2.2; this is the parity mode, KLL is the
+    scale mode).  Exact quantiles (linear interpolation = DuckDB
+    quantile_cont) are value-hash-gated; the P² median folds into p2_ok
+    (empirical 0.15*IQR envelope) and each histogram marker into ok_m
+    (min/max exact; middle markers 0.12*range — measured worst 0.056)."""
+    docs = load_table(spark, "documents", sf_dir).select("lang", "doc_id", "n_chars")
+
+    def p2_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..sketches import P2Histogram, P2Quantile
+
+        xs = pdf.sort_values("doc_id")["n_chars"].to_numpy(np.float64)
+        q = P2Quantile(0.5)
+        h = P2Histogram(8)
+        for x in xs:
+            q.add(float(x))
+            h.add(float(x))
+        exact = float(np.quantile(xs, 0.5, method="linear"))
+        iqr = float(np.quantile(xs, 0.75) - np.quantile(xs, 0.25))
+        span = float(xs.max() - xs.min())
+        rec = {
+            "lang": pdf["lang"].iloc[0],
+            "exact_median": round(exact, 6),
+            "n_obs": q.count(4),
+            "p2_ok": bool(abs(q.estimate(2) - exact) <= 0.15 * max(iqr, 1.0)),
+        }
+        for m in range(9):
+            qe = float(np.quantile(xs, m / 8, method="linear"))
+            tol = 1e-9 if m in (0, 8) else 0.12 * max(span, 1.0)
+            rec[f"q_{m}"] = round(qe, 6)
+            rec[f"ok_{m}"] = bool(abs(h.estimate(m) - qe) <= tol)
+        return pd.DataFrame([rec])
+
+    schema = ("lang string, exact_median double, n_obs long, p2_ok boolean, "
+              + ", ".join(f"q_{m} double, ok_{m} boolean" for m in range(9)))
+    return docs.groupBy("lang").applyInPandas(p2_group, schema).orderBy("lang")
+
+
+def q_checkpoint_resume_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 driver gate — checkpointed per-partition sketch lineage + resume
+    (north_rule: "resumable from checkpoint with per-partition lineage";
+    reference analogue: luasandbox serialize/restore,
+    lua_binding/cm_sketch.c:167-202): build per-event-type HLL partials
+    with lineage, WITHHOLD half the partitions' partials (simulated
+    executor loss), then resume against the same checkpoint — stage 1
+    reruns ONLY the missing partitions (completed ones are pruned
+    JVM-side) and the merged estimates must equal an uninterrupted run's
+    exactly (register merge is order-independent).  Gates: exact distinct
+    per type value-hash-gated vs DuckDB; hll_ok (published 3σ bound),
+    resume_matches_ok (resumed == uninterrupted, per type),
+    partials_reused_ok (the four surviving partitions' partials were NOT
+    recomputed — lineage shows exactly 8 partitions, each once)."""
+    import shutil
+    import tempfile
+
+    from ..checkpoint import SketchCheckpoint
+    from ..operators.sketch_agg import encode_utf8
+    from ..sketches import HyperLogLog
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", F.col("user_id").cast("string").alias("user_id"))
+        .repartition(8, "user_id")
+    )
+
+    def _update(sk, pdf):
+        sk.update_batch(encode_utf8(pdf["user_id"]))
+
+    kw = dict(
+        factory=lambda: HyperLogLog(14),
+        update=_update,
+        from_bytes=HyperLogLog.from_bytes,
+        finalize=lambda sk, rows: {"approx_distinct": int(round(sk.estimate())),
+                                   "rows_seen": rows},
+        out_value_schema="approx_distinct bigint, rows_seen bigint",
+    )
+    base_dir = tempfile.mkdtemp(prefix="sas_ckpt_base_")
+    broken_dir = tempfile.mkdtemp(prefix="sas_ckpt_broken_")
+    try:
+        base = {r["event_type"]: r["approx_distinct"] for r in
+                SketchCheckpoint(spark, base_dir, "q").run(
+                    ev, ["event_type"], **kw).collect()}
+        broken = SketchCheckpoint(spark, broken_dir, "q")
+        broken.run(ev, ["event_type"],
+                   fail_partitions=frozenset({0, 2, 4, 6}), **kw).collect()
+        reused = broken.completed_partitions()
+        resumed_ck = SketchCheckpoint(spark, broken_dir, "q")
+        resumed = {r["event_type"]: r["approx_distinct"] for r in
+                   resumed_ck.run(ev, ["event_type"], **kw).collect()}
+        lineage = resumed_ck.lineage_metrics().collect()
+        pids = sorted(r["partition_id"] for r in lineage)
+        reused_ok = bool(
+            reused == frozenset({1, 3, 5, 7}) and pids == list(range(8))
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+        shutil.rmtree(broken_dir, ignore_errors=True)
+
+    est = spark.createDataFrame(
+        [(t, int(base[t]), int(resumed.get(t, -1))) for t in sorted(base)],
+        "event_type string, _base long, _resumed long",
+    )
+    exact = load_table(spark, "events", sf_dir).groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    rse = 1.04 / np.sqrt(2 ** 14)
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("_resumed") - F.col("exact_distinct"))
+                <= F.greatest(3 * rse * F.col("exact_distinct"), F.lit(3.0))
+            ).alias("hll_ok"),
+            (F.col("_resumed") == F.col("_base")).alias("resume_matches_ok"),
+            F.lit(reused_ok).alias("partials_reused_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 
+# EXACTLY 50 entries: the round driver's correctness harness gates the
+# first 50 registry queries (CORRECTNESS_r03 recorded rows for precisely
+# the first 50 of 54, in dict order — the last 4 never ran).  Related
+# queries are therefore MERGED (streaming trio, token set-ops pair,
+# count-sketch pair, P² pair), keeping every operator gate while fitting
+# the whole registry inside the budget.  Do not grow past 50 — merge.
 QUERIES = {
     "hll_distinct_users": q_hll_distinct_users,
     "welford_lineitem": q_welford_lineitem,
@@ -1870,18 +2168,17 @@ QUERIES = {
     "simhash_dup_pairs_documents": q_simhash_dup_pairs_documents,
     "fingerprints_documents": q_fingerprints_documents,
     "quality_profile_documents": q_quality_profile_documents,
-    "p2_quantile_documents": q_p2_quantile_documents,
-    "p2_histogram_documents": q_p2_histogram_documents,
+    "p2_profile_documents": q_p2_profile_documents,
     "matrix_profile_events": q_matrix_profile_events,
     "lsh_topk_embeddings": q_lsh_topk_embeddings,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
-    "token_overlap_langs": q_token_overlap_langs,
+    "token_setops_langs": q_token_setops_langs,
     "hll_rollup_documents": q_hll_rollup_documents,
     "media_features_documents": q_media_features_documents,
     "html_extract_documents": q_html_extract_documents,
     "fd_gram_embeddings": q_fd_gram_embeddings,
     "salted_hll_tokens_documents": q_salted_hll_tokens_documents,
-    "countsketch_f2_lineitem": q_countsketch_f2_lineitem,
+    "countsketch_lineitem": q_countsketch_lineitem,
     "url_canon_documents": q_url_canon_documents,
     "host_topk_documents": q_host_topk_documents,
     "packing_documents": q_packing_documents,
@@ -1891,14 +2188,11 @@ QUERIES = {
     "pii_documents": q_pii_documents,
     "tfidf_documents": q_tfidf_documents,
     "split_documents": q_split_documents,
-    "countsketch_hh_lineitem": q_countsketch_hh_lineitem,
-    "streaming_hll_events": q_streaming_hll_events,
+    "streaming_sketches_events": q_streaming_sketches_events,
+    "weighted_sample_documents": q_weighted_sample_documents,
+    "checkpoint_resume_events": q_checkpoint_resume_events,
     "sample_documents": q_sample_documents,
     "contamination_documents": q_contamination_documents,
-    "streaming_dedup_events": q_streaming_dedup_events,
-    "streaming_kll_events": q_streaming_kll_events,
-    "token_diff_langs": q_token_diff_langs,
-    "weighted_sample_documents": q_weighted_sample_documents,
 }
 
 _STOP_EN = "['the','a','and','of','to','in','is']"
@@ -2203,7 +2497,10 @@ ORACLES = {
     # exact sizes/intersections are value-hash-gated (string joins here,
     # token-hash joins Spark-side — same 64-bit-collision trade as the LSH
     # layer); the HLL union/inclusion-exclusion estimates fold into booleans
-    "token_overlap_langs": """
+    # both sketch-set-algebra families in one gate: exact sizes,
+    # intersections and one-sided differences re-derived by string joins;
+    # HLL inclusion-exclusion and Theta/KMV estimates fold into booleans
+    "token_setops_langs": """
         WITH toks AS (
             SELECT DISTINCT lang, token FROM (
                 SELECT lang,
@@ -2225,8 +2522,13 @@ ORACLES = {
         SELECT g.lang_a, g.lang_b,
                sa.n AS n_a, sb.n AS n_b,
                CAST(COALESCE(i.i, 0) AS BIGINT) AS n_inter,
+               CAST(sa.n - COALESCE(i.i, 0) AS BIGINT) AS n_a_minus_b,
+               CAST(sb.n - COALESCE(i.i, 0) AS BIGINT) AS n_b_minus_a,
                TRUE AS union_ok,
-               TRUE AS inter_ok
+               TRUE AS inter_ok,
+               TRUE AS diff_ab_ok,
+               TRUE AS diff_ba_ok,
+               TRUE AS theta_union_ok
         FROM grid g
         JOIN sizes sa ON sa.lang = g.lang_a
         JOIN sizes sb ON sb.lang = g.lang_b
@@ -2286,40 +2588,6 @@ ORACLES = {
             FROM s
         ) WHERE rn <= 20 ORDER BY lang, doc_id
     """,
-    # theta-sketch set difference: exact one-sided differences are
-    # value-hash-gated (string token joins; Spark joins the same distinct
-    # token set); theta estimates fold into 4σ-of-union booleans
-    "token_diff_langs": """
-        WITH toks AS (
-            SELECT DISTINCT lang, token FROM (
-                SELECT lang,
-                       UNNEST(string_split_regex(trim(text), '\\s+')) AS token
-                FROM documents
-            )
-        ),
-        sizes AS (SELECT lang, COUNT(*) AS n FROM toks GROUP BY lang),
-        grid AS (
-            SELECT a.lang AS lang_a, b.lang AS lang_b
-            FROM (SELECT DISTINCT lang FROM toks) a
-            JOIN (SELECT DISTINCT lang FROM toks) b ON a.lang < b.lang
-        ),
-        inter AS (
-            SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS i
-            FROM toks a JOIN toks b ON a.token = b.token AND a.lang < b.lang
-            GROUP BY 1, 2
-        )
-        SELECT g.lang_a, g.lang_b,
-               CAST(sa.n - COALESCE(i.i, 0) AS BIGINT) AS n_a_minus_b,
-               CAST(sb.n - COALESCE(i.i, 0) AS BIGINT) AS n_b_minus_a,
-               TRUE AS diff_ab_ok,
-               TRUE AS diff_ba_ok,
-               TRUE AS union_ok
-        FROM grid g
-        JOIN sizes sa ON sa.lang = g.lang_a
-        JOIN sizes sb ON sb.lang = g.lang_b
-        LEFT JOIN inter i ON i.lang_a = g.lang_a AND i.lang_b = g.lang_b
-        ORDER BY 1, 2
-    """,
     # asymmetric containment (train slice x eval slice), exact — full SQL
     # re-derivation with the same word-3-gram shingles as the Jaccard oracles
     "contamination_documents": """
@@ -2355,23 +2623,38 @@ ORACLES = {
                     ELSE '{_sampling.hex_threshold(0.6)}' END)
         ORDER BY doc_id
     """,
-    # streaming: the exact per-type distinct is value-hash-gated; the
-    # multi-micro-batch HLL state properties fold into booleans
-    "streaming_hll_events": """
+    # all three streaming sketch-state pipelines in one row set: exact
+    # values (per-type distinct, per-type median, global distinct) are
+    # value-hash-gated; every state/bound property folds into ok_a/ok_b
+    "streaming_sketches_events": """
+        SELECT * FROM (
+            SELECT 'bloom_dedup' AS metric, '(all)' AS grp,
+                   CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS exact_value,
+                   TRUE AS ok_a, TRUE AS ok_b
+            FROM events
+            UNION ALL
+            SELECT 'hll_distinct' AS metric, event_type AS grp,
+                   CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS exact_value,
+                   TRUE AS ok_a, TRUE AS ok_b
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'kll_median' AS metric, event_type AS grp,
+                   ROUND(quantile_cont(value, 0.5), 6) AS exact_value,
+                   TRUE AS ok_a, TRUE AS ok_b
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY event_type
+        ) ORDER BY metric, grp
+    """,
+    # EP3 checkpoint/resume: exact per-type distinct value-hash-gated; the
+    # resume-equivalence and lineage-reuse properties fold into booleans
+    "checkpoint_resume_events": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS exact_distinct,
                TRUE AS hll_ok,
-               TRUE AS multi_batch_ok
+               TRUE AS resume_matches_ok,
+               TRUE AS partials_reused_ok
         FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    # streaming bloom dedup: exact distinct value-hash-gated; cross-batch
-    # suppression / subset / completeness fold into booleans
-    "streaming_dedup_events": """
-        SELECT COUNT(DISTINCT user_id) AS exact_distinct,
-               TRUE AS no_dup_emits_ok,
-               TRUE AS subset_ok,
-               TRUE AS complete_ok
-        FROM events
     """,
     # multimodal: content features over the text payload (octet length,
     # sha256, per-doc char entropy — ASCII text, so bytes == chars), native
@@ -2565,18 +2848,6 @@ ORACLES = {
                  CAST(regexp_extract(host, 'host([0-9]+)', 1) AS INT) ASC
         LIMIT 5
     """,
-    # streaming KLL: the exact per-type median (linear interpolation) is
-    # value-hash-gated; the streaming sketch's rank-error and the
-    # multi-micro-batch state property fold into booleans
-    "streaming_kll_events": """
-        SELECT event_type,
-               ROUND(quantile_cont(value, 0.5), 6) AS exact_median,
-               TRUE AS kll_ok,
-               TRUE AS multi_batch_ok
-        FROM events
-        WHERE value IS NOT NULL AND NOT isnan(value)
-        GROUP BY event_type ORDER BY event_type
-    """,
     # deterministic splits: the same digest-vs-cumulative-threshold CASE,
     # thresholds inlined from hex_threshold at import time.  The second
     # threshold uses the SAME float accumulation as split_assign
@@ -2707,20 +2978,12 @@ ORACLES = {
     """,
     # exact F2 (self-join size) is value-hash-gated; the AMS estimate folds
     # into f2_ok within the published sqrt(8/width) relative bound
-    "countsketch_f2_lineitem": """
-        WITH c AS (
-            SELECT l_returnflag, l_partkey, COUNT(*) AS cnt
-            FROM lineitem GROUP BY 1, 2
-        )
-        SELECT l_returnflag,
-               CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2,
-               TRUE AS f2_ok
-        FROM c GROUP BY 1 ORDER BY 1
-    """,
-    # exact top-10 per-key counts (deterministic tie-break) are value-hash-
-    # gated; the Count-Sketch point estimate folds into hh_ok within the
-    # published 4*sqrt(F2/width) guarantee computed from the EXACT F2
-    "countsketch_hh_lineitem": """
+    # both Count-Sketch capabilities in one gate: exact F2 (metric='f2',
+    # l_partkey=-1) and exact top-10 per-key counts (metric='point', with
+    # the deterministic cnt DESC / partkey ASC tie-break) are value-hash-
+    # gated; AMS F2 and signed-median point estimates fold into ok within
+    # their published bounds (sqrt(8/w); 4*sqrt(F2/w) with the EXACT F2)
+    "countsketch_lineitem": """
         WITH c AS (
             SELECT l_returnflag, l_partkey, COUNT(*) AS cnt
             FROM lineitem GROUP BY 1, 2
@@ -2731,8 +2994,19 @@ ORACLES = {
                                       ORDER BY cnt DESC, l_partkey ASC) AS rn
             FROM c
         )
-        SELECT l_returnflag, l_partkey, cnt AS exact_cnt, TRUE AS hh_ok
-        FROM t WHERE rn <= 10 ORDER BY 1, 2
+        SELECT * FROM (
+            SELECT 'f2' AS metric, l_returnflag,
+                   CAST(-1 AS BIGINT) AS l_partkey,
+                   CAST(SUM(cnt * cnt) AS BIGINT) AS exact_value,
+                   TRUE AS ok
+            FROM c GROUP BY l_returnflag
+            UNION ALL
+            SELECT 'point' AS metric, l_returnflag,
+                   CAST(l_partkey AS BIGINT) AS l_partkey,
+                   CAST(cnt AS BIGINT) AS exact_value,
+                   TRUE AS ok
+            FROM t WHERE rn <= 10
+        ) ORDER BY metric, l_returnflag, l_partkey
     """,
     # exact distinct-token counts are value-hash-gated; the salted 3-stage
     # HLL estimate folds into hll_ok (same bound as hll_distinct_users —
@@ -2805,18 +3079,14 @@ ORACLES = {
                      + LEAST(sr * 10.0, 1.0) * 0.3, 6) AS quality
         FROM s ORDER BY doc_id
     """.replace("{langid}", _langid_case()),
-    # exact linear-interpolated median is value-hash-gated; the P² estimate
-    # folds into p2_ok (empirical 0.15*IQR envelope — see the query docstring)
-    "p2_quantile_documents": """
+    # exact linear-interpolated median AND the m/8 histogram quantiles are
+    # value-hash-gated in one row per lang; the P² median folds into p2_ok
+    # (empirical 0.15*IQR envelope) and each marker into ok_m
+    "p2_profile_documents": """
         SELECT lang,
                ROUND(quantile_cont(n_chars, 0.5), 6) AS exact_median,
                COUNT(*) AS n_obs,
-               TRUE AS p2_ok
-        FROM documents GROUP BY lang ORDER BY lang
-    """,
-    # exact quantiles at m/8 are value-hash-gated; P² markers fold into ok_m
-    "p2_histogram_documents": """
-        SELECT lang,
+               TRUE AS p2_ok,
                """ + ",\n               ".join(
         f"ROUND(quantile_cont(n_chars, {m}/8.0), 6) AS q_{m},\n"
         f"               TRUE AS ok_{m}" for m in range(9)
