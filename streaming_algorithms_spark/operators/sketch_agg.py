@@ -351,6 +351,30 @@ def sketch_rollup(df: DataFrame, keys: Sequence[str], factory,
     return res
 
 
+# pairs=None enumerates ALL (a < b) key combinations on the driver — an
+# O(K^2) list that is only sane for low-cardinality group keys (langs,
+# event types, shards).  Above this many keys the all-pairs default refuses
+# and callers must pass an explicit pairs= subset (or restructure around a
+# join).  512 keys = 130,816 pairs ≈ the most a driver list / one merge
+# stage should ever carry.
+MAX_AUTO_PAIR_KEYS = 512
+
+
+def _enumerate_all_pairs(merged: DataFrame, key_col: str, op: str) -> list:
+    """Driver-side all-pairs enumeration with the documented cardinality
+    guard: collects only the merged per-key sketch table's keys (already
+    dimension-sized), refuses past MAX_AUTO_PAIR_KEYS."""
+    ks = sorted(r[key_col] for r in merged.select(key_col).collect())
+    if len(ks) > MAX_AUTO_PAIR_KEYS:
+        raise ValueError(
+            f"{op}: {len(ks)} distinct {key_col!r} keys would enumerate "
+            f"{len(ks) * (len(ks) - 1) // 2} pairs driver-side "
+            f"(cap {MAX_AUTO_PAIR_KEYS} keys); pass an explicit pairs= "
+            "subset for high-cardinality keys"
+        )
+    return [(a, b) for i, a in enumerate(ks) for b in ks[i + 1:]]
+
+
 def hll_pairwise_overlap(df: DataFrame, key_col: str, col: str,
                          pairs: Sequence[tuple] = None, p: int = 14,
                          col_is_hash: bool = False) -> DataFrame:
@@ -385,8 +409,7 @@ def hll_pairwise_overlap(df: DataFrame, key_col: str, col: str,
     spark = df.sparkSession
     kt = df.schema[key_col].dataType.simpleString()
     if pairs is None:
-        ks = sorted(r[key_col] for r in merged.select(key_col).collect())
-        pairs = [(a, b) for i, a in enumerate(ks) for b in ks[i + 1:]]
+        pairs = _enumerate_all_pairs(merged, key_col, "hll_pairwise_overlap")
     pairs_df = spark.createDataFrame(list(pairs), f"key_a {kt}, key_b {kt}")
     sa = merged.select(F.col(key_col).alias("key_a"), F.col("sketch").alias("_ska"))
     sb = merged.select(F.col(key_col).alias("key_b"), F.col("sketch").alias("_skb"))
@@ -450,8 +473,7 @@ def kmv_pairwise_set_ops(df: DataFrame, key_col: str, col: str,
     spark = df.sparkSession
     kt = df.schema[key_col].dataType.simpleString()
     if pairs is None:
-        ks = sorted(r[key_col] for r in merged.select(key_col).collect())
-        pairs = [(a, b) for i, a in enumerate(ks) for b in ks[i + 1:]]
+        pairs = _enumerate_all_pairs(merged, key_col, "kmv_pairwise_set_ops")
     pairs_df = spark.createDataFrame(list(pairs), f"key_a {kt}, key_b {kt}")
     sa = merged.select(F.col(key_col).alias("key_a"), F.col("sketch").alias("_ska"))
     sb = merged.select(F.col(key_col).alias("key_b"), F.col("sketch").alias("_skb"))

@@ -321,24 +321,74 @@ def q_bottomk_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.8) via the scale
-    path: LSH-banded candidates + exact JVM-side cosine rerank — no driver
-    collect of the corpus, no all-pairs shuffle.  Exact rerank means no
-    false positives, so the brute-force SQL pair set is the oracle; LSH
-    recall on planted high-cosine dups is gated in pytest.
+    path (LSH-banded candidates + exact JVM-side cosine rerank — no driver
+    collect, no all-pairs shuffle), gated by the planted-recall-boolean
+    pattern (replacing round-3's exact pair-set equality, which passed only
+    because the frozen corpus has zero qualifying pairs and would redden
+    permanently on any corpus refresh with a boundary pair):
 
-    Gate-brittleness note: candidate recall for a pair sitting EXACTLY at
-    the 0.8 threshold is ~0.88 at the operator defaults (n_bits=8,
-    n_tables=12), so the pair-set-equality gate is probabilistic in
-    principle — but every seed is fixed and the driver corpus is frozen
-    (this table has NO pairs >= 0.8: both sides emit the empty set), so the
-    comparison is fully deterministic per corpus.  If the corpus ever
-    changes, re-check for boundary pairs or switch this gate to the
-    lsh_topk planted-recall-boolean pattern."""
-    from ..operators.similarity import embedding_near_dup_pairs
+    - n_exact_pairs — the brute-force pair count, value-hash-gated vs the
+      DuckDB all-pairs re-derivation (both engines in float64);
+    - found_subset_ok — every LSH-found pair is in the exact set (the
+      exact-rerank no-false-positives contract);
+    - corpus_recall_ok — LSH finds >= 90% of the exact pairs (vacuous at
+      zero pairs, by design — the binding gate is the planted one);
+    - planted_recall_ok — 100 deterministic near-dups (cosine ~0.989,
+      v' = normalize(v + 0.15*unit-noise), seeds fixed per id) planted
+      into a 200-row mini-corpus must be recovered as (v, v+10^7) pairs
+      with recall >= 0.95 (Charikar expectation ~1 - 2e-8 per pair at
+      n_bits=8, n_tables=12 — a broken banding/bucket join collapses it)."""
+    from ..operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_bruteforce,
+    )
 
-    emb = load_table(spark, "embeddings", sf_dir)
-    return embedding_near_dup_pairs(emb, "vec_id", "embedding",
-                                    threshold=0.8).orderBy("id_a", "id_b")
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    found = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.8)
+    exact = embedding_near_dup_pairs_bruteforce(emb, "vec_id", "embedding",
+                                                threshold=0.8)
+    j = (
+        exact.select("id_a", "id_b").withColumn("_e", F.lit(1))
+        .join(found.select("id_a", "id_b").withColumn("_f", F.lit(1)),
+              ["id_a", "id_b"], "full")
+    )
+    n_exact = F.coalesce(F.sum("_e"), F.lit(0))
+    n_hit = F.coalesce(
+        F.sum(F.when(F.col("_f").isNotNull() & F.col("_e").isNotNull(), 1)),
+        F.lit(0),
+    )
+    n_stray = F.coalesce(
+        F.sum(F.when(F.col("_f").isNotNull() & F.col("_e").isNull(), 1)),
+        F.lit(0),
+    )
+    stats = j.agg(
+        n_exact.cast("bigint").alias("n_exact_pairs"),
+        (n_stray == 0).alias("found_subset_ok"),
+        (n_hit >= F.floor(n_exact * 0.9)).alias("corpus_recall_ok"),
+    )
+
+    def perturb(batches):
+        for pdf in batches:
+            ids, vecs = [], []
+            for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
+                rng = np.random.default_rng(int(vid) + 7)
+                v = np.asarray(v, np.float64)
+                v = v / np.linalg.norm(v)
+                u = rng.normal(size=v.size)
+                w = v + 0.15 * u / np.linalg.norm(u)
+                ids.append(int(vid) + 10_000_000)
+                vecs.append((w / np.linalg.norm(w)).astype(np.float32))
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    base = emb.filter(F.col("vec_id") < 100)
+    planted = base.mapInPandas(perturb, "vec_id long, embedding array<float>")
+    pl = embedding_near_dup_pairs(base.unionByName(planted), "vec_id",
+                                  "embedding", threshold=0.8)
+    pl_stats = (
+        pl.filter(F.col("id_b") == F.col("id_a") + 10_000_000)
+        .agg((F.count("*") >= 95).alias("planted_recall_ok"))
+    )
+    return stats.crossJoin(pl_stats)
 
 
 def q_token_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2340,15 +2390,20 @@ ORACLES = {
                TRUE AS kmv_ok
         FROM documents GROUP BY lang ORDER BY lang
     """,
+    # planted-recall gate: the exact brute-force pair COUNT is value-hash-
+    # gated; subset/recall/planted-recall properties fold into booleans
     "embedding_near_dups": """
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])), 6)
-                   AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.8
-        ORDER BY id_a, id_b
+        WITH p AS (
+            SELECT COUNT(*) AS n
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.8
+        )
+        SELECT CAST(n AS BIGINT) AS n_exact_pairs,
+               TRUE AS found_subset_ok,
+               TRUE AS corpus_recall_ok,
+               TRUE AS planted_recall_ok
+        FROM p
     """,
     "token_heavy_hitters_documents": """
         WITH toks AS (

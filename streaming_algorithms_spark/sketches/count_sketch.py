@@ -16,7 +16,11 @@ Guarantees (published):
 Mergeable: the sketch is LINEAR in the input (signed sums), so merge is
 element-wise addition — exact associativity/commutativity, any partition
 order.  Row hashing is multiply-shift (Dietzfelbinger) over a precomputed
-64-bit key hash, fully vectorized: one (d x batch) multiply per update.
+64-bit key hash, fully vectorized: two (d x batch) multiplies per update —
+the bucket index and the +-1 sign come from SEPARATE multiply-shift
+draws (independent (a, b) constants per row), as the published variance
+bounds assume an independent sign hash; deriving the sign from a bit of
+the bucket product would make the guarantees merely empirical.
 
 Reference provenance: extends the reference's CMS family
 (library/src/cm_sketch.c — same create/update/query/serialize surface)
@@ -29,7 +33,10 @@ import struct
 
 import numpy as np
 
-_MAGIC = b"CSK1"
+# CSK2: sign hash switched to an independent multiply-shift draw (CSK1
+# derived it from a bit of the bucket product); estimates differ, so the
+# magic bump keeps stale CSK1 partials from silently merging
+_MAGIC = b"CSK2"
 
 # fixed multiply-shift parameters per row (odd constants, splitmix-derived;
 # deterministic across engines/partitions)
@@ -57,18 +64,23 @@ class CountSketch:
         self.table = np.zeros((depth, width), np.int64)
         self.n_items = 0
         self._a, self._b = _row_params(depth, seed)
+        # independent constants for the sign hash (see _buckets_signs)
+        self._sa, self._sb = _row_params(depth, seed + 0x5B5AD4F)
         self._wbits = int(width).bit_length() - 1
 
     def _buckets_signs(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(d, n) bucket indices and +-1 signs from 64-bit key hashes —
-        one vectorized multiply-shift per row."""
+        two vectorized multiply-shifts per row.  The sign comes from the
+        TOP BIT of its own multiply-shift draw (separate (a, b) constants),
+        independent of the bucket draw: the Charikar/AMS variance analyses
+        require the sign hash pairwise/4-wise independent of bucketing —
+        adjacent bits of one product are not."""
         h = h.astype(np.uint64)
         with np.errstate(over="ignore"):
             g = self._a[:, None] * h[None, :] + self._b[:, None]  # (d, n)
+            g2 = self._sa[:, None] * h[None, :] + self._sb[:, None]
         bucket = (g >> np.uint64(64 - self._wbits)).astype(np.int64)
-        # next bit below the bucket bits decides the sign
-        sign = (((g >> np.uint64(63 - self._wbits)) & np.uint64(1))
-                .astype(np.int64) * 2 - 1)
+        sign = ((g2 >> np.uint64(63)).astype(np.int64) * 2 - 1)
         return bucket, sign
 
     def update_hashes(self, h: np.ndarray, counts: np.ndarray | None = None) -> None:

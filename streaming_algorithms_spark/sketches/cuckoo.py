@@ -16,6 +16,16 @@ A small stash (Kirsch-Mitzenmacher-Wieder) catches the victim fingerprint
 when an eviction chain exhausts its kicks: the no-false-negatives contract
 survives an over-capacity condition — the victim lands in the stash (and is
 checked by contains/delete) instead of being silently dropped.
+
+Early-fail trade-off (deliberate, conservative): once the stash is FULL,
+any insert that would need an eviction chain fails immediately — even
+though some chains would have found an empty slot without producing a
+final victim.  Attempting the chain first would require undoing mutated
+slots on failure (kicks move fingerprints as they go); failing before any
+mutation keeps inserts atomic at the cost of declaring "over capacity"
+slightly before true capacity.  At the standard 95% load factor the
+filter is deep into degraded territory by the time 32 stash slots are
+occupied, so the early refusal costs a negligible sliver of capacity.
 """
 
 from __future__ import annotations

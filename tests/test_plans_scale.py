@@ -234,3 +234,21 @@ def test_sequence_packing_two_pass_no_corpus_global_window(spark, webpages_parqu
         agg = below.find("HashAggregate")
         scan = below.find("FileScan")
         assert agg != -1 and (scan == -1 or agg < scan), plan
+
+
+def test_load_table_iceberg_branch_requests_iceberg_source(spark):
+    """format='iceberg' must actually go through the Iceberg DataSource
+    (the claim is code, not a comment): without iceberg jars in the
+    sandbox the read attempt fails by naming the missing 'iceberg'
+    source/class — proving the branch requested it.  Unknown formats
+    raise ValueError."""
+    import pytest as _pytest
+
+    from streaming_algorithms_spark.sources.tables import load_table
+
+    with _pytest.raises(Exception) as exc:
+        load_table(spark, "events", "warehouse.cc", format="iceberg")
+    assert "iceberg" in str(exc.value).lower()
+
+    with _pytest.raises(ValueError, match="unknown format"):
+        load_table(spark, "events", format="csv")

@@ -264,3 +264,25 @@ def test_kmv_theta_set_ops_known_overlap(spark):
     assert est["theta"] == 1.0
     assert est["est_union"] == 160 and est["est_intersection"] == 40
     assert est["est_a_minus_b"] == 60 and est["est_b_minus_a"] == 60
+
+
+def test_pairwise_all_pairs_enumeration_capped(spark):
+    """pairs=None enumerates O(K^2) pairs on the driver — fine for lang/
+    event-type cardinality, refused past MAX_AUTO_PAIR_KEYS with the
+    pairs= escape hatch named in the error (a high-cardinality key must
+    never silently build a million-element driver list)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark.operators.sketch_agg import (
+        MAX_AUTO_PAIR_KEYS,
+        _enumerate_all_pairs,
+    )
+
+    small = spark.range(4).select(F.col("id").alias("k"))
+    pairs = _enumerate_all_pairs(small, "k", "op")
+    assert len(pairs) == 6 and pairs[0] == (0, 1)
+
+    big = spark.range(MAX_AUTO_PAIR_KEYS + 1).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="pairs="):
+        _enumerate_all_pairs(big, "k", "op")
