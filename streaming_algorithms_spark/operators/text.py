@@ -290,53 +290,53 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Output: (id, n_tokens, dup_3gram_frac, top_2gram_frac), fractions
     rounded to 6dp, NULL when the doc is too short to have the n-grams.
-    Shape: ONE narrow projection, zero shuffles — both stats are array-
-    local.  The top-2-gram multiplicity is computed per doc as the longest
-    equal-run of the SORTED gram array (an O(n log n) Catalyst ``aggregate``
-    fold), so no corpus-sized 2-gram strings ever cross a shuffle (the
-    CLAUDE.md hashes-not-strings rule; the round-3 explode+groupBy plan
-    shuffled every 2-gram in the corpus and was the bench outlier).  Still
-    exact, so the full-parity SQL oracle is unchanged."""
+
+    Shape — measured at sf0.1/local[32] (fastest JVM-native variant):
+    n-grams come from ``pyspark.ml.feature.NGram`` (Scala-side, one pass;
+    a Catalyst ``transform``-lambda construction evaluates INTERPRETED per
+    element and measured ~9x slower, an ``aggregate`` run-length fold
+    slower still), the 3-gram stat is array-local (no shuffle), and the
+    top-2-gram count shuffles only JVM-computed ``xxhash64`` values — the
+    CLAUDE.md hashes-not-strings rule; round 3 shuffled every 2-gram
+    STRING in the corpus and was the bench outlier.  Within-doc hash
+    collisions would merge two grams' counts: P ~ sum n_doc^2/2^65
+    (~3e-10 for a 50k-doc corpus) — accepted; the full-parity oracle
+    would surface one immediately."""
+    from pyspark.ml.feature import NGram
+
     toks = fn.tokens(F.col(text_col))
     n = F.size(toks)
-    tri = F.when(
-        n >= 3,
-        F.transform(F.sequence(F.lit(0), n - 3),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3))),
-    )
-    bi_sorted = F.when(
-        n >= 2,
-        F.array_sort(
-            F.transform(F.sequence(F.lit(0), n - 2),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
-        ),
-    )
-
-    def _run(acc, x):
-        # current run length if x extends the previous gram, else 1;
-        # x == NULL prev (first element) falls to the otherwise branch
-        nxt = (F.when(x == acc["prev"], acc["run"] + 1)
-               .otherwise(F.lit(1).cast("long")))
-        return F.struct(x.alias("prev"), nxt.alias("run"),
-                        F.greatest(acc["best"], nxt).alias("best"))
-
-    top_mult = F.aggregate(
-        bi_sorted,
-        F.struct(F.lit(None).cast("string").alias("prev"),
-                 F.lit(0).cast("long").alias("run"),
-                 F.lit(0).cast("long").alias("best")),
-        _run,
-        lambda acc: acc["best"],
-    )
-    return df.select(
+    # NGram's Scala UDF needs a non-NULL array; n_tokens keeps the
+    # NULL-text -> NULL contract by deriving from the raw tokens expression
+    toked = df.select(
         F.col(id_col),
         n.alias("n_tokens"),
-        F.when(n >= 3, F.round(
-            1.0 - F.size(F.array_distinct(tri)) / F.size(tri), 6
-        )).alias("dup_3gram_frac"),
-        F.when(n >= 2, F.round(top_mult / F.size(bi_sorted), 6))
-         .alias("top_2gram_frac"),
+        F.coalesce(toks, F.array()).alias("_toks"),
     )
+    g = NGram(n=3, inputCol="_toks", outputCol="_tri").transform(toked)
+    g = NGram(n=2, inputCol="_toks", outputCol="_bi").transform(g)
+    nt = F.col("n_tokens")
+    base = g.select(
+        F.col(id_col),
+        nt,
+        F.when(nt >= 3, F.round(
+            1.0 - F.size(F.array_distinct("_tri")) / F.size("_tri"), 6
+        )).alias("dup_3gram_frac"),
+        F.col("_bi"),
+    )
+    bi = (
+        base.select(F.col(id_col),
+                    F.explode(F.when(nt >= 2, F.col("_bi"))).alias("gram"))
+        .select(F.col(id_col), F.xxhash64("gram").alias("_g"))
+    )
+    top = (
+        bi.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_total"))
+        .select(F.col(id_col),
+                F.round(F.col("_top") / F.col("_total"), 6).alias("top_2gram_frac"))
+    )
+    return base.drop("_bi").join(top, id_col, "left")
 
 
 def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -854,6 +854,7 @@ def test_repetition_profile_known_values(spark):
         (1, "w x y z"),                 # no repetition: all tri/bi distinct
         (2, "q r"),                     # too short for 3-grams
         (3, "solo"),                    # too short for anything
+        (4, None),                      # NULL text -> all metrics NULL
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in
@@ -865,6 +866,8 @@ def test_repetition_profile_known_values(spark):
     assert out[2]["dup_3gram_frac"] is None
     assert out[2]["top_2gram_frac"] == 1.0
     assert out[3]["dup_3gram_frac"] is None and out[3]["top_2gram_frac"] is None
+    assert (out[4]["n_tokens"] is None and out[4]["dup_3gram_frac"] is None
+            and out[4]["top_2gram_frac"] is None)
 
 
 def test_unigram_logprob_known_values(spark):
