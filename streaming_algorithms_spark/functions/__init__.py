@@ -35,9 +35,13 @@ def char_count(col) -> Column:
 
 
 def avg_token_len(col) -> Column:
-    t = tokens(col)
-    return F.aggregate(t, F.lit(0).cast("long"),
-                       lambda acc, x: acc + F.length(x)).cast("double") / F.size(t)
+    # sum of token lengths == length of the text with ALL whitespace removed
+    # (tokens are exactly the non-whitespace runs; the trim-split ['']
+    # degenerate contributes 0 either way) — one codegen'd regexp_replace
+    # instead of a per-token aggregate lambda, which evaluates INTERPRETED
+    # per element (measured ~9x slower on the repetition n-gram path)
+    return (F.length(F.regexp_replace(col, r"\s+", "")).cast("double")
+            / F.size(tokens(col)))
 
 
 def punct_ratio(col) -> Column:
@@ -47,8 +51,17 @@ def punct_ratio(col) -> Column:
 
 
 def stopword_count(col, lang: str) -> Column:
+    """Number of token OCCURRENCES equal to a stopword — one codegen'd
+    regexp_extract_all pass.  The pattern anchors each alternative to the
+    surrounding whitespace ((?<=\\s)|^ before, (?=\\s|$) after), which is
+    exactly the run-between-whitespace token contract, so the count equals
+    filter(tokens, isin(words)) — without the interpreted per-token lambda
+    that made lang_id 5 filter passes per row."""
     words = STOPWORDS[lang]
-    return F.size(F.filter(tokens(col), lambda t: t.isin(words)))
+    pat = r"(?:(?<=\s)|^)(?:" + "|".join(words) + r")(?=\s|$)"
+    # regexp_count: no match-array materialization (size(regexp_extract_all)
+    # allocates every matched string just to count them)
+    return F.regexp_count(col, F.lit(pat))
 
 
 def stopword_ratio(col, lang: str = "en") -> Column:
@@ -58,16 +71,22 @@ def stopword_ratio(col, lang: str = "en") -> Column:
 def lang_id(col) -> Column:
     """Stopword-vote language ID: argmax over per-language stopword counts,
     ties broken by language code order, zero hits -> 'und'.  Deterministic
-    and SQL-expressible (oracle in __spark_entry__.oracle_sql)."""
+    and SQL-expressible (oracle in __spark_entry__.oracle_sql).
+
+    Shape: one array of the 5 counts + array_position(array_max) — each
+    count expression evaluated ONCE.  (The previous chained-when argmax
+    re-embedded every earlier count inside each comparison — exponential
+    expression duplication Catalyst did not eliminate; measured 2.2 s vs
+    5 x 0.15 s for the individual counts at sf0.1.)  array_position
+    returns the FIRST max, which is exactly the earlier-code tie-break."""
     langs = sorted(STOPWORDS)
-    best = F.lit("und")
-    best_cnt = F.lit(0)
-    for lg in langs:  # iterate in sorted order; strict > keeps earlier code on ties
-        cnt = stopword_count(col, lg)
-        take = cnt > best_cnt
-        best = F.when(take, F.lit(lg)).otherwise(best)
-        best_cnt = F.when(take, cnt).otherwise(best_cnt)
-    return best
+    cnts = F.array(*[stopword_count(col, lg) for lg in langs])
+    mx = F.array_max(cnts)
+    best = F.element_at(
+        F.array(*[F.lit(lg) for lg in langs]),
+        F.array_position(cnts, mx).cast("int"),
+    )
+    return F.when(mx > 0, best).otherwise(F.lit("und"))
 
 
 def quality_score(col) -> Column:
