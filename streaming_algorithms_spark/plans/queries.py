@@ -1174,7 +1174,7 @@ def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming state, oracle-gated (the reference's EP3
     preserved-sketch story, lua_binding/cm_sketch.c:167-202, previously only
-    pytest-covered): events replay as a FILE STREAM split into 4 parquet
+    pytest-covered): events replay as a FILE STREAM split into 3 parquet
     files with maxFilesPerTrigger=1, so the per-event-type HLL registers in
     ``applyInPandasWithState`` must survive and merge across >= 2
     micro-batches (multi_batch_ok) — checkpointed state, not a single-batch
@@ -1195,7 +1195,7 @@ def q_streaming_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="sas_stream_in_")
     ckpt = tempfile.mkdtemp(prefix="sas_stream_ckpt_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(stream_dir)
+        ev.repartition(3).write.mode("overwrite").parquet(stream_dir)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1243,7 +1243,7 @@ def q_streaming_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_kll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming KLL quantiles, oracle-gated: events replay as a 4-file
+    """Streaming KLL quantiles, oracle-gated: events replay as a 3-file
     stream (maxFilesPerTrigger=1) through ``streaming_kll_quantiles`` —
     the KLL sketch is per-key binary state in ``applyInPandasWithState``
     and must survive/merge across >= 2 micro-batches (multi_batch_ok).
@@ -1267,7 +1267,7 @@ def q_streaming_kll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="sas_skll_in_")
     ckpt = tempfile.mkdtemp(prefix="sas_skll_ckpt_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(stream_dir)
+        ev.repartition(3).write.mode("overwrite").parquet(stream_dir)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1318,7 +1318,7 @@ def q_streaming_kll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-seen dedup with BOUNDED Bloom state, oracle-gated:
-    events replay as a 4-file stream (maxFilesPerTrigger=1) through
+    events replay as a 3-file stream (maxFilesPerTrigger=1) through
     ``streaming_bloom_dedup`` (32 hash-routed Bloom states, fpr 1e-9) in
     append mode — duplicates must be suppressed ACROSS micro-batches, which
     only works if the Bloom state survives the batch boundary.  Gates:
@@ -1336,7 +1336,7 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="sas_dedup_in_")
     ckpt = tempfile.mkdtemp(prefix="sas_dedup_ckpt_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(stream_dir)
+        ev.repartition(3).write.mode("overwrite").parquet(stream_dir)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
