@@ -252,3 +252,32 @@ def test_load_table_iceberg_branch_requests_iceberg_source(spark):
 
     with _pytest.raises(ValueError, match="unknown format"):
         load_table(spark, "events", format="csv")
+
+
+def test_no_corpus_global_window_in_any_gated_query_plan(spark):
+    """Sweep every gated query plan: an UNPARTITIONED Window (the classic
+    single-task total-order scale-killer) may only appear above an
+    Aggregate (dimension-sized input, e.g. packing's one-row-per-range
+    prefix offsets) — never directly over a file-scan subtree."""
+    from streaming_algorithms_spark.plans.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name, q in sorted(QUERIES.items()):
+        if name == "streaming_sketches_events":
+            continue  # builds/drains streams on construction; windows are
+            # over the memory sink's per-batch rows (bounded)
+        plan = _physical_plan(q(spark, sf_dir))
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            stripped = ln.strip()
+            if "Window " not in stripped:
+                continue
+            # empty-partition windows print 2 bracket groups (exprs, order);
+            # partitioned ones print 3 (exprs, partition, order)
+            if stripped.count("], [") >= 2:
+                continue
+            below = "\n".join(lines[i + 1:])
+            agg = below.find("Aggregate")
+            scan = below.find("FileScan")
+            assert not (scan != -1 and (agg == -1 or scan < agg)), (name, stripped)
+        spark.catalog.clearCache()
