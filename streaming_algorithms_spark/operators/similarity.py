@@ -27,6 +27,36 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+_COSINE_PD = None
+
+
+def _cosine_pd():
+    """Arrow-vectorized float64 cosine for the candidate RERANK joins: one
+    einsum + two norms per batch.  The Catalyst zip_with/aggregate cosine
+    (functions.cosine_similarity) evaluates its lambdas INTERPRETED per
+    element — measured ~2.2 s for a 107k-pair rerank at 64 dims vs ~0.2 s
+    here; only fixed-width float arrays cross the Arrow boundary.
+    Zero-norm vectors score 0 (the brute_force_topk convention).  Built
+    lazily: pandas_udf parses its DDL schema at decoration time and needs
+    an active session."""
+    global _COSINE_PD
+    if _COSINE_PD is None:
+        @F.pandas_udf("double")
+        def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+            if not len(a):
+                return pd.Series(np.zeros(0, np.float64))
+            A = np.stack(a.to_numpy()).astype(np.float64)
+            B = np.stack(b.to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            return pd.Series(
+                np.where(den == 0, 0.0, num / np.where(den == 0, 1, den))
+            )
+
+        _COSINE_PD = cos
+    return _COSINE_PD
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                      vec_col: str, k: int = 10, exclude_self: bool = True,
                      max_query_rows: int = 1_000_000) -> DataFrame:
@@ -114,8 +144,9 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              n_tables: int = 12) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold), scale path:
     random-hyperplane LSH buckets generate candidates (shuffle is
-    rows x n_tables, never all-pairs), exact JVM-side cosine reranks — no
-    driver collect of the corpus, no false positives.  Per-pair recall at
+    rows x n_tables, never all-pairs), exact Arrow-vectorized cosine
+    reranks candidates only (_cosine_pd) — no driver collect of the
+    corpus, no false positives.  Per-pair recall at
     cosine c is 1-(1-p^n_bits)^n_tables with p = 1 - arccos(c)/pi
     (Charikar 2002): ~0.988 at c=0.95, ~0.9999 at c=0.99 for the defaults.
     Brute force (embedding_near_dup_pairs_bruteforce) is the oracle."""
@@ -124,13 +155,10 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    from ..functions import cosine_similarity
 
     return (
         cands.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cosine",
-                    cosine_similarity(F.col("vec_a").cast("array<double>"),
-                                      F.col("vec_b").cast("array<double>")))
+        .withColumn("cosine", _cosine_pd()(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
@@ -431,13 +459,10 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
 
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    from ..functions import cosine_similarity
 
     scored = (
         cands.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cosine",
-                    cosine_similarity(F.col("vec_a").cast("array<double>"),
-                                      F.col("vec_b").cast("array<double>")))
+        .withColumn("cosine", _cosine_pd()(F.col("vec_a"), F.col("vec_b")))
         .select("id_a", "id_b", "cosine")
     )
     from pyspark.sql import Window
