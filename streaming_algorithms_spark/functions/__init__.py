@@ -57,8 +57,13 @@ def stopword_count(col, lang: str) -> Column:
     exactly the run-between-whitespace token contract, so the count equals
     filter(tokens, isin(words)) — without the interpreted per-token lambda
     that made lang_id 5 filter passes per row."""
+    import re
+
     words = STOPWORDS[lang]
-    pat = r"(?:(?<=\s)|^)(?:" + "|".join(words) + r")(?=\s|$)"
+    # re.escape: a future stopword containing a regex metachar ('e.g.')
+    # must match literally, not silently corrupt the alternation
+    pat = (r"(?:(?<=\s)|^)(?:" + "|".join(re.escape(w) for w in words)
+           + r")(?=\s|$)")
     # regexp_count: no match-array materialization (size(regexp_extract_all)
     # allocates every matched string just to count them)
     return F.regexp_count(col, F.lit(pat))

@@ -125,11 +125,15 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
 def embedding_near_dup_pairs_bruteforce(df: DataFrame, id_col: str,
                                         vec_col: str,
-                                        threshold: float = 0.95) -> DataFrame:
+                                        threshold: float = 0.95,
+                                        k: int = 64) -> DataFrame:
     """All pairs with cosine >= threshold via brute-force float64 block
     matmul (broadcast pattern) — the correctness baseline / test oracle for
-    the LSH-candidate scale path below."""
-    topk = brute_force_topk(df, df, id_col, vec_col, k=64)
+    the LSH-candidate scale path below.  ``k`` caps neighbors PER ROW: a
+    row with more than k qualifying neighbors loses pairs beyond its
+    top-k, so callers gating against a true all-pairs oracle must pass
+    k >= the corpus slice size."""
+    topk = brute_force_topk(df, df, id_col, vec_col, k=k)
     return (
         topk.filter(F.col("cosine") >= threshold)
         .filter(F.col(id_col) < F.col("neighbor_id"))

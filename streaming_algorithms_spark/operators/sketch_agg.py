@@ -362,16 +362,18 @@ MAX_AUTO_PAIR_KEYS = 512
 
 def _enumerate_all_pairs(merged: DataFrame, key_col: str, op: str) -> list:
     """Driver-side all-pairs enumeration with the documented cardinality
-    guard: collects only the merged per-key sketch table's keys (already
-    dimension-sized), refuses past MAX_AUTO_PAIR_KEYS."""
-    ks = sorted(r[key_col] for r in merged.select(key_col).collect())
-    if len(ks) > MAX_AUTO_PAIR_KEYS:
+    guard.  The collect itself is LIMIT-bounded to cap+1 rows, so a
+    high-cardinality key blows up in this error message — never in driver
+    memory first."""
+    rows = merged.select(key_col).limit(MAX_AUTO_PAIR_KEYS + 1).collect()
+    if len(rows) > MAX_AUTO_PAIR_KEYS:
         raise ValueError(
-            f"{op}: {len(ks)} distinct {key_col!r} keys would enumerate "
-            f"{len(ks) * (len(ks) - 1) // 2} pairs driver-side "
-            f"(cap {MAX_AUTO_PAIR_KEYS} keys); pass an explicit pairs= "
-            "subset for high-cardinality keys"
+            f"{op}: more than {MAX_AUTO_PAIR_KEYS} distinct {key_col!r} "
+            "keys — the all-pairs default would enumerate an O(K^2) "
+            "driver list; pass an explicit pairs= subset for "
+            "high-cardinality keys"
         )
+    ks = sorted(r[key_col] for r in rows)
     return [(a, b) for i, a in enumerate(ks) for b in ks[i + 1:]]
 
 

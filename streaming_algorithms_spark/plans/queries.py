@@ -319,6 +319,28 @@ def q_bottomk_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plant_near_dups(base: DataFrame) -> DataFrame:
+    """Deterministic planted near-duplicates for LSH recall gates: per id,
+    v' = normalize(v + 0.15 * unit-noise) (cosine ~0.989 to the original;
+    rng seeded vid+7), emitted under vec_id + 10_000_000.  SHARED by
+    q_embedding_near_dups and q_lsh_topk_embeddings — both gates' recall
+    expectations assume this exact construction, so there is one copy."""
+    def perturb(batches):
+        for pdf in batches:
+            ids, vecs = [], []
+            for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
+                rng = np.random.default_rng(int(vid) + 7)
+                v = np.asarray(v, np.float64)
+                v = v / np.linalg.norm(v)
+                u = rng.normal(size=v.size)
+                w = v + 0.15 * u / np.linalg.norm(u)
+                ids.append(int(vid) + 10_000_000)
+                vecs.append((w / np.linalg.norm(w)).astype(np.float32))
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return base.mapInPandas(perturb, "vec_id long, embedding array<float>")
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.8) via the scale
     path (LSH-banded candidates + exact JVM-side cosine rerank — no driver
@@ -352,8 +374,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (load_table(spark, "embeddings", sf_dir)
            .filter(F.col("vec_id") < 2000).select("vec_id", "embedding"))
     found = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.8)
+    # k = the slice size: the per-row neighbor cap must never truncate a
+    # true all-pairs count, or a dense near-dup cluster in a refreshed
+    # corpus would make this side undercount the DuckDB oracle
     exact = embedding_near_dup_pairs_bruteforce(emb, "vec_id", "embedding",
-                                                threshold=0.8)
+                                                threshold=0.8, k=2000)
     j = (
         exact.select("id_a", "id_b").withColumn("_e", F.lit(1))
         .join(found.select("id_a", "id_b").withColumn("_f", F.lit(1)),
@@ -374,21 +399,8 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_hit >= F.floor(n_exact * 0.9)).alias("corpus_recall_ok"),
     )
 
-    def perturb(batches):
-        for pdf in batches:
-            ids, vecs = [], []
-            for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
-                rng = np.random.default_rng(int(vid) + 7)
-                v = np.asarray(v, np.float64)
-                v = v / np.linalg.norm(v)
-                u = rng.normal(size=v.size)
-                w = v + 0.15 * u / np.linalg.norm(u)
-                ids.append(int(vid) + 10_000_000)
-                vecs.append((w / np.linalg.norm(w)).astype(np.float32))
-            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
-
     base = emb.filter(F.col("vec_id") < 100)
-    planted = base.mapInPandas(perturb, "vec_id long, embedding array<float>")
+    planted = _plant_near_dups(base)
     pl = embedding_near_dup_pairs(base.unionByName(planted), "vec_id",
                                   "embedding", threshold=0.8)
     pl_stats = (
@@ -737,73 +749,6 @@ def q_quality_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(docs, "doc_id", "text").orderBy("doc_id")
 
 
-def q_p2_quantile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference-parity P² median per lang: sequential marker updates over
-    the doc_id-ordered stream inside one grouped pandas stage (P² is not
-    mergeable — SURVEY §2.2; this is the parity mode, KLL is the scale mode).
-
-    Oracle-gated via the exact+bound pattern: `exact_median` (linear-
-    interpolated, = DuckDB quantile_cont) is value-hash-gated; the P²
-    estimate folds into `p2_ok`.  P² publishes no hard error bound, so the
-    gate is the empirical 0.15*IQR envelope (measured worst |err| on this
-    corpus is 0.07*IQR across langs and SFs)."""
-    docs = load_table(spark, "documents", sf_dir).select("lang", "doc_id", "n_chars")
-
-    def p2_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..sketches import P2Quantile
-
-        xs = pdf.sort_values("doc_id")["n_chars"].to_numpy(np.float64)
-        q = P2Quantile(0.5)
-        for x in xs:
-            q.add(float(x))
-        exact = float(np.quantile(xs, 0.5, method="linear"))
-        iqr = float(np.quantile(xs, 0.75) - np.quantile(xs, 0.25))
-        ok = abs(q.estimate(2) - exact) <= 0.15 * max(iqr, 1.0)
-        return pd.DataFrame(
-            [(pdf["lang"].iloc[0], round(exact, 6), q.count(4), bool(ok))],
-            columns=["lang", "exact_median", "n_obs", "p2_ok"],
-        )
-
-    return (
-        docs.groupBy("lang")
-        .applyInPandas(
-            p2_group, "lang string, exact_median double, n_obs long, p2_ok boolean"
-        )
-        .orderBy("lang")
-    )
-
-
-def q_p2_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference-parity P² equiprobable histogram (b=8) of n_chars per lang,
-    sequential over doc_id order (p2.c:247-349 semantics).
-
-    Oracle-gated via the exact+bound pattern: exact quantiles q_0..q_8 at
-    m/8 are value-hash-gated against DuckDB quantile_cont; each P² marker
-    folds into ok_m.  Markers 0/8 are exact min/max in P² (equality gate);
-    middle markers use the empirical 0.12*range envelope (measured worst
-    marker error is 0.056*range on this corpus)."""
-    docs = load_table(spark, "documents", sf_dir).select("lang", "doc_id", "n_chars")
-
-    def p2h_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..sketches import P2Histogram
-
-        xs = pdf.sort_values("doc_id")["n_chars"].to_numpy(np.float64)
-        h = P2Histogram(8)
-        for x in xs:
-            h.add(float(x))
-        span = float(xs.max() - xs.min())
-        rec = {"lang": pdf["lang"].iloc[0]}
-        for m in range(9):
-            exact = float(np.quantile(xs, m / 8, method="linear"))
-            tol = 1e-9 if m in (0, 8) else 0.12 * max(span, 1.0)
-            rec[f"q_{m}"] = round(exact, 6)
-            rec[f"ok_{m}"] = bool(abs(h.estimate(m) - exact) <= tol)
-        return pd.DataFrame([rec])
-
-    schema = "lang string, " + ", ".join(
-        f"q_{m} double, ok_{m} boolean" for m in range(9)
-    )
-    return docs.groupBy("lang").applyInPandas(p2h_group, schema).orderBy("lang")
 
 
 def q_matrix_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,112 +856,6 @@ def q_hll_rollup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_token_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketch ALGEBRA: distinct-token overlap between every lang pair
-    via inclusion-exclusion over MERGED register sketches (one scan + pair
-    merges — the capability per-group estimates alone can't give).  Exact
-    sizes and intersections (token-hash joins, reproduced by the SQL
-    oracle's string joins) are value-hash-gated; each estimate folds into a
-    bound boolean: union within 3σ·|A∪B| (a plain HLL estimate), and
-    intersection within rse·(|A|+|B|+|A∪B|)·3 + slack (inclusion-exclusion
-    compounds three estimate errors)."""
-    from ..operators.sketch_agg import hll_pairwise_overlap
-
-    p = 14
-    rse = 1.04 / np.sqrt(2 ** p)
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("lang", F.explode(fn.tokens(F.col("text"))).alias("token"))
-    # tokenize + hash the corpus ONCE: both the sketch side (HLL inserts are
-    # idempotent, so pre-distinct hashes give identical registers) and the
-    # exact side read the same cached (lang, token-hash) distinct set
-    dt = toks.select("lang", F.xxhash64("token").alias("_t")).distinct().cache()
-    est = hll_pairwise_overlap(dt, "lang", "_t", p=p, col_is_hash=True).select(
-        F.col("key_a").alias("lang_a"), F.col("key_b").alias("lang_b"),
-        "est_union", "est_intersection",
-    )
-    sizes = dt.groupBy("lang").agg(F.count("*").alias("n"))
-    a = dt.alias("a")
-    b = dt.alias("b")
-    inter = (
-        a.join(b, "_t")
-        .filter(F.col("a.lang") < F.col("b.lang"))
-        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
-    grid = (
-        sa.crossJoin(sb).filter(F.col("lang_a") < F.col("lang_b"))
-        .join(inter, ["lang_a", "lang_b"], "left")
-        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
-    )
-    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    return (
-        grid.join(est, ["lang_a", "lang_b"])
-        .select(
-            "lang_a", "lang_b", "n_a", "n_b", "n_inter",
-            (F.abs(F.col("est_union") - n_union)
-             <= 3 * rse * n_union + 3).alias("union_ok"),
-            (F.abs(F.col("est_intersection") - F.col("n_inter"))
-             <= 3 * rse * (F.col("n_a") + F.col("n_b") + n_union) + 5
-             ).alias("inter_ok"),
-        )
-        .orderBy("lang_a", "lang_b")
-    )
-
-
-def q_token_diff_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta-sketch set DIFFERENCE between every lang pair's distinct-token
-    sets — the sketch-algebra capability HLL cannot express (inclusion-
-    exclusion never yields a one-sided |A\\B| with usable error; the Theta
-    cut does, at ~1/sqrt(k) of the union).  One scan builds per-lang
-    bottom-k/KMV sketches; pair estimates come from tag-array intersections
-    of the merged sketches alone.  Exact |A\\B| and |B\\A| (token joins,
-    reproduced by the SQL oracle) are value-hash-gated; each theta estimate
-    folds into a 4σ-of-union bound boolean."""
-    from ..operators.sketch_agg import kmv_pairwise_set_ops
-
-    k = 1024
-    rel = 1.0 / np.sqrt(k - 2)
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("lang", F.explode(fn.tokens(F.col("text"))).alias("token"))
-    dt = toks.distinct().cache()
-    est = kmv_pairwise_set_ops(dt, "lang", "token", k=k).select(
-        F.col("key_a").alias("lang_a"), F.col("key_b").alias("lang_b"),
-        "est_union", "est_a_minus_b", "est_b_minus_a",
-    )
-    sizes = dt.groupBy("lang").agg(F.count("*").alias("n"))
-    a = dt.alias("a")
-    b = dt.alias("b")
-    inter = (
-        a.join(b, "token")
-        .filter(F.col("a.lang") < F.col("b.lang"))
-        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
-    grid = (
-        sa.crossJoin(sb).filter(F.col("lang_a") < F.col("lang_b"))
-        .join(inter, ["lang_a", "lang_b"], "left")
-        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
-    )
-    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    bound = 4 * rel * n_union + 5
-    return (
-        grid.join(est, ["lang_a", "lang_b"])
-        .select(
-            "lang_a", "lang_b",
-            (F.col("n_a") - F.col("n_inter")).alias("n_a_minus_b"),
-            (F.col("n_b") - F.col("n_inter")).alias("n_b_minus_a"),
-            (F.abs(F.col("est_a_minus_b") - (F.col("n_a") - F.col("n_inter")))
-             <= bound).alias("diff_ab_ok"),
-            (F.abs(F.col("est_b_minus_a") - (F.col("n_b") - F.col("n_inter")))
-             <= bound).alias("diff_ba_ok"),
-            (F.abs(F.col("est_union") - n_union) <= bound).alias("union_ok"),
-        )
-        .orderBy("lang_a", "lang_b")
-    )
 
 
 def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,27 +900,14 @@ def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ---- planted high-cosine recall: the gate that BINDS.  The corpus is
     # random vectors, so the >=0.2 worst-case recall gate above is nearly
-    # vacuous; here 100 structured near-dups (cosine ~0.99 to their
-    # originals: v' = normalize(v + 0.15*unit-noise), deterministic per id)
-    # are planted into a 200-row mini-corpus and LSH must report the
-    # original as top-1 for >=90% of them (Charikar expectation ~0.998 per
-    # pair at these params; seeds fixed, so the measured value is
-    # deterministic).  A broken banding/bucket join collapses this to ~0.
-    def perturb(batches):
-        for pdf in batches:
-            ids, vecs = [], []
-            for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
-                rng = np.random.default_rng(int(vid) + 7)
-                v = np.asarray(v, np.float64)
-                v = v / np.linalg.norm(v)
-                u = rng.normal(size=v.size)
-                w = v + 0.15 * u / np.linalg.norm(u)
-                ids.append(int(vid) + 10_000_000)
-                vecs.append((w / np.linalg.norm(w)).astype(np.float32))
-            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
-
+    # vacuous; here 100 structured near-dups (_plant_near_dups: cosine
+    # ~0.99 to their originals, deterministic per id) are planted into a
+    # 200-row mini-corpus and LSH must report the original as top-1 for
+    # >=90% of them (Charikar expectation ~0.998 per pair at these params;
+    # seeds fixed, so the measured value is deterministic).  A broken
+    # banding/bucket join collapses this to ~0.
     base = emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
-    planted = base.mapInPandas(perturb, "vec_id long, embedding array<float>")
+    planted = _plant_near_dups(base)
     pl_ann = lsh_topk(base.unionByName(planted), "vec_id", "embedding",
                       k=1, n_bits=6, n_tables=8)
     planted_stats = (
@@ -1784,75 +1610,6 @@ def q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_countsketch_f2_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Sketch / AMS second moment per l_returnflag: the self-join-size
-    estimation primitive (F2 = sum over part keys of frequency^2).  The
-    exact F2 is value-hash-gated vs the DuckDB pairwise re-derivation; the
-    AMS median-of-rows estimate folds into f2_ok with the published
-    sqrt(8/width) relative bound, so a sketch miss fails the value hash.
-    Unbiased point estimates (the part CMS can't do) are pytest-gated
-    against exact per-key counts."""
-    from ..operators.sketch_agg import count_sketch_f2
-
-    li = load_table(spark, "lineitem", sf_dir)
-    est = count_sketch_f2(li, ["l_returnflag"], "l_partkey").drop("rows_seen")
-    cnts = li.groupBy("l_returnflag", "l_partkey").agg(F.count("*").alias("cnt"))
-    exact = cnts.groupBy("l_returnflag").agg(
-        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("exact_f2")
-    )
-    rel = float(np.sqrt(8.0 / 2048))
-    return (
-        exact.join(est, "l_returnflag")
-        .select(
-            "l_returnflag",
-            "exact_f2",
-            (F.abs(F.col("f2_estimate") - F.col("exact_f2"))
-             <= rel * F.col("exact_f2")).alias("f2_ok"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-def q_countsketch_hh_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Sketch POINT estimates, driver-gated: build one merged sketch
-    per l_returnflag (count_sketch_build — 80 KB per group), broadcast the
-    bytes, and probe the exact top-10 part keys per flag
-    (count_sketch_probe, bloom_might_contain pattern).  Exact counts and
-    the deterministic top-10 selection (cnt DESC, partkey ASC) are
-    value-hash-gated; |estimate - exact| <= 4*sqrt(F2/width) — the
-    published Count-Sketch point guarantee with the EXACT F2 — folds into
-    hh_ok.  This gates the signed-median machinery itself, which the F2
-    query alone does not."""
-    from pyspark.sql import Window
-
-    from ..operators.sketch_agg import count_sketch_build, count_sketch_probe
-
-    li = load_table(spark, "lineitem", sf_dir)
-    built = count_sketch_build(li, ["l_returnflag"], "l_partkey").collect()
-    sketches = {(r["l_returnflag"],): r["sketch"] for r in built}
-
-    cnts = li.groupBy("l_returnflag", "l_partkey").agg(
-        F.count("*").alias("cnt")
-    )
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("cnt").desc(), F.col("l_partkey").asc()
-    )
-    top = (cnts.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= 10).drop("rn"))
-    f2 = cnts.groupBy("l_returnflag").agg(
-        F.sum(F.col("cnt") * F.col("cnt")).alias("f2")
-    )
-    probed = count_sketch_probe(top, ["l_returnflag"], "l_partkey", sketches)
-    return (
-        probed.join(f2, "l_returnflag")
-        .select(
-            "l_returnflag", "l_partkey",
-            F.col("cnt").alias("exact_cnt"),
-            (F.abs(F.col("cs_estimate") - F.col("cnt"))
-             <= 4 * F.sqrt(F.col("f2") / F.lit(2048.0))).alias("hh_ok"),
-        )
-        .orderBy("l_returnflag", "l_partkey")
-    )
 
 
 def q_fd_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2072,8 +1829,13 @@ def q_p2_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale mode).  Exact quantiles (linear interpolation = DuckDB
     quantile_cont) are value-hash-gated; the P² median folds into p2_ok
     (empirical 0.15*IQR envelope) and each histogram marker into ok_m
-    (min/max exact; middle markers 0.12*range — measured worst 0.056)."""
-    docs = load_table(spark, "documents", sf_dir).select("lang", "doc_id", "n_chars")
+    (min/max exact; middle markers 0.12*range — measured worst 0.056).
+
+    The explicit repartition(8, lang) before the grouped Python stage is
+    the CLAUDE.md AQE rule: user-specified partitioning that coalescing
+    never collapses, so the per-element P2 loops run one task per lang."""
+    docs = (load_table(spark, "documents", sf_dir)
+            .select("lang", "doc_id", "n_chars").repartition(8, "lang"))
 
     def p2_group(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..sketches import P2Histogram, P2Quantile
