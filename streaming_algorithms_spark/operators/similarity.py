@@ -126,20 +126,48 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 def embedding_near_dup_pairs_bruteforce(df: DataFrame, id_col: str,
                                         vec_col: str,
                                         threshold: float = 0.95,
-                                        k: int = 64) -> DataFrame:
-    """All pairs with cosine >= threshold via brute-force float64 block
-    matmul (broadcast pattern) — the correctness baseline / test oracle for
-    the LSH-candidate scale path below.  ``k`` caps neighbors PER ROW: a
-    row with more than k qualifying neighbors loses pairs beyond its
-    top-k, so callers gating against a true all-pairs oracle must pass
-    k >= the corpus slice size."""
-    topk = brute_force_topk(df, df, id_col, vec_col, k=k)
-    return (
-        topk.filter(F.col("cosine") >= threshold)
-        .filter(F.col(id_col) < F.col("neighbor_id"))
-        .select(F.col(id_col).alias("id_a"),
-                F.col("neighbor_id").alias("id_b"),
-                F.round("cosine", 6).alias("cosine"))
+                                        max_query_rows: int = 1_000_000
+                                        ) -> DataFrame:
+    """ALL pairs with cosine >= threshold via brute-force float64 block
+    matmul (broadcast pattern) — the correctness baseline / test oracle
+    for the LSH-candidate scale path below.  TRUE all-pairs: the batch
+    threshold mask (np.argwhere) replaces any top-k/sort stage, so no
+    per-row neighbor cap can truncate a dense near-dup cluster, and
+    there's no argsort cost.  Quadratic by design — frozen-size oracle
+    use only (`max_query_rows` guards the broadcast like
+    brute_force_topk)."""
+    qrows = df.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            "embedding_near_dup_pairs_bruteforce: corpus exceeds "
+            f"max_query_rows={max_query_rows}; this is the frozen-size "
+            "oracle — use embedding_near_dup_pairs at scale"
+        )
+    q_ids = np.array([r[id_col] for r in qrows], np.int64)
+    q_mat = _normalize(np.array([r[vec_col] for r in qrows]))
+    sc = df.sparkSession.sparkContext
+    b_ids = sc.broadcast(q_ids)
+    b_mat = sc.broadcast(q_mat)
+
+    def gen(batches):
+        ids_b, mat_b = b_ids.value, b_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(np.int64)
+            c_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
+            sims = c_mat @ mat_b.T
+            rows, cols = np.nonzero(
+                (sims >= threshold) & (c_ids[:, None] < ids_b[None, :])
+            )
+            yield pd.DataFrame({
+                "id_a": c_ids[rows],
+                "id_b": ids_b[cols],
+                "cosine": np.round(sims[rows, cols], 6),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, "id_a long, id_b long, cosine double"
     )
 
 

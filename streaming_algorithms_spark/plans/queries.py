@@ -374,11 +374,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (load_table(spark, "embeddings", sf_dir)
            .filter(F.col("vec_id") < 2000).select("vec_id", "embedding"))
     found = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.8)
-    # k = the slice size: the per-row neighbor cap must never truncate a
-    # true all-pairs count, or a dense near-dup cluster in a refreshed
-    # corpus would make this side undercount the DuckDB oracle
+    # true all-pairs (threshold mask, no per-row neighbor cap): a dense
+    # near-dup cluster in a refreshed corpus can never make this side
+    # undercount the DuckDB all-pairs oracle
     exact = embedding_near_dup_pairs_bruteforce(emb, "vec_id", "embedding",
-                                                threshold=0.8, k=2000)
+                                                threshold=0.8)
     j = (
         exact.select("id_a", "id_b").withColumn("_e", F.lit(1))
         .join(found.select("id_a", "id_b").withColumn("_f", F.lit(1)),
