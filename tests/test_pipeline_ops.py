@@ -886,3 +886,27 @@ def test_unigram_logprob_known_values(spark):
     assert out[0]["logprob"] == round(lp0, 6)
     assert out[1]["logprob"] == round(lp1, 6)
     assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 3
+
+
+def test_sequence_packing_partition_count_invariant(spark):
+    """The two-pass range-partitioned cumsum must produce IDENTICAL
+    coordinates at any n_parts (including 1, the degenerate single-range
+    case) — the partition count is an execution knob, never a semantic
+    one."""
+    from streaming_algorithms_spark.operators.text import sequence_packing_plan
+
+    rows = [(i, " ".join(["t"] * ((i * 37) % 90 + 1))) for i in range(60)]
+    rows.append((60, None))
+    rows.append((61, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def snap(n_parts):
+        return sorted(
+            tuple(r) for r in sequence_packing_plan(
+                df, "doc_id", "text", seq_len=64, n_parts=n_parts).collect()
+        )
+
+    base = snap(1)
+    assert snap(3) == base
+    assert snap(7) == base
+    assert snap(32) == base
