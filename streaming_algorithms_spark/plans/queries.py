@@ -1004,17 +1004,20 @@ def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_streaming_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_streaming_hll_events(spark: SparkSession, sf_dir: str,
+                           prepared_stream_dir: str | None = None) -> DataFrame:
     """Structured Streaming state, oracle-gated (the reference's EP3
     preserved-sketch story, lua_binding/cm_sketch.c:167-202, previously only
-    pytest-covered): events replay as a FILE STREAM split into 3 parquet
-    files with maxFilesPerTrigger=1, so the per-event-type HLL registers in
+    pytest-covered): events replay as a multi-file FILE STREAM with
+    maxFilesPerTrigger=1, so the per-event-type HLL registers in
     ``applyInPandasWithState`` must survive and merge across >= 2
     micro-batches (multi_batch_ok) — checkpointed state, not a single-batch
     degenerate run.  After the availableNow drain, the final state's
     estimate must sit within the published 3σ bound of the exact distinct
     (hll_ok), and the exact distinct itself is value-hash-gated against
-    DuckDB."""
+    DuckDB.  ``prepared_stream_dir``: a caller-owned events parquet dir to
+    stream from (the merged query writes ONE shared input for all three
+    pipelines); without it the function writes (and cleans up) its own."""
     import os
     import shutil
     import tempfile
@@ -1025,10 +1028,12 @@ def q_streaming_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import streaming_hll_distinct
 
     ev = load_table(spark, "events", sf_dir)
-    stream_dir = tempfile.mkdtemp(prefix="sas_stream_in_")
+    own_stream = prepared_stream_dir is None
+    stream_dir = prepared_stream_dir or tempfile.mkdtemp(prefix="sas_stream_in_")
     ckpt = tempfile.mkdtemp(prefix="sas_stream_ckpt_")
     try:
-        ev.repartition(3).write.mode("overwrite").parquet(stream_dir)
+        if own_stream:
+            ev.repartition(2).write.mode("overwrite").parquet(stream_dir)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1071,12 +1076,14 @@ def q_streaming_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
         )
     finally:
-        shutil.rmtree(stream_dir, ignore_errors=True)
+        if own_stream:
+            shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def q_streaming_kll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming KLL quantiles, oracle-gated: events replay as a 3-file
+def q_streaming_kll_events(spark: SparkSession, sf_dir: str,
+                           prepared_stream_dir: str | None = None) -> DataFrame:
+    """Streaming KLL quantiles, oracle-gated: events replay as a multi-file
     stream (maxFilesPerTrigger=1) through ``streaming_kll_quantiles`` —
     the KLL sketch is per-key binary state in ``applyInPandasWithState``
     and must survive/merge across >= 2 micro-batches (multi_batch_ok).
@@ -1085,7 +1092,9 @@ def q_streaming_kll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     final state's estimate has exact rank within 3% of 0.5 (k=200's
     empirical envelope, test-gated at 2%) — computed by ranking the
     estimate against the REAL value distribution, so a broken state merge
-    fails the gate."""
+    fails the gate.  The NULL/NaN filter is applied to the STREAM (not the
+    written files), so a shared full-events ``prepared_stream_dir`` feeds
+    all three streaming pipelines."""
     import shutil
     import tempfile
     import uuid
@@ -1094,17 +1103,20 @@ def q_streaming_kll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.stateful import streaming_kll_quantiles
 
-    ev = load_table(spark, "events", sf_dir).filter(
-        F.col("value").isNotNull() & ~F.isnan("value")
-    )
-    stream_dir = tempfile.mkdtemp(prefix="sas_skll_in_")
+    value_ok = F.col("value").isNotNull() & ~F.isnan("value")
+    ev = load_table(spark, "events", sf_dir).filter(value_ok)
+    own_stream = prepared_stream_dir is None
+    stream_dir = prepared_stream_dir or tempfile.mkdtemp(prefix="sas_skll_in_")
     ckpt = tempfile.mkdtemp(prefix="sas_skll_ckpt_")
     try:
-        ev.repartition(3).write.mode("overwrite").parquet(stream_dir)
+        if own_stream:
+            load_table(spark, "events", sf_dir).repartition(2).write.mode(
+                "overwrite").parquet(stream_dir)
         stream = (
-            spark.readStream.schema(ev.schema)
+            spark.readStream.schema(load_table(spark, "events", sf_dir).schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stream_dir)
+            .filter(value_ok)
         )
         est = streaming_kll_quantiles(stream, "event_type", "value",
                                       k=200, qs=(0.5,))
@@ -1145,13 +1157,15 @@ def q_streaming_kll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
         )
     finally:
-        shutil.rmtree(stream_dir, ignore_errors=True)
+        if own_stream:
+            shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str,
+                             prepared_stream_dir: str | None = None) -> DataFrame:
     """Streaming first-seen dedup with BOUNDED Bloom state, oracle-gated:
-    events replay as a 3-file stream (maxFilesPerTrigger=1) through
+    events replay as a multi-file stream (maxFilesPerTrigger=1) through
     ``streaming_bloom_dedup`` (32 hash-routed Bloom states, fpr 1e-9) in
     append mode — duplicates must be suppressed ACROSS micro-batches, which
     only works if the Bloom state survives the batch boundary.  Gates:
@@ -1166,10 +1180,12 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import streaming_bloom_dedup
 
     ev = load_table(spark, "events", sf_dir)
-    stream_dir = tempfile.mkdtemp(prefix="sas_dedup_in_")
+    own_stream = prepared_stream_dir is None
+    stream_dir = prepared_stream_dir or tempfile.mkdtemp(prefix="sas_dedup_in_")
     ckpt = tempfile.mkdtemp(prefix="sas_dedup_ckpt_")
     try:
-        ev.repartition(3).write.mode("overwrite").parquet(stream_dir)
+        if own_stream:
+            ev.repartition(2).write.mode("overwrite").parquet(stream_dir)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1212,7 +1228,8 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     finally:
-        shutil.rmtree(stream_dir, ignore_errors=True)
+        if own_stream:
+            shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -1666,29 +1683,40 @@ def q_streaming_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     meanings (hll_ok/kll_ok/multi_batch_ok; dedup: suppression+subset /
     completeness).  One registry row instead of three keeps the whole
     registry inside the driver's 50-query correctness budget without
-    dropping any streaming gate."""
-    hll = q_streaming_hll_events(spark, sf_dir).select(
-        F.lit("hll_distinct").alias("metric"),
-        F.col("event_type").alias("grp"),
-        F.col("exact_distinct").cast("double").alias("exact_value"),
-        F.col("hll_ok").alias("ok_a"),
-        F.col("multi_batch_ok").alias("ok_b"),
-    )
-    kll = q_streaming_kll_events(spark, sf_dir).select(
-        F.lit("kll_median").alias("metric"),
-        F.col("event_type").alias("grp"),
-        F.col("exact_median").alias("exact_value"),
-        F.col("kll_ok").alias("ok_a"),
-        F.col("multi_batch_ok").alias("ok_b"),
-    )
-    ded = q_streaming_dedup_events(spark, sf_dir).select(
-        F.lit("bloom_dedup").alias("metric"),
-        F.lit("(all)").alias("grp"),
-        F.col("exact_distinct").cast("double").alias("exact_value"),
-        (F.col("no_dup_emits_ok") & F.col("subset_ok")).alias("ok_a"),
-        F.col("complete_ok").alias("ok_b"),
-    )
-    return hll.unionByName(kll).unionByName(ded).orderBy("metric", "grp")
+    dropping any streaming gate.  All three pipelines stream from ONE
+    shared 2-file events parquet written here (each still drains its own
+    checkpointed query) — one input write instead of three."""
+    import shutil
+    import tempfile
+
+    shared = tempfile.mkdtemp(prefix="sas_stream_shared_")
+    try:
+        load_table(spark, "events", sf_dir).repartition(2).write.mode(
+            "overwrite").parquet(shared)
+        hll = q_streaming_hll_events(spark, sf_dir, shared).select(
+            F.lit("hll_distinct").alias("metric"),
+            F.col("event_type").alias("grp"),
+            F.col("exact_distinct").cast("double").alias("exact_value"),
+            F.col("hll_ok").alias("ok_a"),
+            F.col("multi_batch_ok").alias("ok_b"),
+        )
+        kll = q_streaming_kll_events(spark, sf_dir, shared).select(
+            F.lit("kll_median").alias("metric"),
+            F.col("event_type").alias("grp"),
+            F.col("exact_median").alias("exact_value"),
+            F.col("kll_ok").alias("ok_a"),
+            F.col("multi_batch_ok").alias("ok_b"),
+        )
+        ded = q_streaming_dedup_events(spark, sf_dir, shared).select(
+            F.lit("bloom_dedup").alias("metric"),
+            F.lit("(all)").alias("grp"),
+            F.col("exact_distinct").cast("double").alias("exact_value"),
+            (F.col("no_dup_emits_ok") & F.col("subset_ok")).alias("ok_a"),
+            F.col("complete_ok").alias("ok_b"),
+        )
+        return hll.unionByName(kll).unionByName(ded).orderBy("metric", "grp")
+    finally:
+        shutil.rmtree(shared, ignore_errors=True)
 
 
 def q_token_setops_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
