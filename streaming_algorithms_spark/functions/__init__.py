@@ -30,6 +30,26 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style BPE PRE-tokenizer pattern (Radford et al. 2019, the published
+# gpt2 regex), restricted to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): the original's trailing
+# whitespace-run/lookahead alternatives are dropped (RE2 has no
+# lookarounds), so this counts the CONTENT pre-tokens — contractions,
+# optionally space-prefixed letter runs, digit runs, and punctuation runs —
+# which is the sequence a BPE vocabulary would then merge over.  Both
+# engines use leftmost-first alternation, so counts agree exactly.
+BPE_SPLIT_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(col) -> Column:
+    """Number of BPE pre-tokens (GPT-2 pre-tokenizer regex) — the
+    token-budget estimator for pretraining pipelines, where whitespace
+    token counts undercount what a subword tokenizer will emit
+    (punctuation and contractions split off).  One codegen'd regexp_count
+    pass; SQL-re-derivable (regexp_extract_all in DuckDB)."""
+    return F.regexp_count(col, F.lit(BPE_SPLIT_PAT))
+
+
 def char_count(col) -> Column:
     return F.length(col)
 

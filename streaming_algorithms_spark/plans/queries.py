@@ -247,12 +247,16 @@ def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting / language-ID / stopword ratio — all Catalyst-side."""
+    """Token counting (whitespace AND the GPT-2 BPE pre-tokenizer regex —
+    the brief's two token-budget estimators), language-ID, stopword
+    ratio — all Catalyst-side, every column re-derived verbatim by the
+    DuckDB oracle."""
     docs = load_table(spark, "documents", sf_dir)
     c = F.col("text")
     return docs.select(
         "doc_id",
         fn.token_count(c).alias("n_tokens"),
+        fn.bpe_token_count(c).alias("n_bpe_tokens"),
         F.length(c).alias("n_chars"),
         F.round(fn.stopword_ratio(c, "en"), 6).alias("stopword_ratio"),
         fn.lang_id(c).alias("lang_pred"),
@@ -2135,6 +2139,9 @@ ORACLES = {
     "text_stats_documents": f"""
         SELECT doc_id,
                len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'))
+                    AS INT) AS n_bpe_tokens,
                length(text) AS n_chars,
                ROUND(
                  len(list_filter(string_split_regex(trim(text), '\\s+'),

@@ -910,3 +910,38 @@ def test_sequence_packing_partition_count_invariant(spark):
     assert snap(3) == base
     assert snap(7) == base
     assert snap(32) == base
+
+
+def test_bpe_token_count_known_values_and_cross_engine(spark):
+    """GPT-2 pre-tokenizer counts: contractions split off, digit runs and
+    punctuation runs are separate pre-tokens, unicode letters covered by
+    \\p{L}; Spark regexp_count and DuckDB regexp_extract_all agree on the
+    restricted (lookaround-free) pattern."""
+    import duckdb
+
+    from streaming_algorithms_spark import functions as fn
+
+    rows = [
+        (0, "hello world"),          # 2
+        (1, "don't stop"),           # don / 't / stop = 3
+        (2, "abc123 x!?"),           # abc / 123 / x / !? = 4
+        (3, "Ünïcode läuft"),        # 2 (unicode letters)
+        (4, ""),                     # 0
+        (5, "  spaced  out  "),      # 2
+        (6, "we'll we've I'm I'd"),  # we/'ll/we/'ve/I/'m/I/'d = 8
+    ]
+    expect = {0: 2, 1: 3, 2: 4, 3: 2, 4: 0, 5: 2, 6: 8}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", fn.bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert got == expect
+
+    con = duckdb.connect()
+    import pandas as pd
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck = dict(con.execute(
+        "SELECT doc_id, len(regexp_extract_all(text,"
+        " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))"
+        " FROM t"
+    ).fetchall())
+    assert duck == expect
