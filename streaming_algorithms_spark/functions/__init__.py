@@ -37,8 +37,13 @@ def token_count(col) -> Column:
 # lookarounds), so this counts the CONTENT pre-tokens — contractions,
 # optionally space-prefixed letter runs, digit runs, and punctuation runs —
 # which is the sequence a BPE vocabulary would then merge over.  Both
-# engines use leftmost-first alternation, so counts agree exactly.
-BPE_SPLIT_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# engines use leftmost-first alternation.  The whitespace class is spelled
+# EXPLICITLY ([ \t\n\x0B\f\r]) because the engines' \s differ: Java
+# includes vertical tab \x0B, RE2 does not — with \s a VT-bearing document
+# would count one extra punctuation run on the DuckDB side.  Oracle SQL
+# and tests interpolate THIS constant, so the three copies can't drift.
+BPE_SPLIT_PAT = (r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+                 r"| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+")
 
 
 def bpe_token_count(col) -> Column:

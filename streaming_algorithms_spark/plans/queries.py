@@ -1008,6 +1008,20 @@ def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_events_stream_input(spark: SparkSession, sf_dir: str,
+                               path: str, n_files: int = 2) -> None:
+    """Write the events table as an ``n_files`` parquet stream input —
+    HASH-partitioned on event_id, not round-robin: deterministic (no
+    Random(partitionId) round-robin offsets between runs) and every
+    event_type spreads across all files row-independently, so the per-key
+    multi-batch state gates keep slack even for rare types (a 3-row type
+    lands in one file with p=0.25 under hashing vs arbitrary placement
+    under round-robin).  ONE definition for all four streaming queries."""
+    (load_table(spark, "events", sf_dir)
+     .repartition(n_files, "event_id")
+     .write.mode("overwrite").parquet(path))
+
+
 def q_streaming_hll_events(spark: SparkSession, sf_dir: str,
                            prepared_stream_dir: str | None = None) -> DataFrame:
     """Structured Streaming state, oracle-gated (the reference's EP3
@@ -1037,7 +1051,7 @@ def q_streaming_hll_events(spark: SparkSession, sf_dir: str,
     ckpt = tempfile.mkdtemp(prefix="sas_stream_ckpt_")
     try:
         if own_stream:
-            ev.repartition(2).write.mode("overwrite").parquet(stream_dir)
+            _write_events_stream_input(spark, sf_dir, stream_dir)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1108,16 +1122,16 @@ def q_streaming_kll_events(spark: SparkSession, sf_dir: str,
     from ..streaming.stateful import streaming_kll_quantiles
 
     value_ok = F.col("value").isNotNull() & ~F.isnan("value")
-    ev = load_table(spark, "events", sf_dir).filter(value_ok)
+    ev_all = load_table(spark, "events", sf_dir)
+    ev = ev_all.filter(value_ok)
     own_stream = prepared_stream_dir is None
     stream_dir = prepared_stream_dir or tempfile.mkdtemp(prefix="sas_skll_in_")
     ckpt = tempfile.mkdtemp(prefix="sas_skll_ckpt_")
     try:
         if own_stream:
-            load_table(spark, "events", sf_dir).repartition(2).write.mode(
-                "overwrite").parquet(stream_dir)
+            _write_events_stream_input(spark, sf_dir, stream_dir)
         stream = (
-            spark.readStream.schema(load_table(spark, "events", sf_dir).schema)
+            spark.readStream.schema(ev_all.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stream_dir)
             .filter(value_ok)
@@ -1189,7 +1203,7 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str,
     ckpt = tempfile.mkdtemp(prefix="sas_dedup_ckpt_")
     try:
         if own_stream:
-            ev.repartition(2).write.mode("overwrite").parquet(stream_dir)
+            _write_events_stream_input(spark, sf_dir, stream_dir)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1695,8 +1709,7 @@ def q_streaming_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shared = tempfile.mkdtemp(prefix="sas_stream_shared_")
     try:
-        load_table(spark, "events", sf_dir).repartition(2).write.mode(
-            "overwrite").parquet(shared)
+        _write_events_stream_input(spark, sf_dir, shared)
         hll = q_streaming_hll_events(spark, sf_dir, shared).select(
             F.lit("hll_distinct").alias("metric"),
             F.col("event_type").alias("grp"),
@@ -2140,7 +2153,7 @@ ORACLES = {
         SELECT doc_id,
                len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
                CAST(len(regexp_extract_all(text,
-                    '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'))
+                    '{fn.BPE_SPLIT_PAT.replace("'", "''")}'))
                     AS INT) AS n_bpe_tokens,
                length(text) AS n_chars,
                ROUND(

@@ -929,8 +929,12 @@ def test_bpe_token_count_known_values_and_cross_engine(spark):
         (4, ""),                     # 0
         (5, "  spaced  out  "),      # 2
         (6, "we'll we've I'm I'd"),  # we/'ll/we/'ve/I/'m/I/'d = 8
+        (7, "a\x0bb"),               # VT is whitespace in BOTH engines'
+                                     # EXPLICIT class (Java \s has \x0B,
+                                     # RE2's does not — the pattern spells
+                                     # the class out so both count 2)
     ]
-    expect = {0: 2, 1: 3, 2: 4, 3: 2, 4: 0, 5: 2, 6: 8}
+    expect = {0: 2, 1: 3, 2: 4, 3: 2, 4: 0, 5: 2, 6: 8, 7: 2}
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["n"] for r in df.select(
         "doc_id", fn.bpe_token_count(F.col("text")).alias("n")).collect()}
@@ -939,9 +943,11 @@ def test_bpe_token_count_known_values_and_cross_engine(spark):
     con = duckdb.connect()
     import pandas as pd
     con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    # interpolate the SAME constant the operator and oracle use
+    pat_sql = fn.BPE_SPLIT_PAT.replace("'", "''")
     duck = dict(con.execute(
         "SELECT doc_id, len(regexp_extract_all(text,"
-        " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))"
+        f" '{pat_sql}'))"
         " FROM t"
     ).fetchall())
     assert duck == expect
