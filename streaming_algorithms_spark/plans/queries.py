@@ -1924,8 +1924,13 @@ def q_checkpoint_resume_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (register merge is order-independent).  Gates: exact distinct
     per type value-hash-gated vs DuckDB; hll_ok (published 3σ bound),
     resume_matches_ok (resumed == uninterrupted, per type),
-    partials_reused_ok (the four surviving partitions' partials were NOT
-    recomputed — lineage shows exactly 8 partitions, each once)."""
+    partials_reused_ok (the surviving partitions' partials were NOT
+    recomputed: the checkpoint after the broken run holds exactly the
+    NON-EMPTY odd partitions, and the post-resume lineage covers every
+    non-empty partition exactly once).  The 8-way repartition hashes on
+    event_id (unique — every partition is non-empty at any sf; the
+    round-4 first cut hashed on user_id and sf0.001's 15 distinct users
+    left partitions empty, falsely failing the reuse check)."""
     import shutil
     import tempfile
 
@@ -1935,8 +1940,10 @@ def q_checkpoint_resume_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         load_table(spark, "events", sf_dir)
-        .select("event_type", F.col("user_id").cast("string").alias("user_id"))
-        .repartition(8, "user_id")
+        .select("event_type", F.col("user_id").cast("string").alias("user_id"),
+                "event_id")
+        .repartition(8, "event_id")
+        .drop("event_id")
     )
 
     def _update(sk, pdf):
@@ -1950,6 +1957,14 @@ def q_checkpoint_resume_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    "rows_seen": rows},
         out_value_schema="approx_distinct bigint, rows_seen bigint",
     )
+    # the deterministic non-empty partition set (hash partitioning is a
+    # pure function of event_id), computed once — the reuse booleans
+    # compare against THIS, not a hardcoded range
+    nonempty = frozenset(
+        r["_pid"] for r in ev.withColumn("_pid", F.spark_partition_id())
+        .select("_pid").distinct().collect()
+    )
+    fail = frozenset({0, 2, 4, 6})
     base_dir = tempfile.mkdtemp(prefix="sas_ckpt_base_")
     broken_dir = tempfile.mkdtemp(prefix="sas_ckpt_broken_")
     try:
@@ -1957,8 +1972,7 @@ def q_checkpoint_resume_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SketchCheckpoint(spark, base_dir, "q").run(
                     ev, ["event_type"], **kw).collect()}
         broken = SketchCheckpoint(spark, broken_dir, "q")
-        broken.run(ev, ["event_type"],
-                   fail_partitions=frozenset({0, 2, 4, 6}), **kw).collect()
+        broken.run(ev, ["event_type"], fail_partitions=fail, **kw).collect()
         reused = broken.completed_partitions()
         resumed_ck = SketchCheckpoint(spark, broken_dir, "q")
         resumed = {r["event_type"]: r["approx_distinct"] for r in
@@ -1966,7 +1980,9 @@ def q_checkpoint_resume_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineage = resumed_ck.lineage_metrics().collect()
         pids = sorted(r["partition_id"] for r in lineage)
         reused_ok = bool(
-            reused == frozenset({1, 3, 5, 7}) and pids == list(range(8))
+            reused == (nonempty - fail)
+            and len(reused) >= 1
+            and pids == sorted(nonempty)
         )
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
