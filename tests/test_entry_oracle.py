@@ -148,3 +148,19 @@ def test_packing_degenerate_docs_cross_engine_parity(spark):
     a, b = _normalize(got_nn), _normalize(want_nn)
     for c in a.columns:
         assert a[c].tolist() == b[c].tolist(), c
+
+
+@pytest.mark.parametrize("name", ["checkpoint_resume_events",
+                                  "embedding_near_dups",
+                                  "lsh_topk_embeddings"])
+def test_scale_sensitive_gates_green_at_sf0001(spark, name):
+    """The gates whose booleans depend on corpus shape (partition
+    occupancy, planted recall) must hold at the SMALLEST test scale too —
+    the round-4 checkpoint gate was green at sf0.01 but failed at
+    sf0.001 (15 distinct users left hash partitions empty)."""
+    rows = entrymod.queries()[name](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        for c, v in r.asDict().items():
+            if isinstance(v, bool):
+                assert v, (name, c, r)
