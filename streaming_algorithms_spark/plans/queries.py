@@ -1036,7 +1036,6 @@ def q_streaming_hll_events(spark: SparkSession, sf_dir: str,
     DuckDB.  ``prepared_stream_dir``: a caller-owned events parquet dir to
     stream from (the merged query writes ONE shared input for all three
     pipelines); without it the function writes (and cleans up) its own."""
-    import os
     import shutil
     import tempfile
     import uuid
