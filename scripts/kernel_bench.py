@@ -66,9 +66,13 @@ def main():
     # parity mode (the distributed path is KLL/t-digest)
     xs = rng.random(n)
     q = P2Quantile(0.5)
-    out["p2_quantile_add_seq"], _ = rate(n, q.update_batch, xs)
+    out["p2_quantile_add_seq"], _ = rate(
+        n, q.update_batch, xs,
+        warmup=lambda: P2Quantile(0.5).update_batch(xs[:20_000]))
     hgram = P2Histogram(10)
-    out["p2_histogram_add_seq"], _ = rate(n, hgram.update_batch, xs)
+    out["p2_histogram_add_seq"], _ = rate(
+        n, hgram.update_batch, xs,
+        warmup=lambda: P2Histogram(10).update_batch(xs[:20_000]))
 
     # distributed-quantile replacements on the same stream
     kll = KLL(200)
@@ -107,6 +111,9 @@ def main():
 
     # time series: 1M adds, 2-row ring (test_time_series.c:813-829) —
     # sequential ring parity; the distributed path is groupBy(window)
+    warm_ts = TimeSeries(2, 1)
+    for i in range(5_000):  # uncounted warmup (same steady-state policy)
+        warm_ts.add(i, 1)
     ts = TimeSeries(2, 1)
     t0 = time.perf_counter()
     for i in range(100_000):  # 10x fewer, python-loop parity mode
@@ -115,6 +122,7 @@ def main():
 
     # matrix profile: ~11500-pt series, m=60, percent 100 (test_time_series.c:832-859)
     series = rng.integers(0, 1000, 11500)
+    matrix_profile(series[:512], m=60, percent=100)  # uncounted warmup
     t0 = time.perf_counter()
     matrix_profile(series, m=60, percent=100)
     out["matrix_profile_11500_m60_sec"] = time.perf_counter() - t0

@@ -21,12 +21,26 @@ FIXTURES §B3).
 
 Metrics: rows and wall_ms per partition ride on the lineage rows;
 totals surface via ``lineage_metrics``.
+
+Version fencing: every lineage row carries ``algo_version`` (ALGO_VERSION
+below — bumped whenever a sketch algorithm, hash mapping, or wire format
+changes, e.g. the round-4 CMS Lemire index reduction).  Resume treats
+partials from a DIFFERENT version as missing: they are neither counted as
+completed nor merged, so a checkpoint written by an older library can
+never silently mix old-mapping register mass into a new-mapping run —
+the persistent analogue of CLAUDE.md's mixed-worker wire-format hazard.
+The cost of a version mismatch is a full recompute, never a wrong
+estimate.
 """
 
 from __future__ import annotations
 
 import time
 from typing import Callable, Sequence
+
+# bump on ANY change to sketch algorithms / hash mappings / wire formats
+# that makes previously-written partials non-mergeable with new ones
+ALGO_VERSION = "2"
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -53,7 +67,8 @@ def build_partials_with_lineage(df: DataFrame, keys: Sequence[str],
     keys = list(keys)
     key_schema = _key_schema(df, keys)
     out_schema = (key_schema + ", " if keys else "") + (
-        "sketch binary, rows bigint, partition_id int, wall_ms double, query_id string"
+        "sketch binary, rows bigint, partition_id int, wall_ms double, "
+        "query_id string, algo_version string"
     )
     df = df.withColumn("_pid", F.spark_partition_id())
     skip = skip_partitions
@@ -88,8 +103,10 @@ def build_partials_with_lineage(df: DataFrame, keys: Sequence[str],
                 update(sk, pdf)
                 rows[()] += len(pdf)
         wall_ms = (time.perf_counter() - t0) * 1000
-        cols = [*keys, "sketch", "rows", "partition_id", "wall_ms", "query_id"]
-        recs = [(*k, sk.to_bytes(), rows[k], pid, wall_ms, query_id)
+        cols = [*keys, "sketch", "rows", "partition_id", "wall_ms",
+                "query_id", "algo_version"]
+        recs = [(*k, sk.to_bytes(), rows[k], pid, wall_ms, query_id,
+                 ALGO_VERSION)
                 for k, sk in acc.items()]
         yield pd.DataFrame(recs, columns=cols)
 
@@ -108,9 +125,14 @@ class SketchCheckpoint:
         return f"{self.path}/{self.query_id}"
 
     def completed_partitions(self) -> frozenset:
+        """Partitions with current-version partials.  Partials stamped by a
+        different ALGO_VERSION (or none — pre-versioning checkpoints) are
+        treated as missing, so resume recomputes them instead of merging
+        incompatible register mass."""
         try:
             rows = (
                 self.spark.read.parquet(self._ckpt_path())
+                .filter(F.col("algo_version") == ALGO_VERSION)
                 .select("partition_id").distinct().collect()
             )
             return frozenset(r["partition_id"] for r in rows)
@@ -137,8 +159,9 @@ class SketchCheckpoint:
         partials.write.mode("append").parquet(self._ckpt_path())
         all_partials = (
             self.spark.read.parquet(self._ckpt_path())
-            .filter(F.col("query_id") == self.query_id)
-            .drop("partition_id", "wall_ms", "query_id")
+            .filter((F.col("query_id") == self.query_id)
+                    & (F.col("algo_version") == ALGO_VERSION))
+            .drop("partition_id", "wall_ms", "query_id", "algo_version")
         )
         return merge_partials(all_partials, keys, from_bytes, finalize, out_value_schema)
 

@@ -11,12 +11,15 @@ library/include/cm_sketch.h, Lua binding lua_binding/cm_sketch.c):
   (stored internally as an int64 accumulator table and CLAMPED at every
   read/serialize point: min(sum, UINT32_MAX) == the reference's saturating
   add for non-negative increments, and dropping the per-update
-  convert/clip table passes makes update_hashes ~3.5x faster — measured
-  5.1M/s -> 18M/s at width 271829, beating the compiled reference's
-  6.7M/s on the same box.  The one knowingly-unreachable divergence:
-  REMOVING counts from an already-saturated standard-mode cell acts on
-  the raw int64 sum, not the clamped value — post-saturation removal is
-  gated nowhere and needs >4e9 hits on one cell.)
+  convert/clip table passes makes update_hashes ~2.5x faster — measured
+  5.4M/s -> 12.7M/s at width 271829 in scripts/kernel_bench.py, vs the
+  compiled reference's 6.7M/s on the same box.  Batches containing
+  NEGATIVE counts floor the touched rows at 0 after the add (the
+  reference's unsigned cells can't go below zero).  The one
+  knowingly-unreachable divergence: REMOVING counts from an
+  already-saturated standard-mode cell acts on the raw int64 sum, not
+  the clamped value — post-saturation removal is gated nowhere and needs
+  >4e9 hits on one cell.)
 - number keys hash as their 8-byte little-endian double bytes
   (lua_binding/cm_sketch.c:143-158)
 
@@ -127,9 +130,12 @@ class CountMinSketch:
     def _scatter_add(self, idx: np.ndarray, counts: np.ndarray | None) -> None:
         """Scatter-add of per-key counts into the int64 counter rows via
         per-row bincount (~20x faster than np.add.at; the unweighted
-        integer bincount path when counts is None — the hot case — skips
-        float accumulation entirely).  No per-update clip: saturation is
-        applied at read/serialize."""
+        integer bincount path when counts is None — unit increments —
+        skips float accumulation entirely).  No per-update upper clip:
+        saturation is applied at read/serialize.  Negative counts (rare:
+        batched removals) floor the touched rows at 0 afterwards — cells
+        are unsigned in the reference and must never go below zero."""
+        has_neg = counts is not None and bool((counts < 0).any())
         for i in range(self.depth):
             if counts is None:
                 self.counts[i] += np.bincount(idx[i], minlength=self.width)
@@ -137,6 +143,8 @@ class CountMinSketch:
                 acc = np.bincount(idx[i], weights=counts,
                                   minlength=self.width)
                 self.counts[i] += acc.astype(np.int64)
+            if has_neg:
+                np.maximum(self.counts[i], 0, out=self.counts[i])
 
     def update_hashes(self, h64: np.ndarray, counts: np.ndarray = None) -> None:
         """Vectorized standard CM update from precomputed 64-bit key hashes
@@ -154,7 +162,7 @@ class CountMinSketch:
     def point_query_hashes(self, h64: np.ndarray) -> np.ndarray:
         idx = self._indices_from_h64(np.asarray(h64))
         vals = self.counts[np.arange(self.depth)[:, None], idx]
-        return np.minimum(vals.min(axis=0), _U32_MAX)
+        return np.minimum(vals.min(axis=0), _U32_MAX).astype(np.uint32)
 
     def point_query_batch(self, keys) -> np.ndarray:
         keys = [key_bytes(k) for k in keys]
@@ -162,7 +170,7 @@ class CountMinSketch:
             return np.zeros(0, np.uint32)
         idx = self._indices(keys)
         vals = self.counts[np.arange(self.depth)[:, None], idx]
-        return np.minimum(vals.min(axis=0), _U32_MAX)
+        return np.minimum(vals.min(axis=0), _U32_MAX).astype(np.uint32)
 
     def point_query(self, key) -> int:
         return int(self.point_query_batch([key])[0])
@@ -234,7 +242,7 @@ class CountMinSketch:
 
     def to_bytes(self) -> bytes:
         head = np.array([self.item_count, self.unique_count], "<u8").tobytes()
-        return head + np.minimum(self.counts, _U32_MAX).astype("<u4").tobytes()
+        return head + np.clip(self.counts, 0, _U32_MAX).astype("<u4").tobytes()
 
     @classmethod
     def from_bytes(cls, buf: bytes, *, width: int, depth: int,

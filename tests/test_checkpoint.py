@@ -46,3 +46,42 @@ def test_resume_after_partition_loss_identical(spark, webpages, tmp_path):
     m = resumed.lineage_metrics().collect()
     assert {r["partition_id"] for r in m} == set(range(8))
     assert sum(r["rows"] for r in m) == df.count()
+
+
+def test_stale_algo_version_partials_not_reused(spark, webpages, tmp_path):
+    """Partials stamped by a different ALGO_VERSION must be treated as
+    missing — never merged (a library upgrade that changes a hash mapping
+    would otherwise silently mix incompatible register mass; resume's
+    worst case must be recompute, never a wrong estimate)."""
+    import streaming_algorithms_spark.checkpoint as cp
+
+    def _update(sk, pdf):
+        sk.update_batch(encode_utf8(pdf["url"]))
+
+    kw = dict(
+        factory=lambda: HyperLogLog(11),
+        update=_update,
+        from_bytes=HyperLogLog.from_bytes,
+        finalize=lambda sk, rows: {"est": int(round(sk.estimate())),
+                                   "rows_seen": rows},
+        out_value_schema="est bigint, rows_seen bigint",
+    )
+    df = webpages.select("lang", "url").repartition(4)
+
+    ck = cp.SketchCheckpoint(spark, str(tmp_path / "ck_v"), "q1")
+    old_version = cp.ALGO_VERSION
+    try:
+        cp.ALGO_VERSION = "0-stale"
+        ck.run(df, ["lang"], **kw).collect()
+        assert ck.completed_partitions() == frozenset(range(4))
+    finally:
+        cp.ALGO_VERSION = old_version
+
+    # under the CURRENT version the stale partials are invisible...
+    assert ck.completed_partitions() == frozenset()
+    # ...and a fresh run recomputes everything and matches a clean run
+    result = {r["lang"]: r["est"] for r in ck.run(df, ["lang"], **kw).collect()}
+    clean = cp.SketchCheckpoint(spark, str(tmp_path / "ck_clean"), "q1")
+    baseline = {r["lang"]: r["est"]
+                for r in clean.run(df, ["lang"], **kw).collect()}
+    assert result == baseline
