@@ -281,3 +281,88 @@ def test_no_corpus_global_window_in_any_gated_query_plan(spark):
             scan = below.find("FileScan")
             assert not (scan != -1 and (agg == -1 or scan < agg)), (name, stripped)
         spark.catalog.clearCache()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key/count must join WITHOUT any
+    Exchange (the shuffle is paid once at write time) and, being sortBy'd,
+    without per-task Sort on the streamed side — the co-located repeated-
+    join strategy the 100-TB design calls for."""
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark.sources.bucketed import (
+        bucketed_join,
+        save_bucketed,
+    )
+
+    docs = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("score"),
+    )
+    scores = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 13).alias("quality"),
+    )
+    save_bucketed(docs, "t_docs_b", ["doc_id"], 8,
+                  path=str(tmp_path / "docs_b"))
+    save_bucketed(scores, "t_scores_b", ["doc_id"], 8,
+                  path=str(tmp_path / "scores_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the join planner's hand: without this a small side would
+        # broadcast and the bucketing claim would go untested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "t_docs_b", "t_scores_b", ["doc_id"])
+        plan = _physical_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_scores_b")
+
+
+def test_warc_roundtrip_byte_identical(spark, tmp_path):
+    """webpages -> write_warc -> read_warc roundtrips url/warc_ts/html
+    byte-identically (ms-precision WARC-Date, deterministic record ids),
+    and the extracted text from roundtripped html equals the original
+    text column — the input_hint invariant holds straight off the archive
+    format."""
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark.operators.html_text import html_to_text
+    from streaming_algorithms_spark.sources.warc import read_warc, write_warc
+
+    pages = generate_webpages(spark, 300, n_hosts=10, partitions=3).cache()
+    warc_dir = str(tmp_path / "warc")
+    write_warc(pages, warc_dir, compress=True)
+
+    back = read_warc(spark, warc_dir)
+    # the corpus deliberately contains DUPLICATE urls (exact-dup pages), so
+    # the comparison is multiset equality of full rows, not a url join
+    def rowset(df, ts_col, html_col):
+        return sorted(
+            (r["url"], r[ts_col], bytes(r[html_col]))
+            for r in df.collect()
+        )
+
+    assert rowset(back, "warc_ts", "html") == rowset(pages, "warc_ts", "html")
+
+    # extraction off the archive equals the original text, byte for byte
+    ext = html_to_text(back.withColumnRenamed("url", "doc_id"), "doc_id")
+    got_text = sorted((r["doc_id"], r["text"]) for r in ext.collect())
+    want_text = sorted((r["url"], r["text"]) for r in pages.collect())
+    assert got_text == want_text
+
+    # determinism: re-writing the same corpus produces identical archives
+    import hashlib
+    import os
+    warc_dir2 = str(tmp_path / "warc2")
+    write_warc(pages, warc_dir2, compress=True)
+
+    def digest(d):
+        return {f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+                for f in sorted(os.listdir(d))}
+
+    assert digest(warc_dir) == digest(warc_dir2)
