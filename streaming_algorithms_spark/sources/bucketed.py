@@ -6,7 +6,8 @@ count needs NO shuffle: each task reads matching bucket files from both
 sides (Spark's bucketing contract — hash(key) % n_buckets determines the
 file), so the exchange that dominates a repeated fact-fact join is paid
 ONCE at write time instead of per query.  ``sortBy`` on the same keys
-additionally removes the per-task sort of a sort-merge join.
+additionally removes the per-task sort of a sort-merge join when the
+session opts into bucket-sort propagation (see ``save_bucketed``).
 
 When to use (the 100-TB calculus): a corpus joined against per-document
 side tables (dedup keep-sets, quality scores, embedding shards) on
@@ -31,9 +32,20 @@ def save_bucketed(df: DataFrame, name: str, keys: Sequence[str],
                   sort: bool = True) -> None:
     """Persist ``df`` as a bucketed (and by default sorted) parquet table
     registered in the session catalog.  ``path`` makes it an external
-    table (required in ephemeral test sessions without a warehouse)."""
+    table (required in ephemeral test sessions without a warehouse).
+
+    The explicit ``repartition(n_buckets, *keys)`` before the write is
+    load-bearing: only with ONE file per bucket can the scan's sort
+    metadata ever be trusted at read time.  Note Spark >= 3.0 does not
+    propagate bucket sort ordering by DEFAULT even then (SPARK-28595;
+    multi-file buckets would need a merge-sort) — the join still skips
+    the Exchange (the expensive part) but re-Sorts per task unless
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` is set,
+    in which case the plan has neither Exchange nor Sort (both
+    configurations verified in test_bucketed_join_has_no_exchange)."""
     keys = list(keys)
-    w = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
+    w = (df.repartition(n_buckets, *keys)
+         .write.mode("overwrite").bucketBy(n_buckets, *keys))
     if sort:
         w = w.sortBy(*keys)
     if path is not None:

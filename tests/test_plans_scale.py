@@ -308,6 +308,7 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     save_bucketed(scores, "t_scores_b", ["doc_id"], 8,
                   path=str(tmp_path / "scores_b"))
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    ORDERING = "spark.sql.legacy.bucketedTableScan.outputOrdering"
     try:
         # force the join planner's hand: without this a small side would
         # broadcast and the bucketing claim would go untested
@@ -317,8 +318,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert "SortMergeJoin" in plan, plan
         assert "Exchange" not in plan, plan
         assert joined.count() == 5000
+        # with bucket-sort propagation opted in (Spark >= 3.0 disables it
+        # by default, SPARK-28595) and one file per bucket
+        # (save_bucketed's repartition), the per-task Sort disappears too
+        spark.conf.set(ORDERING, "true")
+        plan2 = _physical_plan(
+            bucketed_join(spark, "t_docs_b", "t_scores_b", ["doc_id"]))
+        assert "Exchange" not in plan2 and "Sort " not in plan2, plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(ORDERING, "false")
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_scores_b")
 
@@ -366,3 +375,37 @@ def test_warc_roundtrip_byte_identical(spark, tmp_path):
                 for f in sorted(os.listdir(d))}
 
     assert digest(warc_dir) == digest(warc_dir2)
+
+
+def test_warc_guards(spark, tmp_path):
+    """write_warc refuses non-empty targets (stale part files would union
+    into reads); parse raises on truncated records; CR/LF-bearing urls
+    roundtrip losslessly via the lossless %-encoding."""
+    import pytest as _pytest
+
+    from streaming_algorithms_spark.sources.warc import (
+        _header_value,
+        _decode_header_value,
+        _parse_warc_bytes,
+        _record,
+        read_warc,
+        write_warc,
+    )
+
+    df = generate_webpages(spark, 10, n_hosts=2, partitions=1)
+    d = str(tmp_path / "w1")
+    write_warc(df, d)
+    with _pytest.raises(ValueError, match="not empty"):
+        write_warc(df, d)
+
+    rec = _record("http://x/", "2025-01-01T00:00:00.000", b"0123456789")
+    with _pytest.raises(ValueError, match="truncated"):
+        list(_parse_warc_bytes(rec[:-8]))
+
+    nasty = "http://a/\r\n\r\nX%0D?q=1"
+    assert _decode_header_value(_header_value(nasty)) == nasty
+    rec2 = _record(nasty, "2025-01-01T00:00:00.000", b"payload") + _record(
+        "http://b/", "2025-01-01T00:00:00.000", b"second")
+    got = list(_parse_warc_bytes(rec2))
+    assert [u for u, _, _ in got] == [nasty, "http://b/"]
+    assert got[0][2] == b"payload" and got[1][2] == b"second"
