@@ -2,7 +2,7 @@
 
 The north-rule input is "an Iceberg table of Common-Crawl-style web
 pages"; upstream of that table sits the crawl archive itself: WARC files
-(ISO 28500), one gzip member stream per segment, each ``response`` record
+(ISO 28500), one gzip stream per segment, each ``response`` record
 carrying a target URI, a capture date, and the payload bytes.  This
 module re-expresses that boundary Spark-first:
 
@@ -15,30 +15,57 @@ module re-expresses that boundary Spark-first:
   100 TB the file listing is the only driver-side work.
 - ``write_warc``: ``foreachPartition`` sink STREAMING one
   ``part-<pid>.warc[.gz]`` per partition, record by record (O(record)
-  task memory, not O(partition)).  The target directory must be empty
-  (stale part files from a previous layout would otherwise silently
-  union into reads) and a ``_SUCCESS`` marker is written after the job
-  completes, mirroring the Hadoop commit convention.
+  task memory, not O(partition)), under a task-commit protocol (below).
 
-Simplifications vs the full spec (documented contract, tested):
-records are ``WARC-Type: response`` with the payload stored directly
-(real CC wraps an HTTP response envelope; the envelope strip is a
-byte-prefix drop that changes nothing structural); per-record gzip
-members are replaced by whole-file gzip (``.warc.gz``); WARC-Date uses
-millisecond precision (WARC 1.1 allows fractional seconds) so the
+Real-Common-Crawl compatibility (both are handled transparently on read):
+
+- **Per-record gzip members.**  CC archives gzip each record as its own
+  member and concatenate; ``gzip``/``zlib`` decode a concatenated-member
+  stream as the concatenation of the members (RFC 1952 §2.2), and the
+  reader decompresses member-by-member with a streaming ``zlib``
+  decompressobj, so one task never holds compressed+decompressed copies
+  of more than the running archive.  ``write_warc(cc_style=True)``
+  produces this exact layout (one deterministic mtime=0 member per
+  record), which is what the spec-faithful roundtrip tests read back.
+- **HTTP response envelope.**  CC ``response`` records carry
+  ``Content-Type: application/http; msgtype=response`` and wrap the body
+  in a full HTTP response (status line + headers + CRLFCRLF).  The parser
+  strips the envelope whenever the record's content type says
+  ``application/http`` — the returned ``html`` column is the body bytes,
+  byte-identical to what was archived.  A missing envelope terminator is
+  a corrupt record and raises (fail-loud contract).
+
+Remaining simplifications vs the full spec (documented, tested):
+``write_warc``'s default (``cc_style=False``) stores the payload directly
+with whole-file gzip — the compact internal interchange format; WARC-Date
+uses millisecond precision (WARC 1.1 allows fractional seconds) so the
 ``warc_ts`` column roundtrips exactly — the corpus timestamps are
 ms-truncated (sources/webpages.py).  Record ids hash (url, date,
 payload digest): deterministic re-writes, unique per distinct capture —
 byte-identical duplicate captures share an id (deviation from strict
 per-record uniqueness, accepted for the determinism contract).
+
+Task-commit protocol (sink): each task streams to a dot-prefixed temp
+file ``.part-<pid>-<taskAttemptId>.<ext>.tmp`` — invisible to Spark file
+listings (leading-dot paths are filtered by every Hadoop/Spark file
+index) and unique per ATTEMPT, so a speculative or retried attempt can
+never interleave bytes with another attempt — then atomically
+``os.replace``s it to the final ``part-<pid>`` name on task success.
+Either attempt's rename yields a whole archive (last-writer-wins with
+whole files, the same guarantee as Hadoop's v1 commit rename).  A failed
+job leaves only dot-temps and no ``_SUCCESS``; ``read_warc(...,
+require_success=True)`` turns the marker into a read-side integrity
+check for directories produced by this sink.
 """
 
 from __future__ import annotations
 
 import gzip
 import hashlib
+import io
 import os
 import uuid
+import zlib
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -63,36 +90,104 @@ def _decode_header_value(v: str) -> str:
             .replace("%25", "%"))
 
 
-def _record(url: str, ts, payload: bytes) -> bytes:
+def _record(url: str, ts, payload: bytes, cc_style: bool = False) -> bytes:
     """One WARC/1.0 response record; see module docstring for the record-id
-    and date contracts."""
+    and date contracts.  ``cc_style`` wraps the payload in an HTTP/1.1
+    response envelope and stamps the CC content type — the record id still
+    hashes the BODY digest, so the same capture gets the same id in either
+    format."""
     date = pd.Timestamp(ts).strftime(_DATE_FMT)[:-3] + "Z"  # ms precision
     digest = hashlib.md5(
         url.encode() + b"\x00" + date.encode() + b"\x00"
         + hashlib.md5(payload).digest()
     ).hexdigest()
     rid = uuid.UUID(digest)
+    if cc_style:
+        envelope = (
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=UTF-8\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "\r\n"
+        ).encode() + payload
+        ctype = "application/http; msgtype=response"
+    else:
+        envelope = payload
+        ctype = "application/octet-stream"
     head = (
         "WARC/1.0\r\n"
         "WARC-Type: response\r\n"
         f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
         f"WARC-Target-URI: {_header_value(url)}\r\n"
         f"WARC-Date: {date}\r\n"
-        "Content-Type: application/octet-stream\r\n"
-        f"Content-Length: {len(payload)}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(envelope)}\r\n"
         "\r\n"
     ).encode()
-    return head + payload + b"\r\n\r\n"
+    return head + envelope + b"\r\n\r\n"
+
+
+class _TaskWriter:
+    """Task-commit protocol for one partition's archive (module docstring).
+
+    ``write`` streams records (O(record) memory); ``commit`` closes the
+    temp file and atomically renames it over the final part name;
+    ``abort`` (or never committing) leaves only the dot-temp, which Spark
+    file listings ignore.  Deterministic output: gzip mtime=0 whether
+    whole-file (default) or per-record member (``cc_style``)."""
+
+    def __init__(self, path: str, pid: int, attempt: int, compress: bool,
+                 cc_style: bool):
+        ext = ".warc.gz" if compress else ".warc"
+        self.final = os.path.join(path, f"part-{pid:05d}{ext}")
+        self.tmp = os.path.join(path, f".part-{pid:05d}-{attempt}{ext}.tmp")
+        self.compress = compress
+        self.cc_style = cc_style
+        self._raw = open(self.tmp, "wb")
+        # whole-file gzip: one stream; cc_style: one member per record.
+        # filename="" suppresses the FNAME header field — GzipFile would
+        # otherwise embed the temp path (which carries the task ATTEMPT id)
+        # and break byte-determinism across re-writes.
+        self._f = (gzip.GzipFile(filename="", fileobj=self._raw, mode="wb",
+                                 mtime=0)
+                   if compress and not cc_style else self._raw)
+
+    def write(self, url: str, ts, payload: bytes) -> None:
+        rec = _record(url, ts, payload, cc_style=self.cc_style)
+        if self.cc_style and self.compress:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(rec)
+            rec = buf.getvalue()
+        self._f.write(rec)
+
+    def _close(self) -> None:
+        self._f.close()
+        if self._f is not self._raw:
+            self._raw.close()
+
+    def commit(self) -> None:
+        self._close()
+        os.replace(self.tmp, self.final)  # atomic on POSIX
+
+    def abort(self) -> None:
+        self._close()
+        try:
+            os.remove(self.tmp)
+        except OSError:
+            pass
 
 
 def write_warc(df: DataFrame, path: str, url_col: str = "url",
                ts_col: str = "warc_ts", payload_col: str = "html",
-               compress: bool = True) -> None:
+               compress: bool = True, cc_style: bool = False) -> None:
     """Write ``df`` as WARC files, one per partition (shuffle-free sink;
-    repartition first to choose the archive file count).  Local/shared
-    filesystem paths (the sandbox case); an object-store deployment swaps
-    the ``open`` for its client in this one function.  Refuses a
-    non-empty target directory."""
+    repartition first to choose the archive file count).  ``cc_style``
+    emits the spec-faithful Common-Crawl layout (per-record gzip members +
+    HTTP response envelope); the default is the compact internal format.
+    Local/shared filesystem paths (the sandbox case); an object-store
+    deployment swaps the ``open``/``os.replace`` pair in ``_TaskWriter``
+    for its client in that one class.  Refuses a non-empty target
+    directory."""
     os.makedirs(path, exist_ok=True)
     existing = [f for f in os.listdir(path) if not f.startswith(".")]
     if existing:
@@ -101,7 +196,6 @@ def write_warc(df: DataFrame, path: str, url_col: str = "url",
             "stale part files would silently union into reads — write to a "
             "fresh directory"
         )
-    ext = ".warc.gz" if compress else ".warc"
 
     def write_partition(rows):
         first = next(iter(rows), None)
@@ -111,38 +205,70 @@ def write_warc(df: DataFrame, path: str, url_col: str = "url",
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        out = os.path.join(path, f"part-{pid:05d}{ext}")
-        # stream record-by-record: O(record) memory, and mtime=0 keeps
-        # gzip output byte-identical across re-writes (determinism)
-        raw = open(out, "wb")
-        f = (gzip.GzipFile(fileobj=raw, mode="wb", mtime=0)
-             if compress else raw)
+        ctx = TaskContext.get()
+        w = _TaskWriter(path, ctx.partitionId(), ctx.taskAttemptId(),
+                        compress, cc_style)
         try:
             for row in itertools.chain([first], rows):
-                f.write(_record(row[url_col], row[ts_col],
-                                bytes(row[payload_col])))
-        finally:
-            f.close()
-            if f is not raw:
-                raw.close()
+                w.write(row[url_col], row[ts_col], bytes(row[payload_col]))
+        except BaseException:
+            w.abort()
+            raise
+        w.commit()
 
     df.select(url_col, ts_col, payload_col).foreachPartition(write_partition)
     with open(os.path.join(path, "_SUCCESS"), "wb"):
         pass
 
 
-def _parse_warc_bytes(blob: bytes):
-    """Yield (url, warc_ts, payload) from one decompressed WARC stream.
-    Raises on truncation — a payload shorter than its Content-Length means
-    a partial/corrupt archive, which must surface, not produce
-    plausible-looking short rows."""
+def _gunzip_members(blob: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream member-by-member
+    with a streaming zlib decompressobj — real CC archives are one gzip
+    member PER RECORD concatenated (RFC 1952 §2.2); ``gzip.decompress``
+    also handles that, but doing it explicitly keeps the member walk
+    under our fail-loud contract (trailing garbage raises instead of
+    silently truncating)."""
+    out = []
     pos = 0
     n = len(blob)
     while pos < n:
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        out.append(d.decompress(blob[pos:]))
+        out.append(d.flush())
+        if not d.eof:
+            raise ValueError(
+                f"truncated gzip member at offset {pos}: archive ends "
+                "mid-member (partial/corrupt archive)"
+            )
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0:  # zero-byte progress would loop forever
+            raise ValueError(f"corrupt gzip framing at offset {pos}")
+        pos += consumed
+    return b"".join(out)
+
+
+def _parse_warc_bytes(blob: bytes):
+    """Yield (url, warc_ts, payload) from one decompressed WARC stream.
+    Fail-loud contract: a payload shorter than its Content-Length, OR an
+    archive cut inside a header block, OR a response record whose declared
+    HTTP envelope has no terminator, raises — a partial/corrupt archive
+    must surface, never produce plausible-looking short rows.  Records
+    whose content type is ``application/http`` have the HTTP response
+    envelope stripped (real Common-Crawl layout); others yield the payload
+    directly.  Non-``response`` records (warcinfo/request/metadata) are
+    skipped."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        if not blob[pos:].strip(b"\r\n"):
+            break  # trailing record-separator padding only
         end = blob.find(b"\r\n\r\n", pos)
         if end < 0:
-            break
+            raise ValueError(
+                f"truncated WARC record at offset {pos}: archive ends "
+                "inside a header block (no CRLFCRLF terminator; "
+                "partial/corrupt archive)"
+            )
         head = blob[pos:end].decode("utf-8", "replace")
         fields = {}
         for line in head.split("\r\n")[1:]:
@@ -157,16 +283,38 @@ def _parse_warc_bytes(blob: bytes):
             )
         payload = blob[end + 4:end + 4 + length]
         if fields.get("warc-type") == "response":
+            if fields.get("content-type", "").startswith("application/http"):
+                sep = payload.find(b"\r\n\r\n")
+                if sep < 0:
+                    raise ValueError(
+                        f"corrupt response record at offset {pos}: "
+                        "application/http payload has no HTTP header "
+                        "terminator"
+                    )
+                payload = payload[sep + 4:]
             url = _decode_header_value(fields.get("warc-target-uri", ""))
             ts = pd.Timestamp(fields.get("warc-date", "").rstrip("Z"))
             yield url, ts, payload
         pos = end + 4 + length + 4  # skip payload + record separator
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str,
+              require_success: bool = False) -> DataFrame:
     """Distributed WARC reader: one row per archive file from binaryFile
     (PathGlobFilter keeps sidecars out), record parsing in Arrow batches,
-    ONE output batch per archive file.  Returns (url, warc_ts, html)."""
+    ONE output batch per archive file.  Reads both this module's compact
+    format and real Common-Crawl layout (per-record gzip members + HTTP
+    envelope).  ``require_success=True`` refuses a directory without the
+    sink's ``_SUCCESS`` marker — the read-side half of the task-commit
+    protocol for archives produced by ``write_warc`` (leave False for
+    external archives, which ship no marker).  Returns
+    (url, warc_ts, html)."""
+    if require_success and not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise ValueError(
+            f"read_warc: {path!r} has no _SUCCESS marker — the writing job "
+            "did not complete (partial archive set); pass "
+            "require_success=False only for externally-produced archives"
+        )
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
@@ -179,7 +327,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             for p, content in zip(pdf["path"], pdf["content"]):
                 blob = bytes(content)
                 if p.endswith(".gz"):
-                    blob = gzip.decompress(blob)
+                    blob = _gunzip_members(blob)
                 urls, tss, payloads = [], [], []
                 for url, ts, payload in _parse_warc_bytes(blob):
                     urls.append(url)

@@ -409,3 +409,165 @@ def test_warc_guards(spark, tmp_path):
     got = list(_parse_warc_bytes(rec2))
     assert [u for u, _, _ in got] == [nasty, "http://b/"]
     assert got[0][2] == b"payload" and got[1][2] == b"second"
+
+
+def test_warc_cc_style_spec_faithful_roundtrip(spark, tmp_path):
+    """Spec-faithful Common-Crawl layout: write_warc(cc_style=True) emits
+    per-record gzip members wrapping the payload in an HTTP response
+    envelope; read_warc strips the envelope and the html column is
+    byte-identical to the source — the input_hint invariant holds off the
+    REAL CC archive format, not just the compact internal one."""
+    import gzip as _gzip
+    import os
+    import zlib
+
+    from streaming_algorithms_spark.sources.warc import read_warc, write_warc
+
+    pages = generate_webpages(spark, 200, n_hosts=8, partitions=2).cache()
+    d = str(tmp_path / "cc")
+    write_warc(pages, d, compress=True, cc_style=True)
+
+    # raw archive structure: concatenated gzip members, one per record,
+    # each member containing exactly one WARC record with an HTTP envelope
+    part = os.path.join(d, sorted(f for f in os.listdir(d)
+                                  if f.startswith("part-"))[0])
+    blob = open(part, "rb").read()
+    members = 0
+    pos = 0
+    while pos < len(blob):
+        dec = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        body = dec.decompress(blob[pos:]) + dec.flush()
+        assert body.startswith(b"WARC/1.0\r\n")
+        assert b"Content-Type: application/http; msgtype=response" in body
+        assert b"HTTP/1.1 200 OK\r\n" in body
+        members += 1
+        pos = len(blob) - len(dec.unused_data)
+    assert members > 1  # genuinely member-per-record, not whole-file
+
+    back = read_warc(spark, d, require_success=True)
+    got = sorted((r["url"], r["warc_ts"], bytes(r["html"]))
+                 for r in back.collect())
+    want = sorted((r["url"], r["warc_ts"], bytes(r["html"]))
+                  for r in pages.collect())
+    assert got == want
+
+
+def test_warc_handcrafted_cc_archive(spark, tmp_path):
+    """read_warc parses an archive built BY HAND to the CC spec (member
+    gzip; warcinfo + request records interleaved with responses; HTTP
+    envelope with headers) — proving the reader is not merely coupled to
+    write_warc's own output."""
+    import gzip as _gzip
+    import os
+
+    from streaming_algorithms_spark.sources.warc import read_warc
+
+    def member(head: str, payload: bytes) -> bytes:
+        rec = head.encode() + payload + b"\r\n\r\n"
+        return _gzip.compress(rec, mtime=0)
+
+    body = b"<html><body>hello</body></html>"
+    http = (b"HTTP/1.1 200 OK\r\nServer: nginx\r\n"
+            b"Content-Type: text/html\r\n\r\n" + body)
+    warcinfo = member(
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n",
+        b"info: x\r\n")
+    request = member(
+        "WARC/1.0\r\nWARC-Type: request\r\n"
+        "WARC-Target-URI: http://ex.com/a\r\nContent-Length: 4\r\n\r\n",
+        b"GET ")
+    response = member(
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: http://ex.com/a\r\n"
+        "WARC-Date: 2024-03-01T12:00:00Z\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n",
+        http)
+    d = tmp_path / "hand"
+    d.mkdir()
+    (d / "seg-00000.warc.gz").write_bytes(warcinfo + request + response)
+
+    rows = read_warc(spark, str(d)).collect()
+    assert len(rows) == 1  # warcinfo/request skipped
+    assert rows[0]["url"] == "http://ex.com/a"
+    assert bytes(rows[0]["html"]) == body
+    assert str(rows[0]["warc_ts"]).startswith("2024-03-01 12:00:00")
+
+
+def test_warc_task_commit_protocol(spark, tmp_path):
+    """Task-commit: concurrent duplicate attempts (speculation) each write
+    their own dot-temp and the atomic rename yields ONE whole archive; an
+    aborted attempt leaves only an invisible dot-temp; require_success
+    refuses a directory whose job never completed."""
+    import os
+
+    import pytest as _pytest
+
+    from streaming_algorithms_spark.sources.warc import (
+        _TaskWriter,
+        read_warc,
+    )
+
+    d = str(tmp_path / "tc")
+    os.makedirs(d)
+    rows = [("http://a/%d" % i, "2025-01-01T00:00:00.000", b"x" * i)
+            for i in range(1, 6)]
+
+    # two attempts of the same partition running CONCURRENTLY, interleaved
+    w1 = _TaskWriter(d, 0, 101, compress=True, cc_style=False)
+    w2 = _TaskWriter(d, 0, 202, compress=True, cc_style=False)
+    for u, ts, p in rows:
+        w1.write(u, ts, p)
+        w2.write(u, ts, p)  # interleaved in time, isolated on disk
+    w1.commit()
+    bytes_after_first = open(os.path.join(d, "part-00000.warc.gz"), "rb").read()
+    w2.commit()  # last-writer-wins rename, still a whole archive
+    bytes_after_second = open(os.path.join(d, "part-00000.warc.gz"), "rb").read()
+    assert bytes_after_first == bytes_after_second  # deterministic content
+
+    # aborted attempt: dot-temp removed, nothing visible
+    w3 = _TaskWriter(d, 1, 303, compress=True, cc_style=False)
+    w3.write(*rows[0])
+    w3.abort()
+    visible = [f for f in os.listdir(d) if not f.startswith(".")]
+    assert visible == ["part-00000.warc.gz"]
+
+    # no _SUCCESS (job "didn't finish"): require_success refuses...
+    with _pytest.raises(ValueError, match="_SUCCESS"):
+        read_warc(spark, d, require_success=True)
+    # ...but the committed archive itself is whole and parseable
+    got = read_warc(spark, d).collect()
+    assert sorted(bytes(r["html"]) for r in got) == sorted(p for _, _, p in rows)
+
+
+def test_warc_truncation_guards(spark):
+    """Fail-loud contract extensions: an archive cut inside a HEADER block
+    raises (not a silent tail drop); a gzip stream cut mid-member raises;
+    an application/http payload without an HTTP terminator raises."""
+    import gzip as _gzip
+
+    import pytest as _pytest
+
+    from streaming_algorithms_spark.sources.warc import (
+        _gunzip_members,
+        _parse_warc_bytes,
+        _record,
+    )
+
+    rec = _record("http://x/", "2025-01-01T00:00:00.000", b"0123456789")
+    # cut inside the SECOND record's header block
+    two = rec + _record("http://y/", "2025-01-01T00:00:00.000", b"abc")
+    cut = two[: len(rec) + 30]
+    with _pytest.raises(ValueError, match="header block"):
+        list(_parse_warc_bytes(cut))
+
+    gz = _gzip.compress(rec, mtime=0)
+    with _pytest.raises(ValueError, match="truncated gzip"):
+        _gunzip_members(gz[:-5])
+
+    bad = _record("http://x/", "2025-01-01T00:00:00.000", b"no-terminator",
+                  cc_style=True)
+    # corrupt the envelope: drop the CRLFCRLF inside the payload
+    bad = bad.replace(b"\r\n\r\nno-terminator", b"no-terminator____", 1)
+    with _pytest.raises(ValueError, match="no HTTP header"):
+        list(_parse_warc_bytes(bad))
