@@ -239,9 +239,38 @@ def q_matrix_pcc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups — with the membership side recomputed THROUGH
+    the bucketed-table layout (sources/bucketed), driver-gating the
+    co-located-join path: per-doc (text_hash, doc_id) and the group table
+    are both written bucketed on text_hash into the same bucket count,
+    then bucketed_join re-derives each group's member count with no
+    Exchange (the write-once-shuffle strategy a corpus⋈side-table join
+    uses at 100 TB).  ``n_members`` must equal ``dup_count`` — so the
+    value hash proves the bucketed write → catalog read → co-located join
+    path end to end, not just the plan shape (plan assertions live in
+    test_bucketed_join_has_no_exchange)."""
+    import os
+    import tempfile
+
+    from ..sources.bucketed import bucketed_join, save_bucketed
+
     docs = load_table(spark, "documents", sf_dir)
+    groups = exact_dedup_groups(docs, "doc_id", "text")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_bucket_gate_{sf_tag}")
+    t_docs, t_groups = f"gate_docs_{sf_tag}", f"gate_groups_{sf_tag}"
+    save_bucketed(
+        docs.select(F.md5("text").alias("text_hash"), "doc_id"),
+        t_docs, ["text_hash"], 8, path=os.path.join(base, "docs"),
+    )
+    save_bucketed(groups, t_groups, ["text_hash"], 8,
+                  path=os.path.join(base, "groups"))
+    joined = bucketed_join(spark, t_docs, t_groups, ["text_hash"],
+                           force_merge=True)
     return (
-        exact_dedup_groups(docs, "doc_id", "text")
+        joined.groupBy("text_hash", "dup_count", "keep_id")
+        .agg(F.count("*").alias("n_members"))
         .orderBy("text_hash")
     )
 
@@ -1363,22 +1392,49 @@ def q_media_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The input_hint per-row invariant, driver-gated: *extracted text per
-    url stays byte-identical* (BASELINE.json input_hint).
+    url stays byte-identical* (BASELINE.json input_hint) — now proven
+    THROUGH the Common-Crawl archive format itself.
 
     Spark side renders each document's text into a full deterministic HTML
     page (chrome + entity-escaped paragraphs + numeric character refs —
-    operators.html_text.render_page) and then runs the EXTRACTION operator
-    over the html bytes only; the answer columns are md5/length of the
-    *extracted* text.  The DuckDB oracle computes md5/length of the original
-    ``text`` column directly — per-row hash equality therefore proves the
-    render -> extract roundtrip reconstructs every document byte-for-byte,
-    end to end through real Spark plumbing (two mapInPandas stages, no
-    shuffle: extraction is a pure map over input splits at any scale)."""
+    operators.html_text.render_page), writes the pages as a spec-faithful
+    CC WARC archive (per-record gzip members + HTTP response envelope,
+    sources/warc.write_warc(cc_style=True) under the task-commit protocol),
+    reads it back with the distributed member-gzip parser
+    (read_warc(require_success=True)), and only THEN runs the extraction
+    operator over the html bytes; the answer columns are md5/length of the
+    *extracted* text.  The DuckDB oracle computes md5/length of the
+    original ``text`` column directly — per-row hash equality therefore
+    proves render -> WARC archive -> parse -> extract reconstructs every
+    document byte-for-byte, end to end through the real ingestion boundary
+    (archive write/read is one map-shaped job each; extraction stays a
+    pure map over archive files at any scale)."""
+    import os
+    import shutil
+    import tempfile
+
     from ..operators.html_text import html_to_text, render_html
+    from ..sources.warc import read_warc, write_warc
 
     docs = load_table(spark, "documents", sf_dir)
-    pages = render_html(docs, "doc_id", "text")
-    extracted = html_to_text(pages, "doc_id", "html")
+    pages = render_html(docs, "doc_id", "text").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.to_timestamp(F.lit("2024-03-01 12:00:00")).alias("warc_ts"),
+        F.col("html").cast("binary").alias("html"),
+    )
+    # deterministic scratch path per sf, rewritten at the START of each run
+    # (the returned DataFrame stays lazy, so the archive must outlive this
+    # call; the driver/bench run queries sequentially — no clash)
+    warc_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_warc_gate_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(warc_dir, ignore_errors=True)
+    write_warc(pages, warc_dir, compress=True, cc_style=True)
+    back = read_warc(spark, warc_dir, require_success=True).select(
+        F.col("url").cast("bigint").alias("doc_id"), "html"
+    )
+    extracted = html_to_text(back, "doc_id")
     return extracted.select(
         "doc_id",
         F.md5("text").alias("text_md5"),
@@ -2162,10 +2218,13 @@ ORACLES = {
         WHERE b.event_type = 'click' AND a.event_type <> 'click'
         GROUP BY a.event_type ORDER BY a.event_type
     """,
+    # n_members re-derived through the bucketed co-located join on the
+    # Spark side; per-group it must equal dup_count by construction
     "dedup_exact_documents": """
         SELECT md5(text) AS text_hash,
                COUNT(*) AS dup_count,
-               MIN(doc_id) AS keep_id
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_members
         FROM documents GROUP BY text ORDER BY text_hash
     """,
     "text_stats_documents": f"""

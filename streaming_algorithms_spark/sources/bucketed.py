@@ -54,10 +54,19 @@ def save_bucketed(df: DataFrame, name: str, keys: Sequence[str],
 
 
 def bucketed_join(spark: SparkSession, left_name: str, right_name: str,
-                  keys: Sequence[str], how: str = "inner") -> DataFrame:
+                  keys: Sequence[str], how: str = "inner",
+                  force_merge: bool = False) -> DataFrame:
     """Join two catalog tables previously written with ``save_bucketed`` on
     the same keys/bucket count — plans as a shuffle-free (and with
     ``sort=True`` sort-free) sort-merge join; see
-    test_bucketed_join_has_no_exchange for the plan assertion."""
-    return spark.table(left_name).join(spark.table(right_name),
-                                       list(keys), how)
+    test_bucketed_join_has_no_exchange for the plan assertion.
+
+    ``force_merge`` adds the MERGE join hint: below the broadcast
+    threshold Catalyst would otherwise pick a broadcast join and never
+    touch the bucket co-location — the hint pins the sort-merge strategy
+    the layout exists for, without touching session config (the
+    at-scale case needs no hint; both sides exceed the threshold)."""
+    left, right = spark.table(left_name), spark.table(right_name)
+    if force_merge:
+        left, right = left.hint("merge"), right.hint("merge")
+    return left.join(right, list(keys), how)
