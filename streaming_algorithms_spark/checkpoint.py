@@ -124,20 +124,49 @@ class SketchCheckpoint:
     def _ckpt_path(self) -> str:
         return f"{self.path}/{self.query_id}"
 
+    def _read_ckpt(self) -> DataFrame:
+        """Read the checkpoint dir tolerant of PRE-VERSIONING files.
+
+        ``mergeSchema`` is load-bearing: after appending new (versioned)
+        partials next to files written before ``algo_version`` existed,
+        a plain read picks ONE random footer's schema — if it picks an old
+        file, filtering on the missing column raises AnalysisException
+        nondeterministically, contradicting the 'worst case is a full
+        recompute' contract.  Merged schema + coalesce-to-"0" makes every
+        pre-versioning row a version mismatch (recomputed), never an
+        error."""
+        df = (self.spark.read.option("mergeSchema", "true")
+              .parquet(self._ckpt_path()))
+        if "algo_version" not in df.columns:
+            df = df.withColumn("algo_version", F.lit("0"))
+        else:
+            df = df.withColumn(
+                "algo_version", F.coalesce(F.col("algo_version"), F.lit("0"))
+            )
+        return df
+
     def completed_partitions(self) -> frozenset:
         """Partitions with current-version partials.  Partials stamped by a
         different ALGO_VERSION (or none — pre-versioning checkpoints) are
         treated as missing, so resume recomputes them instead of merging
-        incompatible register mass."""
+        incompatible register mass.
+
+        Only a missing checkpoint path maps to "nothing completed"
+        (AnalysisException — first run); any OTHER read error (permissions,
+        corrupt footer, transient storage fault) propagates — silently
+        treating it as an empty checkpoint would turn a transient fault
+        into a full recompute that then APPENDS duplicate partials."""
+        from pyspark.errors import AnalysisException
+
         try:
-            rows = (
-                self.spark.read.parquet(self._ckpt_path())
-                .filter(F.col("algo_version") == ALGO_VERSION)
-                .select("partition_id").distinct().collect()
-            )
-            return frozenset(r["partition_id"] for r in rows)
-        except Exception:
+            ckpt = self._read_ckpt()
+        except AnalysisException:
             return frozenset()
+        rows = (
+            ckpt.filter(F.col("algo_version") == ALGO_VERSION)
+            .select("partition_id").distinct().collect()
+        )
+        return frozenset(r["partition_id"] for r in rows)
 
     def run(self, df: DataFrame, keys: Sequence[str], factory, update,
             from_bytes, finalize, out_value_schema: str,
@@ -158,7 +187,7 @@ class SketchCheckpoint:
             )
         partials.write.mode("append").parquet(self._ckpt_path())
         all_partials = (
-            self.spark.read.parquet(self._ckpt_path())
+            self._read_ckpt()
             .filter((F.col("query_id") == self.query_id)
                     & (F.col("algo_version") == ALGO_VERSION))
             .drop("partition_id", "wall_ms", "query_id", "algo_version")

@@ -780,15 +780,29 @@ def bloom_build(df: DataFrame, col: str, capacity: int, fpr: float = 1e-6) -> Bl
     return sk
 
 
-def cuckoo_build(df: DataFrame, col: str, capacity: int) -> "CuckooFilter":
+def cuckoo_build(df: DataFrame, col: str, capacity: int,
+                 max_keys: int = 4_000_000) -> "CuckooFilter":
     """Build a Cuckoo filter over a column.  Cuckoo filters are NOT monoids
     (insert order + eviction state matter), so unlike Bloom the build
-    collects the raw key bytes per partition and inserts driver-side —
-    correct for dimension-sized key sets, which is the broadcast-probe use
-    case; use Bloom when the key set itself is huge."""
+    collects the distinct key bytes and inserts driver-side — correct for
+    dimension-sized key sets, which is the broadcast-probe use case; use
+    Bloom when the key set itself is huge.
+
+    The collect is LIMIT-bounded to ``max_keys + 1`` (the
+    _enumerate_all_pairs guard pattern): a caller pointing this at a
+    corpus-cardinality column gets this error message, never a driver
+    OOM.  The default budget is ~a few hundred MB of driver strings —
+    genuinely dimension-sized; raise it explicitly if you mean it."""
     from ..sketches import CuckooFilter
 
-    rows = df.select(col).distinct().collect()
+    rows = df.select(col).distinct().limit(max_keys + 1).collect()
+    if len(rows) > max_keys:
+        raise ValueError(
+            f"cuckoo_build: more than {max_keys} distinct {col!r} keys — "
+            "the non-monoid Cuckoo build is driver-side and only sane for "
+            "dimension-sized key sets; use bloom_build for huge key sets "
+            "or raise max_keys= explicitly"
+        )
     cf = CuckooFilter(max(capacity, len(rows), 16))
     cf.update_batch([key_bytes_of(r[col]) for r in rows])
     return cf

@@ -1051,6 +1051,24 @@ def _write_events_stream_input(spark: SparkSession, sf_dir: str,
      .write.mode("overwrite").parquet(path))
 
 
+def _stream_file_spread(spark: SparkSession, stream_dir: str) -> DataFrame:
+    """(event_type, n_input_files): how many of the prepared stream's
+    parquet files each type ACTUALLY hashed into.  The multi-batch state
+    gates compare against this instead of a flat ``>= 2``: a rare type
+    whose rows all landed in one file (p = 2^(1-n) under 2-file hashing)
+    legitimately sees one micro-batch — requiring 2 would make the gate a
+    coin-flip on any corpus refresh or smaller sf (ADVICE r04).  For every
+    type that does span k >= 2 files, maxFilesPerTrigger=1 forces its
+    state through >= 2 batches, so the gate stays hard exactly where
+    multi-batch survival is the true contract."""
+    return (
+        spark.read.parquet(stream_dir)
+        .select("event_type", F.input_file_name().alias("_f"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("_f").alias("n_input_files"))
+    )
+
+
 def q_streaming_hll_events(spark: SparkSession, sf_dir: str,
                            prepared_stream_dir: str | None = None) -> DataFrame:
     """Structured Streaming state, oracle-gated (the reference's EP3
@@ -1108,8 +1126,16 @@ def q_streaming_hll_events(spark: SparkSession, sf_dir: str,
             F.countDistinct("user_id").alias("exact_distinct")
         )
         rse = 1.04 / np.sqrt(2 ** 14)
+        # materialized eagerly (dimension-sized: one row per event type) —
+        # the stream scratch dir is deleted in the finally below, so the
+        # returned lazy plan must not reference it
+        spread = spark.createDataFrame(
+            _stream_file_spread(spark, stream_dir).collect(),
+            "event_type string, n_input_files bigint",
+        )
         return (
             exact.join(final, "event_type")
+            .join(F.broadcast(spread), "event_type")
             .select(
                 "event_type",
                 "exact_distinct",
@@ -1117,7 +1143,9 @@ def q_streaming_hll_events(spark: SparkSession, sf_dir: str,
                     F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
                     <= F.greatest(3 * rse * F.col("exact_distinct"), F.lit(3.0))
                 ).alias("hll_ok"),
-                (F.col("batches") >= 2).alias("multi_batch_ok"),
+                (F.col("batches")
+                 >= F.least(F.lit(2), F.col("n_input_files"))
+                 ).alias("multi_batch_ok"),
             )
             .orderBy("event_type")
         )
@@ -1192,13 +1220,21 @@ def q_streaming_kll_events(spark: SparkSession, sf_dir: str,
             )
         )
         exact = _exact_quantiles(ev, "event_type", "value", {"exact_median": 0.5})
+        # eager for the same scratch-dir-lifetime reason as the HLL query
+        spread = spark.createDataFrame(
+            _stream_file_spread(spark, stream_dir).collect(),
+            "event_type string, n_input_files bigint",
+        )
         return (
             exact.join(ranked, "event_type")
+            .join(F.broadcast(spread), "event_type")
             .select(
                 "event_type",
                 F.round("exact_median", 6).alias("exact_median"),
                 (F.abs(F.col("_rank") - 0.5) <= 0.03).alias("kll_ok"),
-                (F.col("batches") >= 2).alias("multi_batch_ok"),
+                (F.col("batches")
+                 >= F.least(F.lit(2), F.col("n_input_files"))
+                 ).alias("multi_batch_ok"),
             )
             .orderBy("event_type")
         )
@@ -2012,22 +2048,25 @@ def q_checkpoint_resume_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    "rows_seen": rows},
         out_value_schema="approx_distinct bigint, rows_seen bigint",
     )
-    # the deterministic non-empty partition set (hash partitioning is a
-    # pure function of event_id), computed once — the reuse booleans
-    # compare against THIS, not a hardcoded range
-    nonempty = frozenset(
-        r["_pid"] for r in ev.withColumn("_pid", F.spark_partition_id())
-        .select("_pid").distinct().collect()
-    )
     fail = frozenset({0, 2, 4, 6})
     base_dir = tempfile.mkdtemp(prefix="sas_ckpt_base_")
     broken_dir = tempfile.mkdtemp(prefix="sas_ckpt_broken_")
     try:
+        base_ck = SketchCheckpoint(spark, base_dir, "q")
         base = {r["event_type"]: r["approx_distinct"] for r in
-                SketchCheckpoint(spark, base_dir, "q").run(
-                    ev, ["event_type"], **kw).collect()}
+                base_ck.run(ev, ["event_type"], **kw).collect()}
+        # the deterministic non-empty partition set (hash partitioning is
+        # a pure function of event_id) — derived from the base run's OWN
+        # lineage (its checkpoint covers exactly the non-empty partitions)
+        # instead of a dedicated distinct() scan job over the input
+        nonempty = frozenset(
+            r["partition_id"] for r in base_ck.lineage_metrics().collect()
+        )
         broken = SketchCheckpoint(spark, broken_dir, "q")
-        broken.run(ev, ["event_type"], fail_partitions=fail, **kw).collect()
+        # run() writes the checkpoint EAGERLY (partials.write inside);
+        # the returned merged frame is never needed here — collecting it
+        # was a whole wasted merge job
+        broken.run(ev, ["event_type"], fail_partitions=fail, **kw)
         reused = broken.completed_partitions()
         resumed_ck = SketchCheckpoint(spark, broken_dir, "q")
         resumed = {r["event_type"]: r["approx_distinct"] for r in

@@ -85,3 +85,49 @@ def test_stale_algo_version_partials_not_reused(spark, webpages, tmp_path):
     baseline = {r["lang"]: r["est"]
                 for r in clean.run(df, ["lang"], **kw).collect()}
     assert result == baseline
+
+
+def test_pre_versioning_checkpoint_resumes_cleanly(spark, webpages, tmp_path):
+    """A checkpoint written BEFORE algo_version/query_id existed (files
+    lacking those columns) must resume as a full recompute — never raise.
+    Without mergeSchema, the post-append read could pick an old file's
+    footer and fail on the missing column nondeterministically (ADVICE
+    r04); this pins the 'worst case is a full recompute' contract."""
+    from streaming_algorithms_spark.checkpoint import SketchCheckpoint
+    from streaming_algorithms_spark.operators.sketch_agg import _key_schema
+
+    def _update(sk, pdf):
+        sk.update_batch(encode_utf8(pdf["url"]))
+
+    kw = dict(
+        factory=lambda: HyperLogLog(11),
+        update=_update,
+        from_bytes=HyperLogLog.from_bytes,
+        finalize=lambda sk, rows: {"est": int(round(sk.estimate())),
+                                   "rows_seen": rows},
+        out_value_schema="est bigint, rows_seen bigint",
+    )
+    df = webpages.select("lang", "url").repartition(4)
+
+    # baseline from a fresh dir
+    full = SketchCheckpoint(spark, str(tmp_path / "ck_base"), "q1")
+    baseline = {r["lang"]: (r["est"], r["rows_seen"])
+                for r in full.run(df, ["lang"], **kw).collect()}
+
+    # fabricate a PRE-VERSIONING checkpoint: partials without the
+    # algo_version / query_id columns (an old library's layout)
+    old = SketchCheckpoint(spark, str(tmp_path / "ck_old"), "q1")
+    legacy = spark.createDataFrame(
+        [("xx", HyperLogLog(11).to_bytes(), 7, 0, 1.0)],
+        "lang string, sketch binary, rows bigint, partition_id int, "
+        "wall_ms double",
+    )
+    legacy.write.mode("append").parquet(old._ckpt_path())
+
+    # pre-versioning rows are invisible -> nothing completed, no error
+    assert old.completed_partitions() == frozenset()
+
+    # resume over the mixed-schema dir: recomputes everything, correct
+    result = {r["lang"]: (r["est"], r["rows_seen"])
+              for r in old.run(df, ["lang"], **kw).collect()}
+    assert result == baseline

@@ -152,7 +152,8 @@ def test_packing_degenerate_docs_cross_engine_parity(spark):
 
 @pytest.mark.parametrize("name", ["checkpoint_resume_events",
                                   "embedding_near_dups",
-                                  "lsh_topk_embeddings"])
+                                  "lsh_topk_embeddings",
+                                  "streaming_sketches_events"])
 def test_scale_sensitive_gates_green_at_sf0001(spark, name):
     """The gates whose booleans depend on corpus shape (partition
     occupancy, planted recall) must hold at the SMALLEST test scale too —

@@ -211,6 +211,20 @@ def test_cuckoo_broadcast_probe(spark):
     assert len(hits - {f"k{i}" for i in range(400, 500)}) <= 2
 
 
+def test_cuckoo_build_caps_driver_collect(spark):
+    """A high-cardinality column must raise BEFORE collecting (the collect
+    is LIMIT-bounded to max_keys+1 — driver memory stays O(max_keys) no
+    matter how wide the column is)."""
+    from streaming_algorithms_spark.operators import cuckoo_build
+
+    wide = spark.range(5000).selectExpr("CAST(id AS STRING) AS key")
+    with pytest.raises(ValueError, match="dimension-sized"):
+        cuckoo_build(wide, "key", capacity=100, max_keys=1000)
+    # raising the budget explicitly works
+    cf = cuckoo_build(wide, "key", capacity=6000, max_keys=10_000)
+    assert cf.contains_batch([b"42"]) == [True]
+
+
 def test_ivf_topk_recall(spark):
     from streaming_algorithms_spark.operators.similarity import ivf_topk
 
