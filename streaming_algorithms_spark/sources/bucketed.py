@@ -14,6 +14,13 @@ side tables (dedup keep-sets, quality scores, embedding shards) on
 ``doc_id``/``url`` many times amortizes its bucketed write after ~2 joins;
 a one-shot join does not — let AQE pick the strategy instead.
 
+Skew caveat (tested in test_bucketed_join_skewed_hot_host): bucketing
+removes the Exchange but concentrates a hot key's rows in ONE bucket
+file, and with no Exchange in the plan AQE's skew-join splitting never
+applies — the per-task imbalance survives.  Bucket on near-uniform keys
+(doc_id, url hash); for a Zipf-hot key (host) where per-task skew
+dominates, salt the key instead and keep the shuffle AQE can split.
+
 Iceberg note: at production scale the same co-location comes from Iceberg's
 ``bucket(N, col)`` partition transform on both tables; this module is the
 sandbox (spark_catalog parquet) expression of the identical layout
