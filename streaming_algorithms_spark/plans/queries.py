@@ -1452,7 +1452,11 @@ def q_html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.html_text import html_to_text, render_html
     from ..sources.warc import read_warc, write_warc
 
-    docs = load_table(spark, "documents", sf_dir)
+    # repartition BEFORE rendering: the sf0.1 documents parquet is one
+    # input split, and the archive-file count = the read-side parallelism
+    # unit (exactly Common Crawl's ~1 GB segment sizing decision) — one
+    # segment would serialize render+write+parse+extract onto one task
+    docs = load_table(spark, "documents", sf_dir).repartition(32, "doc_id")
     pages = render_html(docs, "doc_id", "text").select(
         F.col("doc_id").cast("string").alias("url"),
         F.to_timestamp(F.lit("2024-03-01 12:00:00")).alias("warc_ts"),
@@ -1471,11 +1475,14 @@ def q_html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url").cast("bigint").alias("doc_id"), "html"
     )
     extracted = html_to_text(back, "doc_id")
-    return extracted.select(
+    # cache the (id, md5, len) rows — tiny fixed-width — so orderBy's
+    # range-sampling pass doesn't execute the Python parse+extract twice
+    out = extracted.select(
         "doc_id",
         F.md5("text").alias("text_md5"),
         F.length("text").alias("n_chars"),
-    ).orderBy("doc_id")
+    ).cache()
+    return out.orderBy("doc_id")
 
 
 def q_salted_hll_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -146,16 +146,19 @@ class _TaskWriter:
         # whole-file gzip: one stream; cc_style: one member per record.
         # filename="" suppresses the FNAME header field — GzipFile would
         # otherwise embed the temp path (which carries the task ATTEMPT id)
-        # and break byte-determinism across re-writes.
+        # and break byte-determinism across re-writes.  Level 6 (zlib
+        # default, what CC's own tooling ships) — level 9 costs ~2x CPU
+        # for ~1% on this payload shape.
         self._f = (gzip.GzipFile(filename="", fileobj=self._raw, mode="wb",
-                                 mtime=0)
+                                 mtime=0, compresslevel=6)
                    if compress and not cc_style else self._raw)
 
     def write(self, url: str, ts, payload: bytes) -> None:
         rec = _record(url, ts, payload, cc_style=self.cc_style)
         if self.cc_style and self.compress:
             buf = io.BytesIO()
-            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0,
+                               compresslevel=6) as g:
                 g.write(rec)
             rec = buf.getvalue()
         self._f.write(rec)
