@@ -1788,39 +1788,118 @@ def q_fd_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL THREE structured-streaming sketch-state pipelines (HLL distinct,
+    """ALL THREE structured-streaming sketch-state contracts (HLL distinct,
     KLL quantiles, Bloom first-seen dedup — the reference's EP3 preserved-
-    state story, lua_binding/cm_sketch.c:167-202) in one gated row set: each
-    replays events as a multi-file stream (maxFilesPerTrigger=1) through
-    ``applyInPandasWithState`` and must carry binary sketch state across
-    micro-batch boundaries.  The union folds each pipeline's row contract
-    into a common (metric, grp, exact_value, ok_a, ok_b) shape: exact
-    values stay value-hash-gated vs DuckDB, booleans keep their original
-    meanings (hll_ok/kll_ok/multi_batch_ok; dedup: suppression+subset /
-    completeness).  One registry row instead of three keeps the whole
-    registry inside the driver's 50-query correctness budget without
-    dropping any streaming gate.  All three pipelines stream from ONE
-    shared 2-file events parquet written here (each still drains its own
-    checkpointed query) — one input write instead of three."""
+    state story, lua_binding/cm_sketch.c:167-202) in one gated row set,
+    drained as TWO checkpointed queries over ONE shared 2-file stream
+    input: the HLL and KLL state ride together in ``streaming_multi_sketch``
+    (one combined binary state per key — the multi-metric keyed-monitoring
+    shape: one state-store pass and one Arrow transfer per key per
+    micro-batch, exactly how the reference's Heka sandbox carries all its
+    accumulators at once), and the Bloom dedup drains separately (append
+    mode, hash-routed bucket state).  Both must carry state across >= 2
+    micro-batch boundaries (maxFilesPerTrigger=1).  The union folds every
+    contract into a common (metric, grp, exact_value, ok_a, ok_b) shape:
+    exact values stay value-hash-gated vs DuckDB, booleans keep their
+    original meanings (hll_ok/kll_ok/multi_batch_ok; dedup:
+    suppression+subset / completeness).  One registry row instead of three
+    keeps the registry inside the driver's 50-query budget; the
+    single-sketch streaming operators retain golden/restart coverage in
+    tests/test_streaming.py."""
     import shutil
     import tempfile
+    import uuid
 
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import streaming_multi_sketch
+
+    ev = load_table(spark, "events", sf_dir)
     shared = tempfile.mkdtemp(prefix="sas_stream_shared_")
+    ckpt = tempfile.mkdtemp(prefix="sas_stream_ckpt_")
+    # stateful shuffles pin the STATE-STORE partition count to
+    # spark.sql.shuffle.partitions at query start; 32 state partitions for
+    # ~30 keys is pure per-partition commit overhead — 8 keeps every core
+    # class busy at this key cardinality (a real deployment sizes this to
+    # key cardinality / executor count, recorded in the checkpoint)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         _write_events_stream_input(spark, sf_dir, shared)
-        hll = q_streaming_hll_events(spark, sf_dir, shared).select(
-            F.lit("hll_distinct").alias("metric"),
-            F.col("event_type").alias("grp"),
-            F.col("exact_distinct").cast("double").alias("exact_value"),
-            F.col("hll_ok").alias("ok_a"),
-            F.col("multi_batch_ok").alias("ok_b"),
+        # ONE combined stateful drain carries BOTH the HLL and KLL state
+        # (streaming_multi_sketch: one state-store pass per key per
+        # micro-batch — the multi-metric keyed-monitoring shape); the
+        # single-sketch operators keep their own golden/restart pytest
+        # coverage in tests/test_streaming.py
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(shared)
         )
-        kll = q_streaming_kll_events(spark, sf_dir, shared).select(
-            F.lit("kll_median").alias("metric"),
-            F.col("event_type").alias("grp"),
-            F.col("exact_median").alias("exact_value"),
-            F.col("kll_ok").alias("ok_a"),
-            F.col("multi_batch_ok").alias("ok_b"),
+        est = streaming_multi_sketch(stream, "event_type", "user_id",
+                                     "value", p=14, k=200, qs=(0.5,))
+        qname = f"smulti_{uuid.uuid4().hex[:8]}"
+        q = (
+            est.writeStream.format("memory").queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        w = Window.partitionBy("event_type").orderBy(F.desc("batches"))
+        final = (
+            spark.table(qname).withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("event_type", "approx_distinct", "q50", "batches")
+        )
+        spread = spark.createDataFrame(
+            _stream_file_spread(spark, shared).collect(),
+            "event_type string, n_input_files bigint",
+        )
+        mb_ok = (F.col("batches")
+                 >= F.least(F.lit(2), F.col("n_input_files")))
+        rse = 1.04 / np.sqrt(2 ** 14)
+        hll = (
+            ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact_distinct"))
+            .join(final, "event_type")
+            .join(F.broadcast(spread), "event_type")
+            .select(
+                F.lit("hll_distinct").alias("metric"),
+                F.col("event_type").alias("grp"),
+                F.col("exact_distinct").cast("double").alias("exact_value"),
+                (
+                    F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                    <= F.greatest(3 * rse * F.col("exact_distinct"),
+                                  F.lit(3.0))
+                ).alias("ok_a"),
+                mb_ok.alias("ok_b"),
+            )
+        )
+        # exact rank of the streaming median estimate in the true
+        # distribution (same contract as q_streaming_kll_events)
+        ranked = (
+            ev.join(final, "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.avg((F.col("value") <= F.col("q50")).cast("double"))
+                .alias("_rank"),
+                F.first("batches").alias("batches"),
+            )
+        )
+        kll = (
+            _exact_quantiles(ev, "event_type", "value",
+                             {"exact_median": 0.5})
+            .join(ranked, "event_type")
+            .join(F.broadcast(spread), "event_type")
+            .select(
+                F.lit("kll_median").alias("metric"),
+                F.col("event_type").alias("grp"),
+                F.round("exact_median", 6).alias("exact_value"),
+                (F.abs(F.col("_rank") - 0.5) <= 0.03).alias("ok_a"),
+                mb_ok.alias("ok_b"),
+            )
         )
         ded = q_streaming_dedup_events(spark, sf_dir, shared).select(
             F.lit("bloom_dedup").alias("metric"),
@@ -1829,9 +1908,19 @@ def q_streaming_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("no_dup_emits_ok") & F.col("subset_ok")).alias("ok_a"),
             F.col("complete_ok").alias("ok_b"),
         )
-        return hll.unionByName(kll).unionByName(ded).orderBy("metric", "grp")
+        out = hll.unionByName(kll).unionByName(ded).orderBy("metric", "grp")
+        # the returned plan contains BATCH joins whose shuffles must run
+        # under the session's normal parallelism — materialize the small
+        # gate rows now, while the scratch input still exists
+        return spark.createDataFrame(
+            out.collect(),
+            "metric string, grp string, exact_value double, "
+            "ok_a boolean, ok_b boolean",
+        ).orderBy("metric", "grp")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(shared, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def q_token_setops_langs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -225,3 +225,89 @@ def streaming_kll_quantiles(stream: DataFrame, key_col: str, value_col: str,
         update_fn, out_schema, state_schema,
         "update", GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_multi_sketch(stream: DataFrame, key_col: str,
+                           distinct_col: str, value_col: str,
+                           p: int = 14, k: int = 200,
+                           qs: tuple = (0.5,)) -> DataFrame:
+    """Per-key HLL distinct AND KLL quantiles in ONE stateful pass — the
+    production shape for multi-metric keyed monitoring: one state-store
+    lookup/write and one Arrow transfer per key per micro-batch instead of
+    one full pipeline per sketch.  (The reference's Heka monitor likewise
+    keeps ALL its accumulators in one sandbox per message stream —
+    heka_message_monitor.lua carries counts + distribution state together.)
+
+    Semantics are identical to composing ``streaming_hll_distinct`` (JVM
+    xxhash64 insert hash) with ``streaming_kll_quantiles``: both sketches
+    update from the same micro-batch slice of the key's rows, NULL
+    ``distinct_col`` rows skip the HLL insert, NULL/NaN ``value_col`` rows
+    skip the KLL insert, and the batches counter increments once per
+    micro-batch invocation.
+
+    State layout (version-fenced like the single-sketch ops): version byte
+    ``\\x01`` + u32 LE HLL length + HLL bytes + KLL bytes.  A restored
+    state with a different version byte is rejected loudly — never merged.
+    """
+    import numpy as np
+
+    from ..sketches import KLL
+
+    _STATE_VERSION = b"\x01"
+    qcols = [f"q{int(round(q * 100))}" for q in qs]
+    if len(set(qcols)) != len(qcols):
+        raise ValueError(f"quantile labels collide at 1% resolution: {qs}")
+    out_schema = (f"`{key_col}` string, approx_distinct long, "
+                  + ", ".join(f"{c} double" for c in qcols)
+                  + ", n_seen long, batches long")
+    state_schema = "sketch binary, batches long"
+
+    def update_fn(key, pdfs, state: GroupState):
+        if state.exists:
+            buf, batches = state.get
+            buf = bytes(buf)
+            if buf[:1] != _STATE_VERSION:
+                raise ValueError(
+                    "streaming_multi_sketch: restored state has an unknown "
+                    "version byte; restart with a fresh checkpointLocation"
+                )
+            n_hll = int.from_bytes(buf[1:5], "little")
+            hll = HyperLogLog.from_bytes(buf[5:5 + n_hll])
+            kll = KLL.from_bytes(buf[5 + n_hll:])
+        else:
+            hll, kll, batches = HyperLogLog(p), KLL(k), 0
+        for pdf in pdfs:
+            h = pdf["_h"]
+            hv = h[h.notna()].to_numpy(np.int64).view(np.uint64)
+            if len(hv):
+                hll.add_hashes(hv)
+            v = pdf[value_col].to_numpy(np.float64)
+            v = v[~np.isnan(v)]
+            if len(v):
+                kll.update_batch(v)
+        batches += 1  # per micro-batch invocation, never per Arrow chunk
+        hb = hll.to_bytes()
+        state.update((
+            _STATE_VERSION + len(hb).to_bytes(4, "little") + hb
+            + kll.to_bytes(),
+            batches,
+        ))
+        rec = {key_col: key[0],
+               "approx_distinct": int(round(hll.estimate())),
+               "n_seen": int(kll.n), "batches": batches}
+        for q, c in zip(qs, qcols):
+            rec[c] = float(kll.quantile(q)) if kll.n else float("nan")
+        yield pd.DataFrame([rec])
+
+    src = stream.select(
+        key_col,
+        # explicit null-guard: Spark's xxhash64(NULL) returns the SEED,
+        # which would insert a phantom value into the HLL
+        F.when(F.col(distinct_col).isNotNull(),
+               F.xxhash64(distinct_col)).alias("_h"),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
+        update_fn, out_schema, state_schema,
+        "update", GroupStateTimeout.NoTimeout,
+    )

@@ -212,3 +212,74 @@ def test_streaming_bloom_dedup_suppresses_across_batches(spark, tmp_path):
     emitted = [r["user"] for r in spark.table("bloom_dedup").collect()]
     assert len(emitted) == len(set(emitted))  # no duplicate emits, ever
     assert set(emitted) == {f"u{i}" for i in range(750)}  # complete
+
+
+def test_streaming_multi_sketch_matches_singles(spark, webpages, stream_dir,
+                                                tmp_path):
+    """The combined HLL+KLL state op must (a) carry BOTH sketches across
+    micro-batch boundaries and (b) produce the SAME final estimates as
+    the single-sketch streaming ops over the same input — composition is
+    an implementation detail, not a semantics change."""
+    from streaming_algorithms_spark.streaming import (
+        streaming_kll_quantiles,
+        streaming_multi_sketch,
+    )
+
+    schema = webpages.schema
+
+    def drain(op_df, name, ck):
+        q = (
+            op_df.writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.table(name)
+
+    def src():
+        return spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).option("maxFilesPerTrigger", 1).parquet(stream_dir).withColumn(
+            "text_len", F.length("text").cast("double")
+        )
+
+    combo = drain(
+        streaming_multi_sketch(src().select("lang", "url", "text_len"),
+                               "lang", "url", "text_len", p=12, k=200),
+        "multi_stream", "ck_multi",
+    )
+    final = {r["lang"]: r for r in spark.sql(
+        "select lang, max_by(approx_distinct, batches) approx_distinct, "
+        "max_by(q50, batches) q50, max_by(n_seen, batches) n_seen, "
+        "max(batches) batches from multi_stream group by lang").collect()}
+
+    # state crossed >= 2 micro-batches for every lang (both files carry
+    # every lang: webpages langs are dense)
+    assert all(r["batches"] >= 2 for r in final.values()), final
+
+    # HLL side: identical to the single-op estimate (same p, same JVM
+    # xxhash64 insert hash -> identical registers)
+    single_hll = drain(
+        streaming_hll_distinct(src().select("lang", "url"), "lang", "url",
+                               p=12),
+        "hll_single_stream", "ck_hll_s",
+    )
+    want_hll = {r["lang"]: r["approx_distinct"] for r in spark.sql(
+        "select lang, max_by(approx_distinct, batches) approx_distinct "
+        "from hll_single_stream group by lang").collect()}
+    assert {k: v["approx_distinct"] for k, v in final.items()} == want_hll
+
+    # KLL side: same median estimate as the single op (same k; same
+    # insertion order batch-by-batch)
+    single_kll = drain(
+        streaming_kll_quantiles(src().select("lang", "text_len"), "lang",
+                                "text_len", k=200, qs=(0.5,)),
+        "kll_single_stream", "ck_kll_s",
+    )
+    want_kll = {r["lang"]: (r["q50"], r["n_seen"]) for r in spark.sql(
+        "select lang, max_by(q50, batches) q50, max_by(n_seen, batches) "
+        "n_seen from kll_single_stream group by lang").collect()}
+    got_kll = {k: (v["q50"], v["n_seen"]) for k, v in final.items()}
+    assert got_kll == want_kll
