@@ -425,12 +425,15 @@ def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
 
 
 def lsh_bucket_table(df: DataFrame, id_col: str, vec_col: str,
-                     n_bits: int, n_tables: int, seed: int = 42) -> DataFrame:
+                     n_bits: int, n_tables: int, seed: int = 42,
+                     carry_vec: bool = False) -> DataFrame:
     """(id, table, bucket) rows for all n_tables hyperplane tables in ONE
     Arrow pass: a single (n_tables*n_bits, dim) matmul per batch, sign bits
     packed per table.  Table t's planes come from default_rng(seed+t) — the
     same buckets as n_tables separate `hyperplane_signatures` calls, at 1/n
-    of the Python-stage passes."""
+    of the Python-stage passes.  ``carry_vec`` keeps the vector on each
+    row (n_tables copies) so a downstream per-bucket rerank needs no join
+    back to the corpus."""
     if not 0 < n_bits <= 64:
         raise ValueError(f"n_bits must be in (0, 64], got {n_bits}")
     probe = df.select(vec_col).first()
@@ -446,6 +449,9 @@ def lsh_bucket_table(df: DataFrame, id_col: str, vec_col: str,
     weights = np.arange(n_bits, dtype=np.uint64)
 
     out_schema = f"`{id_col}` long, table int, bucket long"
+    if carry_vec:
+        vec_t = dict(df.dtypes)[vec_col]
+        out_schema += f", `{vec_col}` {vec_t}"
 
     def gen(batches):
         P = b_planes.value
@@ -459,8 +465,11 @@ def lsh_bucket_table(df: DataFrame, id_col: str, vec_col: str,
                       << weights[None, None, :]).sum(axis=2)
             ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
             tables = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
-            yield pd.DataFrame({id_col: ids, "table": tables,
-                                "bucket": bucket.reshape(-1).astype(np.int64)})
+            cols = {id_col: ids, "table": tables,
+                    "bucket": bucket.reshape(-1).astype(np.int64)}
+            if carry_vec:
+                cols[vec_col] = np.repeat(pdf[vec_col].to_numpy(), n_tables)
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
@@ -483,26 +492,68 @@ def _lsh_candidates(df: DataFrame, id_col: str, vec_col: str,
 
 
 def lsh_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
-             n_bits: int = 12, n_tables: int = 4) -> DataFrame:
+             n_bits: int = 12, n_tables: int = 4,
+             n_parts: int | None = None) -> DataFrame:
     """Self-join ANN: union candidates over n_tables independent hyperplane
     tables, exact-cosine rerank of candidates only.  Approximate (recall < 1
-    by design); the scale path when queries == corpus and both are huge."""
-    cands = _lsh_candidates(df, id_col, vec_col, n_bits, n_tables)
+    by design); the scale path when queries == corpus and both are huge.
 
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-
-    scored = (
-        cands.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cosine", _cosine_pd()(F.col("vec_a"), F.col("vec_b")))
-        .select("id_a", "id_b", "cosine")
-    )
+    Plan shape (the 100-TB calculus): ONE Arrow signature pass carries
+    (id, vec) into (table, bucket) groups — the only large shuffle is
+    n_tables copies of the corpus, hash-partitioned on (table, bucket)
+    with an explicit repartition (AQE must not coalesce the Python-heavy
+    stage; CLAUDE.md).  Each bucket group reranks with ONE BLAS matmul
+    and emits only its per-id top-k, so candidate PAIRS are never
+    materialized, joined back to vectors, or distinct-ed — the prior plan
+    (join two vector copies onto every candidate pair + global distinct)
+    moved ~20x the bytes at sf0.1.  The final global top-k runs over
+    <= n_tables*k rows per id (tiny).  Per-bucket memory is O(bucket^2)
+    for the cosine matrix — bound hot buckets upstream (frequency caps),
+    the standing contract of every LSH operator here.  Ties broken by
+    ascending neighbor id, identical to the previous window ordering."""
     from pyspark.sql import Window
 
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sig = lsh_bucket_table(df, id_col, vec_col, n_bits, n_tables,
+                           carry_vec=True)
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": np.zeros(0, np.int64),
+                                 "id_b": np.zeros(0, np.int64),
+                                 "cosine": np.zeros(0, np.float64)})
+        # ascending-id row order + stable argsort = ties resolved by the
+        # smallest neighbor id, matching the global window ordering below
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy(np.int64)
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        Xn = X / np.where(norms == 0.0, 1.0, norms)[:, None]
+        S = Xn @ Xn.T
+        np.fill_diagonal(S, -np.inf)  # exclude self-pairs
+        m = min(k, n - 1)
+        order = np.argsort(-S, axis=1, kind="stable")[:, :m]
+        return pd.DataFrame({
+            "id_a": np.repeat(ids, m),
+            "id_b": ids[order].reshape(-1),
+            "cosine": np.take_along_axis(S, order, axis=1).reshape(-1),
+        })
+
+    pairs = (
+        sig.repartition(n_parts, "table", "bucket")
+        .groupBy("table", "bucket")
+        .applyInPandas(bucket_topk, "id_a long, id_b long, cosine double")
+    )
+    # the same pair surfacing from several tables carries an identical
+    # cosine; max() is pure dedup
+    best = pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        best.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(F.col("id_a").alias(id_col), F.col("id_b").alias("neighbor_id"),
-                "cosine", "rank")
+        .select(F.col("id_a").alias(id_col),
+                F.col("id_b").alias("neighbor_id"), "cosine", "rank")
     )
