@@ -2004,11 +2004,8 @@ def q_countsketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry a metric tag; f2 rows use l_partkey = -1 (never a real key)."""
     from pyspark.sql import Window
 
-    from ..operators.sketch_agg import (
-        count_sketch_build,
-        count_sketch_f2,
-        count_sketch_probe,
-    )
+    from ..operators.sketch_agg import count_sketch_build, count_sketch_probe
+    from ..sketches.count_sketch import CountSketch
 
     li = load_table(spark, "lineitem", sf_dir)
     cnts = li.groupBy("l_returnflag", "l_partkey").agg(
@@ -2017,7 +2014,20 @@ def q_countsketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     f2 = cnts.groupBy("l_returnflag").agg(
         F.sum(F.col("cnt") * F.col("cnt")).alias("f2")
     )
-    est = count_sketch_f2(li, ["l_returnflag"], "l_partkey").drop("rows_seen")
+    # ONE sketch build serves both capabilities: the same (5 x 2048)
+    # signed-counter table answers the AMS F2 estimate (median of row
+    # sum-of-squares, computed here from the collected bytes — 3 groups x
+    # 80 KB, driver-trivial) and the broadcast point probe.  The previous
+    # shape ran count_sketch_f2 as a SECOND full build over lineitem —
+    # an identical linear sketch, scanned and shuffled twice for no
+    # information gain.
+    built = count_sketch_build(li, ["l_returnflag"], "l_partkey").collect()
+    sketches = {(r["l_returnflag"],): r["sketch"] for r in built}
+    est = spark.createDataFrame(
+        [(k[0], float(CountSketch.from_bytes(v).f2_estimate()))
+         for k, v in sketches.items()],
+        "l_returnflag string, f2_estimate double",
+    )
     rel = float(np.sqrt(8.0 / 2048))
     f2_rows = (
         f2.join(est, "l_returnflag")
@@ -2030,8 +2040,6 @@ def q_countsketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
              <= rel * F.col("f2")).alias("ok"),
         )
     )
-    built = count_sketch_build(li, ["l_returnflag"], "l_partkey").collect()
-    sketches = {(r["l_returnflag"],): r["sketch"] for r in built}
     w = Window.partitionBy("l_returnflag").orderBy(
         F.col("cnt").desc(), F.col("l_partkey").asc()
     )
