@@ -301,6 +301,56 @@ def _parse_warc_bytes(blob: bytes):
         pos = end + 4 + length + 4  # skip payload + record separator
 
 
+_BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """CONTINUOUS archive ingestion: a Structured Streaming source over a
+    WARC drop directory — each newly landed ``*.warc[.gz]`` segment
+    becomes one record batch of (url, warc_ts, html), parsed by the same
+    member-gzip/HTTP-envelope parser as ``read_warc``.
+
+    This is the production crawl-to-table path: segments land continuously
+    (Common Crawl publishes ~1 GB files), the file-stream source tracks
+    processed files in the checkpoint, and a restart resumes EXACTLY where
+    it left off — already-ingested archives are never re-parsed, newly
+    landed ones are picked up (exactly-once file-level semantics, the
+    same guarantee Spark's file sources give parquet).  Downstream:
+    ``.writeStream.format("parquet")`` for the raw-pages table, or any
+    stateful operator in streaming/stateful.py directly on the stream.
+    ``max_files_per_trigger`` bounds micro-batch size (files ARE the
+    parallelism unit, so this is executor-count sizing)."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .schema(_BINARYFILE_SCHEMA)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_parse_archives, WARC_SCHEMA)
+
+
+def _parse_archives(batches):
+    """Shared batch parser: one output pdf per archive file (bounded peak
+    memory: ONE decompressed archive per task at a time)."""
+    for pdf in batches:
+        for p, content in zip(pdf["path"], pdf["content"]):
+            blob = bytes(content)
+            if p.endswith(".gz"):
+                blob = _gunzip_members(blob)
+            urls, tss, payloads = [], [], []
+            for url, ts, payload in _parse_warc_bytes(blob):
+                urls.append(url)
+                tss.append(ts)
+                payloads.append(payload)
+            yield pd.DataFrame({"url": urls, "warc_ts": tss,
+                                "html": payloads})
+
+
 def read_warc(spark: SparkSession, path: str,
               require_success: bool = False) -> DataFrame:
     """Distributed WARC reader: one row per archive file from binaryFile
@@ -324,19 +374,4 @@ def read_warc(spark: SparkSession, path: str,
         .load(path)
         .select("path", "content")
     )
-
-    def gen(batches):
-        for pdf in batches:
-            for p, content in zip(pdf["path"], pdf["content"]):
-                blob = bytes(content)
-                if p.endswith(".gz"):
-                    blob = _gunzip_members(blob)
-                urls, tss, payloads = [], [], []
-                for url, ts, payload in _parse_warc_bytes(blob):
-                    urls.append(url)
-                    tss.append(ts)
-                    payloads.append(payload)
-                yield pd.DataFrame({"url": urls, "warc_ts": tss,
-                                    "html": payloads})
-
-    return files.mapInPandas(gen, WARC_SCHEMA)
+    return files.mapInPandas(_parse_archives, WARC_SCHEMA)

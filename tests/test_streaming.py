@@ -283,3 +283,65 @@ def test_streaming_multi_sketch_matches_singles(spark, webpages, stream_dir,
         "n_seen from kll_single_stream group by lang").collect()}
     got_kll = {k: (v["q50"], v["n_seen"]) for k, v in final.items()}
     assert got_kll == want_kll
+
+
+def test_warc_stream_incremental_ingest(spark, tmp_path):
+    """Continuous crawl ingestion: read_warc_stream picks up newly landed
+    archive segments, a restart from the same checkpoint resumes
+    exactly-once (already-ingested archives never re-parse), and the
+    accumulated table equals the batch read of everything landed."""
+    from streaming_algorithms_spark.sources.warc import (
+        read_warc,
+        read_warc_stream,
+        write_warc,
+    )
+    from streaming_algorithms_spark.sources.webpages import generate_webpages
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "ingested")
+
+    pages = generate_webpages(spark, 120, n_hosts=6, partitions=3).cache()
+    seg_a = pages.filter("xxhash64(url) % 3 = 0")
+    seg_b = pages.filter("xxhash64(url) % 3 = 1")
+    seg_c = pages.subtract(seg_a).subtract(seg_b)
+
+    def land(df, name):
+        d = tmp_path / ("stage_" + name)
+        write_warc(df.coalesce(1), str(d), compress=True, cc_style=True)
+        import os
+        import shutil
+        for f in os.listdir(str(d)):
+            if f.startswith("part-"):
+                shutil.move(str(d / f), str(drop / (name + ".warc.gz")))
+
+    def drain():
+        q = (
+            read_warc_stream(spark, str(drop), max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(seg_a, "seg-a")
+    land(seg_b, "seg-b")
+    drain()
+    first = spark.read.parquet(out).count()
+    assert first == seg_a.count() + seg_b.count()
+
+    # new segment lands; restart from the SAME checkpoint: only seg-c is
+    # parsed (exactly-once), and the table now holds everything
+    land(seg_c, "seg-c")
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == pages.count()  # no re-ingest duplicates
+
+    batch = read_warc(spark, str(drop))
+    def rowset(df):
+        return sorted((r["url"], r["warc_ts"], bytes(r["html"]))
+                      for r in df.collect())
+    assert rowset(got) == rowset(batch)
