@@ -503,6 +503,117 @@ def kmv_pairwise_set_ops(df: DataFrame, key_col: str, col: str,
     return j.mapInPandas(gen, out_schema)
 
 
+class _HllKmv:
+    """Combined HLL + bottom-k accumulator: BOTH set-algebra sketch families
+    updated from ONE pass over the same 64-bit hashes.  Exists because
+    ``hll_pairwise_overlap`` and ``kmv_pairwise_set_ops`` over the same
+    (key, value) set each run an identical scan + Python build + merge
+    stage — the inputs are the same ``xxhash64`` values, so one build
+    yields byte-identical registers AND tag arrays at half the passes.
+    Standard sketch-monoid surface (merge/to_bytes/from_bytes), so the
+    generic two-stage engine and checkpoint lineage apply unchanged."""
+
+    __slots__ = ("hll", "kmv")
+
+    def __init__(self, p: int = 14, k: int = 1024):
+        from ..sketches import BottomKSample
+
+        self.hll = HyperLogLog(p)
+        self.kmv = BottomKSample(k)
+
+    def update_hashes(self, h: np.ndarray) -> None:
+        self.hll.add_hashes(h)
+        self.kmv.update_tags(h)
+
+    def merge(self, other: "_HllKmv") -> "_HllKmv":
+        self.hll.merge(other.hll)
+        self.kmv.merge(other.kmv)
+        return self
+
+    def to_bytes(self) -> bytes:
+        hb = self.hll.to_bytes()
+        return len(hb).to_bytes(4, "little") + hb + self.kmv.to_bytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "_HllKmv":
+        from ..sketches import BottomKSample
+
+        buf = bytes(buf)
+        n = int.from_bytes(buf[:4], "little")
+        sk = cls.__new__(cls)
+        sk.hll = HyperLogLog.from_bytes(buf[4:4 + n])
+        sk.kmv = BottomKSample.from_bytes(buf[4 + n:])
+        return sk
+
+
+def hll_kmv_pairwise_set_ops(df: DataFrame, key_col: str, col: str,
+                             p: int = 14, k: int = 1024,
+                             pairs: Sequence[tuple] = None,
+                             col_is_hash: bool = False) -> DataFrame:
+    """ONE-PASS pairwise set algebra, both sketch families: per-group
+    HLL (union/intersection by register merge + inclusion-exclusion) AND
+    Theta/KMV (union/intersection/one-sided difference from the tag cut),
+    built from a single scan of ``xxhash64(col)``.  Estimates are
+    IDENTICAL to running ``hll_pairwise_overlap`` and
+    ``kmv_pairwise_set_ops`` separately (both consume the same hash
+    values; inserts are idempotent/order-free), at one scan + one Python
+    build + one merge stage instead of two of each.
+
+    Returns (key_a, key_b, est_a, est_b, est_union, est_intersection,
+    kmv_union, kmv_intersection, est_a_minus_b, est_b_minus_a) — the HLL
+    union/intersection under the unprefixed names, the Theta cut under
+    ``kmv_*``.  Same 100-TB shape as the single-family ops: one corpus
+    scan + O(pairs) register/tag merges; same MAX_AUTO_PAIR_KEYS guard."""
+    from ..sketches import theta_set_estimates
+
+    df = df.filter(F.col(col).isNotNull() & F.col(key_col).isNotNull())
+    hcol = F.col(col) if col_is_hash else F.xxhash64(col)
+    hashed = ensure_parallelism(df.select(F.col(key_col), hcol.alias("_h")))
+
+    def update(sk: _HllKmv, pdf: pd.DataFrame) -> None:
+        sk.update_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
+
+    partials = build_partials(hashed, [key_col], lambda: _HllKmv(p, k), update)
+    merged = merge_sketch_rows(partials, [key_col], _HllKmv.from_bytes).cache()
+    spark = df.sparkSession
+    kt = df.schema[key_col].dataType.simpleString()
+    if pairs is None:
+        pairs = _enumerate_all_pairs(merged, key_col, "hll_kmv_pairwise_set_ops")
+    pairs_df = spark.createDataFrame(list(pairs), f"key_a {kt}, key_b {kt}")
+    sa = merged.select(F.col(key_col).alias("key_a"), F.col("sketch").alias("_ska"))
+    sb = merged.select(F.col(key_col).alias("key_b"), F.col("sketch").alias("_skb"))
+    j = pairs_df.join(sa, "key_a").join(sb, "key_b")
+    out_cols = ["key_a", "key_b", "est_a", "est_b", "est_union",
+                "est_intersection", "kmv_union", "kmv_intersection",
+                "est_a_minus_b", "est_b_minus_a"]
+    out_schema = (f"key_a {kt}, key_b {kt}, est_a bigint, est_b bigint, "
+                  "est_union bigint, est_intersection bigint, "
+                  "kmv_union bigint, kmv_intersection bigint, "
+                  "est_a_minus_b bigint, est_b_minus_a bigint")
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for ka, kb, ba, bb in zip(pdf["key_a"], pdf["key_b"],
+                                      pdf["_ska"], pdf["_skb"]):
+                A = _HllKmv.from_bytes(ba)
+                B = _HllKmv.from_bytes(bb)
+                ea, eb = A.hll.estimate(), B.hll.estimate()
+                A.hll.merge(B.hll)
+                eu = A.hll.estimate()
+                th = theta_set_estimates(A.kmv, B.kmv)
+                recs.append((ka, kb, int(round(ea)), int(round(eb)),
+                             int(round(eu)),
+                             max(0, int(round(ea + eb - eu))),
+                             int(round(th["est_union"])),
+                             int(round(th["est_intersection"])),
+                             int(round(th["est_a_minus_b"])),
+                             int(round(th["est_b_minus_a"]))))
+            yield pd.DataFrame(recs, columns=out_cols)
+
+    return j.mapInPandas(gen, out_schema)
+
+
 def welford_stats(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
     """Exact count/mean/variance/sd/usd via mergeable Welford/Chan
     (reference: running_stats.c + our Chan merge, SURVEY §2.3)."""

@@ -1933,7 +1933,7 @@ def q_token_setops_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are value-hash-gated vs the SQL re-derivation; every estimate folds
     into its published-bound boolean (HLL: 3σ via inclusion-exclusion
     compounding; Theta: 4σ of the union at ~1/sqrt(k))."""
-    from ..operators.sketch_agg import hll_pairwise_overlap, kmv_pairwise_set_ops
+    from ..operators.sketch_agg import hll_kmv_pairwise_set_ops
 
     p = 14
     k = 1024
@@ -1942,16 +1942,13 @@ def q_token_setops_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("lang", F.explode(fn.tokens(F.col("text"))).alias("token"))
     dt = toks.distinct().cache()
-    hll_est = hll_pairwise_overlap(
-        dt.select("lang", F.xxhash64("token").alias("_t")),
-        "lang", "_t", p=p, col_is_hash=True,
-    ).select(
+    # ONE combined build (identical estimates to the separate ops — both
+    # families consume the same xxhash64 values): one scan + one Python
+    # build + one merge instead of two of each.
+    ests = hll_kmv_pairwise_set_ops(dt, "lang", "token", p=p, k=k).select(
         F.col("key_a").alias("lang_a"), F.col("key_b").alias("lang_b"),
         F.col("est_union").alias("_hll_union"), "est_intersection",
-    )
-    kmv_est = kmv_pairwise_set_ops(dt, "lang", "token", k=k).select(
-        F.col("key_a").alias("lang_a"), F.col("key_b").alias("lang_b"),
-        F.col("est_union").alias("_kmv_union"),
+        F.col("kmv_union").alias("_kmv_union"),
         "est_a_minus_b", "est_b_minus_a",
     )
     sizes = dt.groupBy("lang").agg(F.count("*").alias("n"))
@@ -1973,8 +1970,7 @@ def q_token_setops_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     tbound = 4 * rel * n_union + 5
     return (
-        grid.join(hll_est, ["lang_a", "lang_b"])
-        .join(kmv_est, ["lang_a", "lang_b"])
+        grid.join(ests, ["lang_a", "lang_b"])
         .select(
             "lang_a", "lang_b", "n_a", "n_b", "n_inter",
             (F.col("n_a") - F.col("n_inter")).alias("n_a_minus_b"),

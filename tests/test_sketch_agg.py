@@ -266,6 +266,43 @@ def test_kmv_theta_set_ops_known_overlap(spark):
     assert est["est_a_minus_b"] == 60 and est["est_b_minus_a"] == 60
 
 
+def test_hll_kmv_combined_matches_separate(spark):
+    """The one-pass combined build must give estimates IDENTICAL to the
+    two single-family ops on the same input — both consume the same
+    xxhash64 values and both kernels are order-free (register max /
+    bottom-k cut), so the combined sketch state is the same state."""
+    from streaming_algorithms_spark.operators.sketch_agg import (
+        hll_kmv_pairwise_set_ops,
+        hll_pairwise_overlap,
+        kmv_pairwise_set_ops,
+    )
+
+    rows = (
+        [("A", f"x{i}") for i in range(3000)]
+        + [("B", f"x{i}") for i in range(1500, 4500)]
+        + [("C", f"z{i}") for i in range(3000)]
+    )
+    df = spark.createDataFrame(rows, "grp string, item string").repartition(8)
+    comb = {(r["key_a"], r["key_b"]): r
+            for r in hll_kmv_pairwise_set_ops(df, "grp", "item",
+                                              p=12, k=256).collect()}
+    hll = {(r["key_a"], r["key_b"]): r
+           for r in hll_pairwise_overlap(df, "grp", "item", p=12).collect()}
+    kmv = {(r["key_a"], r["key_b"]): r
+           for r in kmv_pairwise_set_ops(df, "grp", "item", k=256).collect()}
+    assert set(comb) == set(hll) == set(kmv) == {
+        ("A", "B"), ("A", "C"), ("B", "C")}
+    for pair, r in comb.items():
+        h, t = hll[pair], kmv[pair]
+        assert (r["est_a"], r["est_b"], r["est_union"],
+                r["est_intersection"]) == (
+            h["est_a"], h["est_b"], h["est_union"], h["est_intersection"])
+        assert (r["kmv_union"], r["kmv_intersection"],
+                r["est_a_minus_b"], r["est_b_minus_a"]) == (
+            t["est_union"], t["est_intersection"],
+            t["est_a_minus_b"], t["est_b_minus_a"])
+
+
 def test_pairwise_all_pairs_enumeration_capped(spark):
     """pairs=None enumerates O(K^2) pairs on the driver — fine for lang/
     event-type cardinality, refused past MAX_AUTO_PAIR_KEYS with the
