@@ -1257,9 +1257,6 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str,
     count within the 1e-9-FP envelope of the exact distinct count)."""
     import shutil
     import tempfile
-    import uuid
-
-    from ..streaming.stateful import streaming_bloom_dedup
 
     ev = load_table(spark, "events", sf_dir)
     own_stream = prepared_stream_dir is None
@@ -1268,51 +1265,74 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str,
     try:
         if own_stream:
             _write_events_stream_input(spark, sf_dir, stream_dir)
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stream_dir)
-        )
-        # capacity sized to the expected distinct count with ~20x headroom
-        # (events has ~1.5k distinct users at sf0.1) — the operator contract
-        # at real scale: size the filter for the stream's distinct volume
-        first_seen = streaming_bloom_dedup(stream, "user_id",
-                                           capacity=1 << 15, fpr=1e-8,
-                                           n_buckets=16)
-        qname = f"sdedup_{uuid.uuid4().hex[:8]}"
-        q = (
-            first_seen.writeStream.format("memory").queryName(qname)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        q, qname = _start_bloom_dedup_drain(spark, ev.schema, stream_dir, ckpt)
         q.awaitTermination()
-        emitted = spark.table(qname)
-        seen = ev.select(F.col("user_id").cast("string").alias("user_id")).distinct()
-        stats = emitted.agg(
-            F.count("*").alias("_n"),
-            F.countDistinct("user_id").alias("_nd"),
-        )
-        stray = emitted.join(seen, "user_id", "left_anti").agg(
-            F.count("*").alias("_stray")
-        )
-        exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
-        return (
-            exact.crossJoin(stats).crossJoin(stray)
-            .select(
-                "exact_distinct",
-                (F.col("_n") == F.col("_nd")).alias("no_dup_emits_ok"),
-                (F.col("_stray") == 0).alias("subset_ok"),
-                ((F.col("_n") <= F.col("exact_distinct"))
-                 & (F.col("_n") >= F.floor(F.col("exact_distinct") * 0.999))
-                 ).alias("complete_ok"),
-            )
-        )
+        return _bloom_dedup_gate(spark, ev, qname)
     finally:
         if own_stream:
             shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _start_bloom_dedup_drain(spark: SparkSession, schema, stream_dir: str,
+                             ckpt: str):
+    """Start (without awaiting) the Bloom first-seen dedup drain — split
+    out so the merged streaming gate can run it CONCURRENTLY with the
+    multi-sketch drain: both are availableNow micro-batch machinery whose
+    cost is fixed per-batch overhead, not data volume, so overlapping the
+    two queries (the normal shape of a real streaming app, which runs many
+    queries per session) removes a serial wait."""
+    import uuid
+
+    from ..streaming.stateful import streaming_bloom_dedup
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    # capacity sized to the expected distinct count with ~20x headroom
+    # (events has ~1.5k distinct users at sf0.1) — the operator contract
+    # at real scale: size the filter for the stream's distinct volume
+    first_seen = streaming_bloom_dedup(stream, "user_id",
+                                       capacity=1 << 15, fpr=1e-8,
+                                       n_buckets=16)
+    qname = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        first_seen.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, qname
+
+
+def _bloom_dedup_gate(spark: SparkSession, ev: DataFrame,
+                      qname: str) -> DataFrame:
+    """Gate rows for a drained Bloom-dedup memory sink (see
+    q_streaming_dedup_events for the boolean contracts)."""
+    emitted = spark.table(qname)
+    seen = ev.select(F.col("user_id").cast("string").alias("user_id")).distinct()
+    stats = emitted.agg(
+        F.count("*").alias("_n"),
+        F.countDistinct("user_id").alias("_nd"),
+    )
+    stray = emitted.join(seen, "user_id", "left_anti").agg(
+        F.count("*").alias("_stray")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return (
+        exact.crossJoin(stats).crossJoin(stray)
+        .select(
+            "exact_distinct",
+            (F.col("_n") == F.col("_nd")).alias("no_dup_emits_ok"),
+            (F.col("_stray") == 0).alias("subset_ok"),
+            ((F.col("_n") <= F.col("exact_distinct"))
+             & (F.col("_n") >= F.floor(F.col("exact_distinct") * 0.999))
+             ).alias("complete_ok"),
+        )
+    )
 
 
 def q_media_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1824,6 +1844,7 @@ def q_streaming_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key cardinality / executor count, recorded in the checkpoint)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    dckpt = tempfile.mkdtemp(prefix="sas_stream_dckpt_")
     try:
         _write_events_stream_input(spark, sf_dir, shared)
         # ONE combined stateful drain carries BOTH the HLL and KLL state
@@ -1846,7 +1867,15 @@ def q_streaming_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
+        # the Bloom dedup drain runs CONCURRENTLY (append mode forbids
+        # sharing the multi-sketch query): both drains are fixed per-batch
+        # machinery over the same tiny shared input — the normal shape of
+        # a real streaming app, which runs many queries per session.  Each
+        # has its own checkpoint and state store; they share only the
+        # immutable input files.
+        dq, dqname = _start_bloom_dedup_drain(spark, ev.schema, shared, dckpt)
         q.awaitTermination()
+        dq.awaitTermination()
         w = Window.partitionBy("event_type").orderBy(F.desc("batches"))
         final = (
             spark.table(qname).withColumn("_rn", F.row_number().over(w))
@@ -1901,7 +1930,7 @@ def q_streaming_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mb_ok.alias("ok_b"),
             )
         )
-        ded = q_streaming_dedup_events(spark, sf_dir, shared).select(
+        ded = _bloom_dedup_gate(spark, ev, dqname).select(
             F.lit("bloom_dedup").alias("metric"),
             F.lit("(all)").alias("grp"),
             F.col("exact_distinct").cast("double").alias("exact_value"),
@@ -1921,6 +1950,7 @@ def q_streaming_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(shared, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(dckpt, ignore_errors=True)
 
 
 def q_token_setops_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
