@@ -24,6 +24,10 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--query-id", default="sketch_build")
+    ap.add_argument("--id-col", default="url",
+                    help="distinct-counted identifier column (url for the "
+                         "north-rule webpages table)")
+    ap.add_argument("--text-col", default="text")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -43,8 +47,8 @@ def main() -> None:
 
     df = spark.read.parquet(args.input).select(
         "lang",
-        F.xxhash64("url").alias("url_h"),
-        F.length("text").alias("text_len"),
+        F.xxhash64(args.id_col).alias("url_h"),
+        F.length(args.text_col).alias("text_len"),
     )
 
     class Combo:
