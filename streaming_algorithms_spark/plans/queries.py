@@ -1356,7 +1356,20 @@ def q_media_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: the Heka monitor profiles opaque payload streams
     (heka_message_monitor.lua:482-523) — same shape: typed metadata +
-    content features from binary columns."""
+    content features from binary columns.
+
+    Plan shape (the production one for a derived media table): the
+    synthetic media is generated ONCE and stored to scratch parquet, and
+    each consumer re-reads it with column pruning (the image branch scans
+    only ``bmp``, the audio branch only ``wav``) — without the store, the
+    three consumer subtrees each recompute the Python generation stage.
+    Every Python-heavy stage runs over an explicit ``repartition``: the
+    sf0.1 documents table is ONE parquet file = one input partition, which
+    would serialize all Arrow-batch work onto a single core (and AQE never
+    coalesces a user-specified repartition — session.py policy)."""
+    import shutil
+    import tempfile
+
     from ..operators.multimodal import (
         _resize_nearest,
         audio_features,
@@ -1383,67 +1396,83 @@ def q_media_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 recs.append((did, encode_bmp(img), encode_wav(samples, 8000)))
             yield pd.DataFrame(recs, columns=["media_id", "bmp", "wav"])
 
-    media = docs.select("doc_id").mapInPandas(
-        make_media, "media_id long, bmp binary, wav binary"
-    )
+    media_dir = tempfile.mkdtemp(prefix="sas_media_")
+    try:
+        (docs.select("doc_id").repartition(16)
+         .mapInPandas(make_media, "media_id long, bmp binary, wav binary")
+         .write.mode("overwrite").parquet(media_dir))
+        media = spark.read.parquet(media_dir)
 
-    feats = media_features(
-        docs.select(F.col("doc_id").alias("media_id"),
-                    F.encode(F.col("text"), "UTF-8").alias("payload"))
-    ).select("media_id", "n_bytes", "sha256",
-             F.round("byte_entropy", 6).alias("byte_entropy"))
+        feats = media_features(
+            docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode(F.col("text"), "UTF-8").alias("payload"))
+            .repartition(16)
+        ).select("media_id", "n_bytes", "sha256",
+                 F.round("byte_entropy", 6).alias("byte_entropy"))
 
-    img16 = decode_and_resize(
-        media.select("media_id", F.col("bmp").alias("payload")),
-        out_h=16, out_w=16, strict=True,
-    )
-
-    def check_pixels(batches):
-        for pdf in batches:
-            recs = []
-            for mid, px, dec in zip(pdf["media_id"], pdf["pixels"],
-                                    pdf["decoded"]):
-                mid = int(mid)
-                h, w = 8 + mid % 24, 8 + (mid * 7) % 24
-                rng = np.random.default_rng(mid)
-                exp = _resize_nearest(
-                    rng.integers(0, 256, (h, w, 3), dtype=np.uint8), 16, 16
-                )
-                ok = bool(dec) and np.array_equal(
-                    np.asarray(px, np.uint8).reshape(16, 16, 3), exp
-                )
-                recs.append((mid, ok))
-            yield pd.DataFrame(recs, columns=["media_id", "bmp_ok"])
-
-    img_gate = img16.select("media_id", "pixels", "decoded").mapInPandas(
-        check_pixels, "media_id long, bmp_ok boolean"
-    )
-    img_dims = img16.select(
-        "media_id",
-        F.col("src_w").alias("img_w"), F.col("src_h").alias("img_h"),
-    )
-
-    audio = audio_features(
-        media.select("media_id", F.col("wav").alias("payload")), strict=True
-    ).select(
-        "media_id", "n_samples", "sample_rate",
-        F.round("duration_ms", 6).alias("duration_ms"),
-        ((F.col("peak") <= 2500) & (F.col("peak") >= 2000)
-         & (F.col("rms") > 1000) & (F.col("rms") < 2500)
-         & (F.col("zcr") > 0.01) & (F.col("zcr") < 0.2)).alias("wav_ok"),
-    )
-
-    return (
-        feats.join(img_dims, "media_id").join(img_gate, "media_id")
-        .join(audio, "media_id")
-        .select(
-            F.col("media_id").alias("doc_id"),
-            "n_bytes", "sha256", "byte_entropy",
-            "img_w", "img_h", "n_samples", "sample_rate", "duration_ms",
-            "bmp_ok", "wav_ok",
+        img16 = decode_and_resize(
+            media.select("media_id", F.col("bmp").alias("payload")),
+            out_h=16, out_w=16, strict=True,
         )
-        .orderBy("doc_id")
-    )
+
+        # ONE pass over the decoded tensors emits the dims AND the pixel-
+        # parity boolean (two subtrees here would decode every BMP twice)
+        def check_pixels(batches):
+            for pdf in batches:
+                recs = []
+                for mid, sw, sh, px, dec in zip(
+                        pdf["media_id"], pdf["src_w"], pdf["src_h"],
+                        pdf["pixels"], pdf["decoded"]):
+                    mid = int(mid)
+                    h, w = 8 + mid % 24, 8 + (mid * 7) % 24
+                    rng = np.random.default_rng(mid)
+                    exp = _resize_nearest(
+                        rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
+                        16, 16,
+                    )
+                    ok = bool(dec) and np.array_equal(
+                        np.asarray(px, np.uint8).reshape(16, 16, 3), exp
+                    )
+                    recs.append((mid, int(sw), int(sh), ok))
+                yield pd.DataFrame(
+                    recs, columns=["media_id", "img_w", "img_h", "bmp_ok"])
+
+        img = img16.select("media_id", "src_w", "src_h", "pixels",
+                           "decoded").mapInPandas(
+            check_pixels,
+            "media_id long, img_w int, img_h int, bmp_ok boolean",
+        )
+
+        audio = audio_features(
+            media.select("media_id", F.col("wav").alias("payload")),
+            strict=True,
+        ).select(
+            "media_id", "n_samples", "sample_rate",
+            F.round("duration_ms", 6).alias("duration_ms"),
+            ((F.col("peak") <= 2500) & (F.col("peak") >= 2000)
+             & (F.col("rms") > 1000) & (F.col("rms") < 2500)
+             & (F.col("zcr") > 0.01) & (F.col("zcr") < 0.2)).alias("wav_ok"),
+        )
+
+        out = (
+            feats.join(img, "media_id").join(audio, "media_id")
+            .select(
+                F.col("media_id").alias("doc_id"),
+                "n_bytes", "sha256", "byte_entropy",
+                "img_w", "img_h", "n_samples", "sample_rate", "duration_ms",
+                "bmp_ok", "wav_ok",
+            )
+            .orderBy("doc_id")
+        )
+        # materialize the small gate rows while the scratch parquet exists
+        return spark.createDataFrame(
+            out.collect(),
+            "doc_id long, n_bytes long, sha256 string, byte_entropy double, "
+            "img_w int, img_h int, n_samples long, sample_rate int, "
+            "duration_ms double, bmp_ok boolean, wav_ok boolean",
+        ).orderBy("doc_id")
+    finally:
+        shutil.rmtree(media_dir, ignore_errors=True)
 
 
 def q_html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
