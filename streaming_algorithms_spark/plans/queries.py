@@ -669,7 +669,17 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-path shape: signatures + banding prune, exact verify touches just
     the candidates), so the emitted pair set must equal the exact >= 0.2
     pair set AND the minhash estimate must sit within its 4-sigma binomial
-    bound (sigma = sqrt(j(1-j)/k), k=128) of the exact value."""
+    bound (sigma = sqrt(j(1-j)/k), k=128) of the exact value.
+
+    The gate also drives CLUSTER RESOLUTION (operators/components.py):
+    comp_a/comp_b are the duplicate-cluster labels (= min reachable doc
+    id through the verified pair graph) from the distributed
+    large-star/small-star connected-components loop, hash-gated against
+    the oracle's recursive-CTE transitive closure over the same pairs.
+    The verified pair set is localCheckpoint'ed first so the O(log n)
+    CC rounds iterate a tiny materialized edge list, not the rerank
+    lineage."""
+    from ..operators.components import connected_components
     from ..operators.dedup import (
         exact_jaccard_for_pairs,
         lsh_candidate_pairs,
@@ -688,7 +698,7 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_jaccard_for_pairs(docs, pairs, "doc_id", "text", n=3)
     sigma = (F.sqrt(F.greatest(F.col("jaccard") * (1 - F.col("jaccard")),
                                F.lit(0.0)) / 128))
-    return (
+    base = (
         est.join(exact, ["id_a", "id_b"])
         .filter(F.col("jaccard") >= 0.2)
         .select(
@@ -697,6 +707,15 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("est_jaccard") - F.col("jaccard"))
              <= 4 * sigma + 1.0 / 128).alias("minhash_ok"),
         )
+    ).localCheckpoint()
+    comp = connected_components(base.select("id_a", "id_b"))
+    ca = comp.select(F.col("node").alias("id_a"),
+                     F.col("component").alias("comp_a"))
+    cb = comp.select(F.col("node").alias("id_b"),
+                     F.col("component").alias("comp_b"))
+    return (
+        base.join(ca, "id_a").join(cb, "id_b")
+        .select("id_a", "id_b", "jaccard", "minhash_ok", "comp_a", "comp_b")
         .orderBy("id_a", "id_b")
     )
 
@@ -2580,8 +2599,11 @@ ORACLES = {
     """,
     # MinHash-LSH emits candidates reranked by EXACT jaccard, so the oracle
     # is the exact pair set; the 4-sigma estimate bound folds into a boolean.
+    # comp_a/comp_b: duplicate-cluster label = min doc id reachable
+    # through the >=0.2 pair graph — a recursive-CTE transitive closure
+    # here, the distributed large-star/small-star loop on the Spark side
     "minhash_lsh_documents": """
-        WITH toks AS (
+        WITH RECURSIVE toks AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
         ),
         sh AS (
@@ -2593,15 +2615,32 @@ ORACLES = {
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-        )
-        SELECT id_a, id_b,
-               ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard,
-               TRUE AS minhash_ok
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE i / (sa.sz + sb.sz - i) >= 0.2
-        ORDER BY id_a, id_b
+        ),
+        pr AS (
+            SELECT id_a, id_b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i / (sa.sz + sb.sz - i) >= 0.2
+        ),
+        nodes AS (SELECT id_a AS id FROM pr UNION SELECT id_b FROM pr),
+        ed AS (
+            SELECT id_a AS u, id_b AS v FROM pr
+            UNION SELECT id_b, id_a FROM pr
+        ),
+        reach(src, dst) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN ed e ON r.dst = e.u
+        ),
+        comp AS (SELECT src AS id, MIN(dst) AS c FROM reach GROUP BY src)
+        SELECT pr.id_a, pr.id_b, pr.jaccard,
+               TRUE AS minhash_ok,
+               ca.c AS comp_a, cb.c AS comp_b
+        FROM pr
+        JOIN comp ca ON ca.id = pr.id_a
+        JOIN comp cb ON cb.id = pr.id_b
+        ORDER BY pr.id_a, pr.id_b
     """,
     # the SQL-reproducible near-dup pair set; the simhash properties fold
     # into the hamming_ok / bandjoin_ok booleans (see the query docstring)
