@@ -30,7 +30,7 @@ driver-iteration pattern as the distributed Lloyd loop in
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _canon_edges(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
@@ -54,17 +54,22 @@ def _large_star(canon: DataFrame) -> DataFrame:
 
     Kiveris et al. Alg. 2: for each node u, m = min(N(u) + {u});
     emit (v, m) for v in N(u) with v > u.
+
+    One shuffle: the per-node min is a window aggregate over the
+    symmetrized edges (partitionBy node), not a groupBy+self-join — a
+    round's edge list reshuffles once, not three times.  Output rows are
+    already canonical (m <= u < v) and duplicates are left in: set
+    semantics are restored once per round by ``_small_star``'s terminal
+    ``distinct`` (the fingerprint input), and the row count here is
+    exactly |canon| — no intermediate growth to dedupe.
     """
     sym = _symmetrize(canon)
-    mins = (sym.groupBy("u").agg(F.min("v").alias("_mv"))
-            .select("u", F.least("_mv", "u").alias("m")))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
-        .distinct()
+        .select(F.col("m").alias("u"), "v")
+        .filter(F.col("u") != F.col("v"))
     )
 
 
@@ -72,19 +77,22 @@ def _small_star(canon: DataFrame) -> DataFrame:
     """Connect every not-larger neighbor of u (and u) to that set's min.
 
     Kiveris et al. Alg. 3: N = {v in N(u): v < u} (canonical direction
-    already gives exactly these as the "v points at u" side), m =
+    already gives exactly these as the "u points at v" side), m =
     min(N + {u}); emit (v, m) for v in N + {u}, v != m.
+
+    Same one-shuffle window shape as ``_large_star``; the terminal
+    ``distinct`` is the ROUND's set-semantics restore point (and what the
+    convergence fingerprint hashes).  m < node always (every grouped
+    neighbor is smaller), so (m, node) is canonical by construction.
     """
-    # neighbors smaller than u: rows (v, u) of the canonical edge list,
-    # i.e. group by the larger endpoint.
-    by_hi = canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    mins = by_hi.groupBy("u").agg(F.min("v").alias("m"))
-    smaller = by_hi.join(mins, "u")
+    by_hi = canon.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    withm = by_hi.withColumn(
+        "m", F.min("nbr").over(Window.partitionBy("node")))
     emitted = (
-        smaller.select(F.col("v").alias("a"), F.col("m").alias("b"))
-        .union(smaller.select(F.col("u").alias("a"), F.col("m").alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        withm.filter(F.col("nbr") != F.col("m"))
+        .select(F.col("m").alias("u"), F.col("nbr").alias("v"))
+        .union(withm.select(F.col("m").alias("u"),
+                            F.col("node").alias("v")))
         .distinct()
     )
     return emitted
@@ -109,12 +117,14 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     cur = _canon_edges(edges, id_a, id_b)
     prev_sig = None
     for round_no in range(max_rounds):
-        # EAGER checkpoint every round: one round references its input
-        # ~16x (unions + self-joins in both stars), so an unmaterialized
-        # plan grows 16^rounds and the per-round fingerprint action
-        # recomputes the whole tower. Materializing each round keeps
-        # every job a single two-shuffle pass over the live edge list.
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # checkpoint every round: one round references its input several
+        # times (symmetrize/emit unions in both stars), so an
+        # unmaterialized plan grows exponentially in rounds and the
+        # per-round fingerprint action would recompute the whole tower.
+        # LAZY checkpoint: the fingerprint action below is the round's
+        # one and only job — it materializes the checkpoint as a side
+        # effect, halving the Spark jobs per round vs eager=True.
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig_df = cur.select(
             F.xxhash64(F.col("u"), F.col("v")).alias("h"))
         agg = sig_df.agg(
