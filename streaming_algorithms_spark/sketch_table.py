@@ -1,0 +1,297 @@
+"""Incrementally-maintained sketch tables: append -> compact -> query.
+
+The north-rule workload is sketch answers over an ever-GROWING
+Common-Crawl-style corpus (10^12 documents, new crawl segments landing
+continuously).  A one-shot ``sketch_aggregate`` job re-scans the whole
+corpus per refresh — 100 TB of I/O to fold in a 100 GB daily increment.
+The production operating mode is INCREMENTAL MAINTENANCE, which the
+mergeability contract (SURVEY §1.3: every sketch is a commutative
+monoid with an associative byte-stable ``merge``) makes exact:
+
+    table.append(new_batch_df, batch_id="crawl-2026-08-17")
+        stage-1 partials over ONLY the new batch (the same
+        ``build_partials_with_lineage`` shape as checkpoint.py —
+        per-partition (key..., sketch, rows) rows with lineage),
+        written to an append-only per-batch directory.
+    table.estimates()
+        merge-read the live sketch rows across all batches -> finalized
+        estimates.  Reads KILOBYTES per batch (serialized sketches),
+        never the raw corpus: refresh cost is O(batches), not O(history).
+    table.compact()
+        merge all live rows down to one row per key into a new compact
+        GENERATION, so read amplification stays bounded as batches
+        accumulate.  Associativity makes compacted estimates
+        byte-identical to merging the raw batch rows.
+
+Commit protocol (object-store friendly, mini table-format semantics —
+same honesty bar as sources/warc.py's task-commit story):
+
+- An append writes ``<path>/batch-<id>/`` via Spark parquet; the batch
+  is live only once its ``_SUCCESS`` lands.  A failed/partial append is
+  invisible.  Duplicate batch ids are refused (exactly-once per id —
+  the caller's ingest ledger names batches deterministically).
+- A compaction writes ``<path>/compact-<n>/data/`` then atomically
+  renames ``MANIFEST.json`` into place; the manifest IS the commit
+  point and lists every batch id the generation covers.  Readers use
+  the highest manifest-committed generation plus batches it does not
+  cover; a crashed compaction leaves no manifest and is ignored.
+- ``vacuum()`` deletes units subsumed by the latest generation — safe
+  any time after the manifest commit; until then history remains
+  readable (time-travel to pre-compact state by reading batch dirs).
+
+Version fencing: every row carries ``algo_version`` (checkpoint.py's
+ALGO_VERSION).  Persisted sketches CANNOT be recomputed from a sketch
+table (the raw data is gone), so a version mismatch in live rows is an
+ERROR listing the stale units — never a silent wrong-mapping merge,
+never a quiet recompute that doesn't exist.  Re-ingest or keep reading
+with the old library version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import ALGO_VERSION, build_partials_with_lineage
+
+_BATCH_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+class SketchTable:
+    """One sketch family over one key set, maintained across ingest batches.
+
+    The sketch callables (``factory/update/from_bytes/finalize``) follow
+    the exact ``sketch_aggregate`` signatures — any family in the library
+    (HLL, CMS, KLL, t-digest, Bloom, running stats, ...) drops in.  The
+    caller supplies them per call (callables don't serialize); ``keys``
+    are pinned in ``TABLE_META.json`` at first append and validated on
+    every subsequent one, so two jobs can't interleave incompatible
+    layouts into one table.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: Sequence[str]):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+
+    # -- layout helpers ----------------------------------------------------
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "TABLE_META.json")
+
+    def _batch_dir(self, batch_id: str) -> str:
+        return os.path.join(self.path, f"batch-{batch_id}")
+
+    def _check_meta(self, write_if_missing: bool) -> None:
+        mp = self._meta_path()
+        if os.path.exists(mp):
+            with open(mp) as f:
+                meta = json.load(f)
+            if meta["keys"] != self.keys:
+                raise ValueError(
+                    f"sketch table at {self.path!r} is keyed by "
+                    f"{meta['keys']}, not {self.keys} — one table, one "
+                    "key layout"
+                )
+        elif write_if_missing:
+            os.makedirs(self.path, exist_ok=True)
+            tmp = mp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"keys": self.keys,
+                           "created_algo_version": ALGO_VERSION}, f)
+            os.replace(tmp, mp)
+        else:
+            raise ValueError(f"no sketch table at {self.path!r}")
+
+    def committed_batches(self) -> list[str]:
+        """Batch ids whose append fully committed (``_SUCCESS`` present)."""
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            if name.startswith("batch-") and os.path.exists(
+                    os.path.join(self.path, name, "_SUCCESS")):
+                out.append(name[len("batch-"):])
+        return out
+
+    def _generations(self) -> list[tuple[int, dict]]:
+        """(n, manifest) for every manifest-committed compact generation."""
+        if not os.path.isdir(self.path):
+            return []
+        gens = []
+        for name in os.listdir(self.path):
+            m = re.fullmatch(r"compact-(\d+)", name)
+            if not m:
+                continue
+            mf = os.path.join(self.path, name, "MANIFEST.json")
+            if os.path.exists(mf):
+                with open(mf) as f:
+                    gens.append((int(m.group(1)), json.load(f)))
+        return sorted(gens)
+
+    def live_units(self) -> list[str]:
+        """Relative dirs a reader merges: latest committed generation +
+        every committed batch it does not cover."""
+        gens = self._generations()
+        batches = self.committed_batches()
+        if not gens:
+            return [f"batch-{b}" for b in batches]
+        n, manifest = gens[-1]
+        covered = set(manifest["covers"])
+        return [f"compact-{n:06d}/data"] + [
+            f"batch-{b}" for b in batches if b not in covered
+        ]
+
+    # -- write path --------------------------------------------------------
+
+    def append(self, df: DataFrame, batch_id: str,
+               factory: Callable[[], object],
+               update: Callable[[object, object], None]) -> None:
+        """Build stage-1 partials over ``df`` (ONLY the new batch's raw
+        data — the corpus history is never re-read) and commit them as
+        ``batch-<batch_id>``.  One row per (input partition, key); rows
+        carry lineage (partition_id, wall_ms) so ``lineage_metrics``
+        works per batch, and ``algo_version`` for the fence."""
+        if not _BATCH_ID_RE.fullmatch(batch_id):
+            raise ValueError(
+                f"batch_id {batch_id!r} must match {_BATCH_ID_RE.pattern}"
+            )
+        self._check_meta(write_if_missing=True)
+        target = self._batch_dir(batch_id)
+        if os.path.exists(target):
+            raise ValueError(
+                f"batch {batch_id!r} already exists in {self.path!r} — "
+                "batch ids are the exactly-once ledger; pick a new id or "
+                "remove the old batch first"
+            )
+        partials = build_partials_with_lineage(
+            df, self.keys, factory, update, query_id=batch_id
+        )
+        # errorifexists (default mode): two concurrent appends with the
+        # same id race at the FS layer too, not just the check above.
+        partials.write.parquet(target)
+
+    def compact(self, from_bytes: Callable[[bytes], object]) -> str:
+        """Merge every live unit down to ONE row per key in a new compact
+        generation; returns its relative dir name.  Estimates are
+        byte-identical before and after (merge associativity); read
+        amplification resets to one unit.  Refuses to span mixed
+        ``algo_version`` rows (see module docstring)."""
+        from .operators.sketch_agg import merge_sketch_rows
+
+        self._check_meta(write_if_missing=False)
+        units = self.live_units()
+        if not units:
+            raise ValueError(f"nothing to compact in {self.path!r}")
+        rows = self._read_units(units)
+        self._fence_versions(rows, units)
+        merged = merge_sketch_rows(
+            rows.select(*self.keys, "sketch", "rows"), self.keys, from_bytes
+        ).withColumns({
+            "partition_id": F.lit(-1),
+            "wall_ms": F.lit(0.0),
+            "query_id": F.lit("compact"),
+            "algo_version": F.lit(ALGO_VERSION),
+        })
+        gens = self._generations()
+        n = gens[-1][0] + 1 if gens else 0
+        gen_dir = os.path.join(self.path, f"compact-{n:06d}")
+        merged.write.parquet(os.path.join(gen_dir, "data"))
+        covers = sorted(
+            set(self.committed_batches())
+            if not gens else
+            set(gens[-1][1]["covers"])
+            | {u[len("batch-"):] for u in units if u.startswith("batch-")}
+        )
+        tmp = os.path.join(gen_dir, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"covers": covers, "algo_version": ALGO_VERSION}, f)
+        os.replace(tmp, os.path.join(gen_dir, "MANIFEST.json"))  # commit
+        return f"compact-{n:06d}"
+
+    def vacuum(self) -> list[str]:
+        """Delete units subsumed by the latest generation (old compacts and
+        covered batch dirs).  Returns what it removed."""
+        import shutil
+
+        gens = self._generations()
+        if not gens:
+            return []
+        latest_n, manifest = gens[-1]
+        covered = set(manifest["covers"])
+        removed = []
+        for b in self.committed_batches():
+            if b in covered:
+                shutil.rmtree(self._batch_dir(b))
+                removed.append(f"batch-{b}")
+        for n, _ in gens[:-1]:
+            shutil.rmtree(os.path.join(self.path, f"compact-{n:06d}"))
+            removed.append(f"compact-{n:06d}")
+        return removed
+
+    # -- read path ---------------------------------------------------------
+
+    def _read_units(self, units: Sequence[str]) -> DataFrame:
+        paths = [os.path.join(self.path, u) for u in units]
+        return self.spark.read.parquet(*paths)
+
+    def _fence_versions(self, rows: DataFrame, units: Sequence[str]) -> None:
+        stale = (
+            rows.filter(F.col("algo_version") != ALGO_VERSION)
+            .select("query_id", "algo_version").distinct().limit(20).collect()
+        )
+        if stale:
+            detail = ", ".join(
+                f"{r['query_id']}(v{r['algo_version']})" for r in stale
+            )
+            raise ValueError(
+                f"sketch table {self.path!r} holds partials from a "
+                f"different ALGO_VERSION (current {ALGO_VERSION}): {detail}. "
+                "Persisted sketches cannot be recomputed from the table — "
+                "re-ingest those batches with the current library, or read "
+                "the table with the version that wrote them."
+            )
+
+    def sketch_rows(self) -> DataFrame:
+        """Live (key..., sketch, rows) rows across all units — the
+        un-finalized merged view other operators can consume (e.g. a
+        rollup re-merge or a cross-table set-algebra probe)."""
+        self._check_meta(write_if_missing=False)
+        units = self.live_units()
+        if not units:
+            raise ValueError(f"sketch table {self.path!r} has no live units")
+        rows = self._read_units(units)
+        self._fence_versions(rows, units)
+        return rows.select(*self.keys, "sketch", "rows")
+
+    def estimates(self, from_bytes: Callable[[bytes], object],
+                  finalize: Callable[[object, int], dict],
+                  out_value_schema: str) -> DataFrame:
+        """Finalized per-key estimates over the live units.  Exactly equal
+        to a one-shot ``sketch_aggregate`` over the union of all appended
+        batches' raw data — the merge tree differs, the monoid doesn't."""
+        from .operators.sketch_agg import merge_partials
+
+        return merge_partials(
+            self.sketch_rows(), self.keys, from_bytes, finalize,
+            out_value_schema,
+        )
+
+    def lineage_metrics(self) -> DataFrame:
+        """Per (batch, partition) lineage over ALL committed batch dirs
+        (compact rows carry the sentinel batch ``compact``)."""
+        units = [f"batch-{b}" for b in self.committed_batches()]
+        if not units:
+            raise ValueError(f"sketch table {self.path!r} has no batches")
+        return (
+            self._read_units(units)
+            .groupBy(F.col("query_id").alias("batch_id"), "partition_id")
+            .agg(F.sum("rows").alias("rows"),
+                 F.max("wall_ms").alias("wall_ms"),
+                 F.count("*").alias("n_partials"))
+        )
