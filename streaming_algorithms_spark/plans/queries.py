@@ -48,15 +48,68 @@ from ..sources.tables import load_table
 
 
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approx distinct user_id per event_type (HLL p=14) vs exact."""
+    """Approx distinct user_id per event_type (HLL p=14) vs exact.
+
+    Also the driver gate for INCREMENTAL SKETCH-TABLE MAINTENANCE
+    (sketch_table.SketchTable): the same HLL is maintained across three
+    simulated ingest days (hash-split batches) through the full
+    append -> compact(manifest commit) -> append -> merge-read lifecycle,
+    and ``incremental_ok`` asserts the incrementally-maintained estimate
+    EQUALS the one-shot estimate per key — merge associativity makes the
+    register arrays identical however the corpus is batched, so the gate
+    is exact equality, not a tolerance band."""
+    import shutil
+    import tempfile
+
+    from ..sketch_table import SketchTable
+    from ..sketches.hll import HyperLogLog
+
     ev = load_table(spark, "events", sf_dir)
     est = hll_distinct(ev, ["event_type"], "user_id", p=14).drop("rows_seen")
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
+
+    def factory():
+        return HyperLogLog(14)
+
+    def update(sk, pdf):
+        sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
+
+    # same hash/NULL semantics as hll_distinct(jvm_hash=True): only the
+    # 8-byte xxhash64 crosses the Arrow boundary; the day split reuses it
+    src = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", F.xxhash64("user_id").alias("_h"))
+        .withColumn("_day", F.pmod(F.col("_h"), F.lit(3)))
+        .cache()  # three appends slice this; one corpus scan, not three
+    )
+    scratch = tempfile.mkdtemp(prefix="sketch_tbl_gate_")
+    try:
+        t = SketchTable(spark, f"{scratch}/tbl", ["event_type"])
+        for d in (0, 1):
+            t.append(src.filter(F.col("_day") == d).drop("_day"),
+                     f"day-{d}", factory, update)
+        t.compact(HyperLogLog.from_bytes)  # generation + residual batch path
+        t.append(src.filter(F.col("_day") == 2).drop("_day"),
+                 "day-2", factory, update)
+        inc = t.estimates(
+            HyperLogLog.from_bytes,
+            lambda sk, rows: {"incremental_distinct": int(round(sk.estimate()))},
+            "incremental_distinct bigint",
+        )
+        # key-cardinality-sized collect (a handful of event types) so the
+        # returned plan doesn't reference the scratch parquet after cleanup
+        inc = spark.createDataFrame(
+            inc.collect(), "event_type string, incremental_distinct bigint")
+    finally:
+        src.unpersist()
+        shutil.rmtree(scratch, ignore_errors=True)
+
     rse = 1.04 / np.sqrt(2 ** 14)
     return (
         exact.join(est, "event_type")
+        .join(inc, "event_type")
         .select(
             "event_type",
             "exact_distinct",
@@ -64,6 +117,8 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
                 <= F.greatest(3 * rse * F.col("exact_distinct"), F.lit(3.0))
             ).alias("hll_ok"),
+            (F.col("incremental_distinct") == F.col("approx_distinct"))
+            .alias("incremental_ok"),
         )
         .orderBy("event_type")
     )
@@ -2379,7 +2434,8 @@ ORACLES = {
     "hll_distinct_users": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS exact_distinct,
-               TRUE AS hll_ok
+               TRUE AS hll_ok,
+               TRUE AS incremental_ok
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "welford_lineitem": """

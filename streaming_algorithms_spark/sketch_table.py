@@ -39,12 +39,16 @@ same honesty bar as sources/warc.py's task-commit story):
   any time after the manifest commit; until then history remains
   readable (time-travel to pre-compact state by reading batch dirs).
 
-Version fencing: every row carries ``algo_version`` (checkpoint.py's
-ALGO_VERSION).  Persisted sketches CANNOT be recomputed from a sketch
-table (the raw data is gone), so a version mismatch in live rows is an
-ERROR listing the stale units — never a silent wrong-mapping merge,
-never a quiet recompute that doesn't exist.  Re-ingest or keep reading
-with the old library version.
+Version fencing: every unit's commit metadata (``_BATCH_META.json`` /
+``MANIFEST.json``) records the ``algo_version`` (checkpoint.py's
+ALGO_VERSION) that wrote it, and every read fences against it
+DRIVER-SIDE — a metadata file read, zero Spark jobs.  Persisted
+sketches CANNOT be recomputed from a sketch table (the raw data is
+gone), so a version mismatch in live units is an ERROR naming them —
+never a silent wrong-mapping merge, never a quiet recompute that
+doesn't exist.  Re-ingest or keep reading with the old library
+version.  Rows additionally carry ``algo_version`` as defense in depth
+against hand-copied foreign files.
 """
 
 from __future__ import annotations
@@ -109,13 +113,18 @@ class SketchTable:
             raise ValueError(f"no sketch table at {self.path!r}")
 
     def committed_batches(self) -> list[str]:
-        """Batch ids whose append fully committed (``_SUCCESS`` present)."""
+        """Batch ids whose append fully committed: Spark's ``_SUCCESS``
+        AND the append's own ``_BATCH_META.json`` (written after, via
+        atomic rename — the batch-level commit point carrying the
+        version stamp).  A dir missing either is a crashed append."""
         if not os.path.isdir(self.path):
             return []
         out = []
         for name in sorted(os.listdir(self.path)):
-            if name.startswith("batch-") and os.path.exists(
-                    os.path.join(self.path, name, "_SUCCESS")):
+            d = os.path.join(self.path, name)
+            if (name.startswith("batch-")
+                    and os.path.exists(os.path.join(d, "_SUCCESS"))
+                    and os.path.exists(os.path.join(d, "_BATCH_META.json"))):
                 out.append(name[len("batch-"):])
         return out
 
@@ -175,6 +184,10 @@ class SketchTable:
         # errorifexists (default mode): two concurrent appends with the
         # same id race at the FS layer too, not just the check above.
         partials.write.parquet(target)
+        tmp = os.path.join(target, "_BATCH_META.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "algo_version": ALGO_VERSION}, f)
+        os.replace(tmp, os.path.join(target, "_BATCH_META.json"))  # commit
 
     def compact(self, from_bytes: Callable[[bytes], object]) -> str:
         """Merge every live unit down to ONE row per key in a new compact
@@ -188,8 +201,8 @@ class SketchTable:
         units = self.live_units()
         if not units:
             raise ValueError(f"nothing to compact in {self.path!r}")
+        self._fence_versions(units)
         rows = self._read_units(units)
-        self._fence_versions(rows, units)
         merged = merge_sketch_rows(
             rows.select(*self.keys, "sketch", "rows"), self.keys, from_bytes
         ).withColumns({
@@ -240,15 +253,21 @@ class SketchTable:
         paths = [os.path.join(self.path, u) for u in units]
         return self.spark.read.parquet(*paths)
 
-    def _fence_versions(self, rows: DataFrame, units: Sequence[str]) -> None:
-        stale = (
-            rows.filter(F.col("algo_version") != ALGO_VERSION)
-            .select("query_id", "algo_version").distinct().limit(20).collect()
-        )
+    def _unit_version(self, unit: str) -> str:
+        if unit.startswith("compact-"):
+            meta = os.path.join(self.path, unit.split("/")[0],
+                                "MANIFEST.json")
+        else:
+            meta = os.path.join(self.path, unit, "_BATCH_META.json")
+        with open(meta) as f:
+            return str(json.load(f)["algo_version"])
+
+    def _fence_versions(self, units: Sequence[str]) -> None:
+        """Driver-side metadata fence — no Spark job; see module docstring."""
+        stale = [(u, v) for u in units
+                 if (v := self._unit_version(u)) != ALGO_VERSION]
         if stale:
-            detail = ", ".join(
-                f"{r['query_id']}(v{r['algo_version']})" for r in stale
-            )
+            detail = ", ".join(f"{u}(v{v})" for u, v in stale)
             raise ValueError(
                 f"sketch table {self.path!r} holds partials from a "
                 f"different ALGO_VERSION (current {ALGO_VERSION}): {detail}. "
@@ -265,9 +284,8 @@ class SketchTable:
         units = self.live_units()
         if not units:
             raise ValueError(f"sketch table {self.path!r} has no live units")
-        rows = self._read_units(units)
-        self._fence_versions(rows, units)
-        return rows.select(*self.keys, "sketch", "rows")
+        self._fence_versions(units)
+        return self._read_units(units).select(*self.keys, "sketch", "rows")
 
     def estimates(self, from_bytes: Callable[[bytes], object],
                   finalize: Callable[[object, int], dict],
