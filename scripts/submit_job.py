@@ -10,6 +10,13 @@ On a real cluster the SparkSession comes from spark-submit's conf (master,
 executor counts); locally it falls back to local[*].  The job builds the
 per-lang HLL/KLL/Welford combo sketches with checkpointed per-partition
 lineage, so a killed run resumes from the partials (north_rule).
+
+Incremental mode (``--sketch-table DIR --batch-id ID [--compact]``):
+instead of a one-shot build, append this input as one ingest batch to a
+persistent sketch table (sketch_table.SketchTable) and write the
+TABLE-WIDE estimates — the daily-crawl-segment operating flow, where
+each day's spark-submit folds ~0.1% new data into sketches over the
+full history without rescanning it.
 """
 
 from __future__ import annotations
@@ -23,6 +30,15 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--sketch-table", default=None,
+                    help="incremental mode: append --input as batch "
+                         "--batch-id to this sketch table, then write the "
+                         "table-wide estimates to --output (the daily-"
+                         "segment operating flow; mutually exclusive with "
+                         "--checkpoint)")
+    ap.add_argument("--batch-id", default=None)
+    ap.add_argument("--compact", action="store_true",
+                    help="compact the sketch table after appending")
     ap.add_argument("--query-id", default="sketch_build")
     ap.add_argument("--id-col", default="url",
                     help="distinct-counted identifier column (url for the "
@@ -98,7 +114,19 @@ def main() -> None:
               "avg_len double, rows_seen bigint")
     update = lambda sk, pdf: sk.update(pdf)  # noqa: E731
 
-    if args.checkpoint:
+    if args.sketch_table and args.checkpoint:
+        ap.error("--sketch-table and --checkpoint are mutually exclusive")
+    if args.sketch_table:
+        if not args.batch_id:
+            ap.error("--sketch-table requires --batch-id")
+        from streaming_algorithms_spark.sketch_table import SketchTable
+
+        t = SketchTable(spark, args.sketch_table, ["lang"])
+        t.append(df, args.batch_id, Combo, update)
+        if args.compact:
+            t.compact(Combo.from_bytes)
+        out = t.estimates(Combo.from_bytes, finalize, schema)
+    elif args.checkpoint:
         ck = SketchCheckpoint(spark, args.checkpoint, args.query_id)
         out = ck.run(df, ["lang"], Combo, update, Combo.from_bytes,
                      finalize, schema)

@@ -76,3 +76,54 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
                     .select("text").toPandas()["text"]]
         rank = sum(1 for x in lens if x <= row["p50_len"]) / len(lens)
         assert 0.45 <= rank <= 0.56, (lang, row["p50_len"], rank)
+
+    # ---- incremental mode through the same ship mechanism: two separate
+    # spark-submit JVMs play two crawl days appending to ONE sketch table
+    # (the daily-segment operating flow); day-0 also compacts.
+    def submit(extra):
+        rr = subprocess.run(
+            [shutil.which("spark-submit"), "--master", "local[4]",
+             "--conf", "spark.sql.shuffle.partitions=4",
+             "--py-files", str(ROOT / "dist/sketchlib.zip"),
+             str(ROOT / "scripts/submit_job.py")] + extra,
+            env=env, capture_output=True, text=True, timeout=300,
+            cwd=str(tmp_path),
+        )
+        assert rr.returncode == 0, rr.stderr[-3000:]
+
+    tbl = tmp_path / "sketch_tbl"
+    out_d0, out_d1 = tmp_path / "out_d0", tmp_path / "out_d1"
+    submit(["--input", str(inp), "--output", str(out_d0),
+            "--sketch-table", str(tbl), "--batch-id", "day-0", "--compact"])
+
+    # single-batch table estimates must EQUAL the one-shot job's output:
+    # same registers, same finalize — the merge tree is the only difference
+    d0 = pq.read_table(str(out_d0)).to_pandas().set_index("lang").sort_index()
+    one = got.sort_index()
+    assert (d0["distinct_urls"] == one["distinct_urls"]).all()
+    assert (d0["rows_seen"] == one["rows_seen"]).all()
+    assert (abs(d0["avg_len"] - one["avg_len"])
+            <= 1e-9 * abs(one["avg_len"])).all()
+    assert (abs(d0["p50_len"] - one["p50_len"]) <= 1e-9).all()
+
+    # day-1: disjoint url space, new JVM, appends to the compacted table
+    inp2 = tmp_path / "webpages_in2"
+    (docs.select(
+        F.concat(F.lit("https://example.org/x/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text", "lang",
+    ).repartition(4).write.parquet(str(inp2)))
+    submit(["--input", str(inp2), "--output", str(out_d1),
+            "--sketch-table", str(tbl), "--batch-id", "day-1"])
+
+    d1 = pq.read_table(str(out_d1)).to_pandas().set_index("lang").sort_index()
+    rse3 = 3 * 1.04 / (2 ** 14) ** 0.5
+    for lang, e in exact.items():
+        row = d1.loc[lang]
+        assert int(row["rows_seen"]) == 2 * e["n"]  # both days counted
+        assert abs(row["distinct_urls"] - 2 * e["n"]) <= rse3 * 2 * e["n"] + 3
+
+    # table layout after the two JVMs: one generation + day-1 residual
+    from streaming_algorithms_spark.sketch_table import SketchTable
+    t = SketchTable(spark, str(tbl), ["lang"])
+    assert set(t.live_units()) == {"compact-000000/data", "batch-day-1"}
