@@ -198,6 +198,7 @@ class SketchTable:
         from .operators.sketch_agg import merge_sketch_rows
 
         self._check_meta(write_if_missing=False)
+        gens = self._generations()  # one snapshot for units, covers, and n
         units = self.live_units()
         if not units:
             raise ValueError(f"nothing to compact in {self.path!r}")
@@ -211,16 +212,17 @@ class SketchTable:
             "query_id": F.lit("compact"),
             "algo_version": F.lit(ALGO_VERSION),
         })
-        gens = self._generations()
         n = gens[-1][0] + 1 if gens else 0
         gen_dir = os.path.join(self.path, f"compact-{n:06d}")
         merged.write.parquet(os.path.join(gen_dir, "data"))
-        covers = sorted(
-            set(self.committed_batches())
-            if not gens else
-            set(gens[-1][1]["covers"])
-            | {u[len("batch-"):] for u in units if u.startswith("batch-")}
-        )
+        # covers derives from the UNITS ACTUALLY MERGED above, never from a
+        # fresh directory listing: a batch committed by a concurrent append
+        # after the merge read must stay uncovered (its rows aren't in this
+        # generation), or its data would silently vanish from reads.
+        merged_batches = {u[len("batch-"):] for u in units
+                          if u.startswith("batch-")}
+        prior = set(gens[-1][1]["covers"]) if gens else set()
+        covers = sorted(prior | merged_batches)
         tmp = os.path.join(gen_dir, "MANIFEST.json.tmp")
         with open(tmp, "w") as f:
             json.dump({"covers": covers, "algo_version": ALGO_VERSION}, f)
