@@ -214,6 +214,17 @@ class SketchTable:
         })
         n = gens[-1][0] + 1 if gens else 0
         gen_dir = os.path.join(self.path, f"compact-{n:06d}")
+        # reclaim a crashed predecessor: a compact dir WITHOUT a manifest
+        # is an uncommitted orphan (invisible to readers) left by a
+        # compaction that died between the data write and the manifest
+        # rename — without this, the retry collides on the same
+        # generation number forever.  A dir WITH a manifest can't be at
+        # this n (numbering is past-the-latest-committed).
+        if (os.path.isdir(gen_dir)
+                and not os.path.exists(os.path.join(gen_dir,
+                                                    "MANIFEST.json"))):
+            import shutil
+            shutil.rmtree(gen_dir)
         merged.write.parquet(os.path.join(gen_dir, "data"))
         # covers derives from the UNITS ACTUALLY MERGED above, never from a
         # fresh directory listing: a batch committed by a concurrent append

@@ -277,8 +277,8 @@ def streaming_multi_sketch(stream: DataFrame, key_col: str,
         else:
             hll, kll, batches = HyperLogLog(p), KLL(k), 0
         for pdf in pdfs:
-            h = pdf["_h"]
-            hv = h[h.notna()].to_numpy(np.int64).view(np.uint64)
+            hv = (pdf["_h"].to_numpy(np.int64)
+                  [pdf["_hok"].to_numpy(bool)].view(np.uint64))
             if len(hv):
                 hll.add_hashes(hv)
             v = pdf[value_col].to_numpy(np.float64)
@@ -301,10 +301,17 @@ def streaming_multi_sketch(stream: DataFrame, key_col: str,
 
     src = stream.select(
         key_col,
-        # explicit null-guard: Spark's xxhash64(NULL) returns the SEED,
-        # which would insert a phantom value into the HLL
-        F.when(F.col(distinct_col).isNotNull(),
-               F.xxhash64(distinct_col)).alias("_h"),
+        # xxhash64 is computed UNCONDITIONALLY so ``_h`` is a
+        # non-nullable long and every Arrow chunk lands in pandas as
+        # int64 — wrapping it in when(isNotNull, ...) makes the column
+        # nullable, and any chunk containing a NULL arrives as float64,
+        # silently rounding hashes to 53-bit precision (the same id then
+        # inserts as DIFFERENT values from null-containing vs null-free
+        # chunks).  NULL rows are dropped via the separate boolean mask
+        # instead: xxhash64(NULL) returns the seed, which must not
+        # insert a phantom value.
+        F.xxhash64(distinct_col).alias("_h"),
+        F.col(distinct_col).isNotNull().alias("_hok"),
         F.col(value_col).cast("double").alias(value_col),
     )
     return src.groupBy(key_col).applyInPandasWithState(

@@ -152,6 +152,12 @@ def test_commit_protocol_and_key_pinning(spark, tmp_path):
     assert t.live_units() == ["batch-day-0"]
     assert _estimates_pdf(t, from_bytes, finalize, schema).equals(base)
 
+    # retrying the compaction reclaims the orphan at the same generation
+    # number instead of colliding on the leftover data dir forever
+    assert t.compact(from_bytes) == "compact-000000"
+    assert t.live_units() == ["compact-000000/data"]
+    assert _estimates_pdf(t, from_bytes, finalize, schema).equals(base)
+
 
 def test_version_fence_names_stale_batch(spark, tmp_path, monkeypatch):
     from streaming_algorithms_spark import sketch_table as st_mod

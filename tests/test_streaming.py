@@ -285,6 +285,56 @@ def test_streaming_multi_sketch_matches_singles(spark, webpages, stream_dir,
     assert got_kll == want_kll
 
 
+def test_streaming_multi_sketch_null_ids_keep_exact_hashes(spark, tmp_path):
+    """Regression: chunks CONTAINING a NULL distinct_col must not corrupt
+    the other rows' insert hashes.  The old plan wrapped xxhash64 in
+    when(isNotNull, ...), making the column nullable — a null-containing
+    Arrow chunk then landed in pandas as float64 and every hash in it was
+    silently rounded to 53-bit precision, so the same id inserted as
+    different values from null-containing vs null-free chunks.  The gate:
+    the streamed estimate must EQUAL a locally-built HLL fed the exact
+    JVM xxhash64 values of the non-null ids."""
+    from streaming_algorithms_spark.sketches.hll import HyperLogLog
+    from streaming_algorithms_spark.streaming import streaming_multi_sketch
+
+    import numpy as np
+
+    rows = []
+    for i in range(400):
+        # every 5th id NULL -> every Arrow chunk contains nulls
+        rid = None if i % 5 == 0 else f"user-{i % 97}"
+        rows.append(("k", rid, float(i)))
+    df = spark.createDataFrame(rows, "key string, id string, val double")
+    d = tmp_path / "null_stream"
+    df.repartition(1).write.parquet(str(d / "batch=0"))
+
+    stream = spark.readStream.schema(df.schema).option(
+        "recursiveFileLookup", "true").parquet(str(d))
+    out = streaming_multi_sketch(stream, "key", "id", "val", p=12, k=200)
+    q = (
+        out.writeStream.format("memory").queryName("null_mix_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_null_mix"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select max_by(approx_distinct, batches) approx_distinct, "
+        "max_by(n_seen, batches) n_seen from null_mix_stream").first()
+
+    # reference registers from the exact JVM hash values, no stream
+    hashes = (
+        df.filter(F.col("id").isNotNull())
+        .select(F.xxhash64("id").alias("h")).toPandas()["h"]
+        .to_numpy(np.int64).view(np.uint64)
+    )
+    ref = HyperLogLog(12)
+    ref.add_hashes(hashes)
+    assert got["approx_distinct"] == int(round(ref.estimate()))
+    assert got["n_seen"] == 400  # NULL ids still contribute their values
+
+
 def test_warc_stream_incremental_ingest(spark, tmp_path):
     """Continuous crawl ingestion: read_warc_stream picks up newly landed
     archive segments, a restart from the same checkpoint resumes
