@@ -377,6 +377,51 @@ def _enumerate_all_pairs(merged: DataFrame, key_col: str, op: str) -> list:
     return [(a, b) for i, a in enumerate(ks) for b in ks[i + 1:]]
 
 
+def _pairwise_sketch_estimates(df: DataFrame, key_col: str, col: str,
+                               factory, update, from_bytes,
+                               pair_record, out_value_schema: str,
+                               op_name: str,
+                               pairs: Sequence[tuple] = None,
+                               col_is_hash: bool = False) -> DataFrame:
+    """Shared scaffold for every pairwise set-algebra operator: one hashed
+    scan -> per-key partial sketches -> merged rows (cached: consumed by
+    both sides of the pair join and the key enumeration) -> capped pair
+    enumeration -> (key_a, key_b) double join -> Arrow-batch pair
+    estimator.  ``pair_record(A, B)`` maps two deserialized sketches to
+    the value tuple matching ``out_value_schema``.  The 100-TB shape is
+    the scaffold's whole point: one corpus scan + O(pairs) register/tag
+    merges, never a second scan."""
+    df = df.filter(F.col(col).isNotNull() & F.col(key_col).isNotNull())
+    hcol = F.col(col) if col_is_hash else F.xxhash64(col)
+    hashed = ensure_parallelism(df.select(F.col(key_col), hcol.alias("_h")))
+    partials = build_partials(hashed, [key_col], factory, update)
+    merged = merge_sketch_rows(partials, [key_col], from_bytes).cache()
+    spark = df.sparkSession
+    kt = df.schema[key_col].dataType.simpleString()
+    if pairs is None:
+        pairs = _enumerate_all_pairs(merged, key_col, op_name)
+    pairs_df = spark.createDataFrame(list(pairs), f"key_a {kt}, key_b {kt}")
+    sa = merged.select(F.col(key_col).alias("key_a"),
+                       F.col("sketch").alias("_ska"))
+    sb = merged.select(F.col(key_col).alias("key_b"),
+                       F.col("sketch").alias("_skb"))
+    j = pairs_df.join(sa, "key_a").join(sb, "key_b")
+    names = [tok.strip().split()[0] for tok in out_value_schema.split(",")]
+    out_schema = f"key_a {kt}, key_b {kt}, " + out_value_schema
+
+    def gen(batches):
+        for pdf in batches:
+            recs = [
+                (ka, kb, *pair_record(from_bytes(bytes(ba)),
+                                      from_bytes(bytes(bb))))
+                for ka, kb, ba, bb in zip(pdf["key_a"], pdf["key_b"],
+                                          pdf["_ska"], pdf["_skb"])
+            ]
+            yield pd.DataFrame(recs, columns=["key_a", "key_b"] + names)
+
+    return j.mapInPandas(gen, out_schema)
+
+
 def hll_pairwise_overlap(df: DataFrame, key_col: str, col: str,
                          pairs: Sequence[tuple] = None, p: int = 14,
                          col_is_hash: bool = False) -> DataFrame:
@@ -395,47 +440,24 @@ def hll_pairwise_overlap(df: DataFrame, key_col: str, col: str,
     paired); col_is_hash=True treats ``col`` as a precomputed 64-bit hash
     (skips the xxhash64 projection — HLL inserts are idempotent, so feeding
     pre-distinct hashes gives identical registers)."""
-    df = df.filter(F.col(col).isNotNull() & F.col(key_col).isNotNull())
-    hcol = F.col(col) if col_is_hash else F.xxhash64(col)
-    hashed = ensure_parallelism(
-        df.select(F.col(key_col), hcol.alias("_h"))
-    )
 
     def update(sk: HyperLogLog, pdf: pd.DataFrame) -> None:
         sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
 
-    partials = build_partials(hashed, [key_col], lambda: HyperLogLog(p), update)
-    # cached unconditionally: consumed by both sides of the pair join (and
-    # the key enumeration) — without it the corpus scan could run twice
-    merged = merge_sketch_rows(partials, [key_col], HyperLogLog.from_bytes).cache()
-    spark = df.sparkSession
-    kt = df.schema[key_col].dataType.simpleString()
-    if pairs is None:
-        pairs = _enumerate_all_pairs(merged, key_col, "hll_pairwise_overlap")
-    pairs_df = spark.createDataFrame(list(pairs), f"key_a {kt}, key_b {kt}")
-    sa = merged.select(F.col(key_col).alias("key_a"), F.col("sketch").alias("_ska"))
-    sb = merged.select(F.col(key_col).alias("key_b"), F.col("sketch").alias("_skb"))
-    j = pairs_df.join(sa, "key_a").join(sb, "key_b")
-    out_schema = (f"key_a {kt}, key_b {kt}, est_a bigint, est_b bigint, "
-                  "est_union bigint, est_intersection bigint")
+    def pair_record(A: HyperLogLog, B: HyperLogLog) -> tuple:
+        ea, eb = A.estimate(), B.estimate()
+        A.merge(B)  # register-max: |A∪B| from the sketches alone
+        eu = A.estimate()
+        return (int(round(ea)), int(round(eb)), int(round(eu)),
+                max(0, int(round(ea + eb - eu))))
 
-    def gen(batches):
-        for pdf in batches:
-            recs = []
-            for ka, kb, ba, bb in zip(pdf["key_a"], pdf["key_b"],
-                                      pdf["_ska"], pdf["_skb"]):
-                A = HyperLogLog.from_bytes(bytes(ba))
-                B = HyperLogLog.from_bytes(bytes(bb))
-                ea, eb = A.estimate(), B.estimate()
-                A.merge(B)  # register-max: |A∪B| from the sketches alone
-                eu = A.estimate()
-                recs.append((ka, kb, int(round(ea)), int(round(eb)),
-                             int(round(eu)), max(0, int(round(ea + eb - eu)))))
-            yield pd.DataFrame(recs, columns=["key_a", "key_b", "est_a",
-                                              "est_b", "est_union",
-                                              "est_intersection"])
-
-    return j.mapInPandas(gen, out_schema)
+    return _pairwise_sketch_estimates(
+        df, key_col, col, lambda: HyperLogLog(p), update,
+        HyperLogLog.from_bytes, pair_record,
+        "est_a bigint, est_b bigint, est_union bigint, "
+        "est_intersection bigint",
+        "hll_pairwise_overlap", pairs=pairs, col_is_hash=col_is_hash,
+    )
 
 
 def kmv_pairwise_set_ops(df: DataFrame, key_col: str, col: str,
@@ -460,47 +482,23 @@ def kmv_pairwise_set_ops(df: DataFrame, key_col: str, col: str,
     bottom-k, no key storage)."""
     from ..sketches import BottomKSample, theta_set_estimates
 
-    df = df.filter(F.col(col).isNotNull() & F.col(key_col).isNotNull())
-    hashed = df.select(key_col, F.xxhash64(col).alias("_h"))
-
     def update(sk: BottomKSample, pdf: pd.DataFrame) -> None:
         sk.update_tags(pdf["_h"].to_numpy(np.int64).view(np.uint64))
 
-    partials = build_partials(
-        ensure_parallelism(hashed), [key_col],
-        lambda: BottomKSample(k), update,
+    def pair_record(A: BottomKSample, B: BottomKSample) -> tuple:
+        est = theta_set_estimates(A, B)
+        return (int(round(est["est_union"])),
+                int(round(est["est_intersection"])),
+                int(round(est["est_a_minus_b"])),
+                int(round(est["est_b_minus_a"])))
+
+    return _pairwise_sketch_estimates(
+        df, key_col, col, lambda: BottomKSample(k), update,
+        BottomKSample.from_bytes, pair_record,
+        "est_union bigint, est_intersection bigint, "
+        "est_a_minus_b bigint, est_b_minus_a bigint",
+        "kmv_pairwise_set_ops", pairs=pairs,
     )
-    merged = merge_sketch_rows(partials, [key_col],
-                               BottomKSample.from_bytes).cache()
-    spark = df.sparkSession
-    kt = df.schema[key_col].dataType.simpleString()
-    if pairs is None:
-        pairs = _enumerate_all_pairs(merged, key_col, "kmv_pairwise_set_ops")
-    pairs_df = spark.createDataFrame(list(pairs), f"key_a {kt}, key_b {kt}")
-    sa = merged.select(F.col(key_col).alias("key_a"), F.col("sketch").alias("_ska"))
-    sb = merged.select(F.col(key_col).alias("key_b"), F.col("sketch").alias("_skb"))
-    j = pairs_df.join(sa, "key_a").join(sb, "key_b")
-    out_schema = (f"key_a {kt}, key_b {kt}, est_union bigint, "
-                  "est_intersection bigint, est_a_minus_b bigint, "
-                  "est_b_minus_a bigint")
-
-    def gen(batches):
-        for pdf in batches:
-            recs = []
-            for ka, kb, ba, bb in zip(pdf["key_a"], pdf["key_b"],
-                                      pdf["_ska"], pdf["_skb"]):
-                est = theta_set_estimates(BottomKSample.from_bytes(bytes(ba)),
-                                          BottomKSample.from_bytes(bytes(bb)))
-                recs.append((ka, kb,
-                             int(round(est["est_union"])),
-                             int(round(est["est_intersection"])),
-                             int(round(est["est_a_minus_b"])),
-                             int(round(est["est_b_minus_a"]))))
-            yield pd.DataFrame(recs, columns=[
-                "key_a", "key_b", "est_union", "est_intersection",
-                "est_a_minus_b", "est_b_minus_a"])
-
-    return j.mapInPandas(gen, out_schema)
 
 
 class _HllKmv:
@@ -566,52 +564,29 @@ def hll_kmv_pairwise_set_ops(df: DataFrame, key_col: str, col: str,
     scan + O(pairs) register/tag merges; same MAX_AUTO_PAIR_KEYS guard."""
     from ..sketches import theta_set_estimates
 
-    df = df.filter(F.col(col).isNotNull() & F.col(key_col).isNotNull())
-    hcol = F.col(col) if col_is_hash else F.xxhash64(col)
-    hashed = ensure_parallelism(df.select(F.col(key_col), hcol.alias("_h")))
-
     def update(sk: _HllKmv, pdf: pd.DataFrame) -> None:
         sk.update_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
 
-    partials = build_partials(hashed, [key_col], lambda: _HllKmv(p, k), update)
-    merged = merge_sketch_rows(partials, [key_col], _HllKmv.from_bytes).cache()
-    spark = df.sparkSession
-    kt = df.schema[key_col].dataType.simpleString()
-    if pairs is None:
-        pairs = _enumerate_all_pairs(merged, key_col, "hll_kmv_pairwise_set_ops")
-    pairs_df = spark.createDataFrame(list(pairs), f"key_a {kt}, key_b {kt}")
-    sa = merged.select(F.col(key_col).alias("key_a"), F.col("sketch").alias("_ska"))
-    sb = merged.select(F.col(key_col).alias("key_b"), F.col("sketch").alias("_skb"))
-    j = pairs_df.join(sa, "key_a").join(sb, "key_b")
-    out_cols = ["key_a", "key_b", "est_a", "est_b", "est_union",
-                "est_intersection", "kmv_union", "kmv_intersection",
-                "est_a_minus_b", "est_b_minus_a"]
-    out_schema = (f"key_a {kt}, key_b {kt}, est_a bigint, est_b bigint, "
-                  "est_union bigint, est_intersection bigint, "
-                  "kmv_union bigint, kmv_intersection bigint, "
-                  "est_a_minus_b bigint, est_b_minus_a bigint")
+    def pair_record(A: _HllKmv, B: _HllKmv) -> tuple:
+        ea, eb = A.hll.estimate(), B.hll.estimate()
+        A.hll.merge(B.hll)
+        eu = A.hll.estimate()
+        th = theta_set_estimates(A.kmv, B.kmv)
+        return (int(round(ea)), int(round(eb)), int(round(eu)),
+                max(0, int(round(ea + eb - eu))),
+                int(round(th["est_union"])),
+                int(round(th["est_intersection"])),
+                int(round(th["est_a_minus_b"])),
+                int(round(th["est_b_minus_a"])))
 
-    def gen(batches):
-        for pdf in batches:
-            recs = []
-            for ka, kb, ba, bb in zip(pdf["key_a"], pdf["key_b"],
-                                      pdf["_ska"], pdf["_skb"]):
-                A = _HllKmv.from_bytes(ba)
-                B = _HllKmv.from_bytes(bb)
-                ea, eb = A.hll.estimate(), B.hll.estimate()
-                A.hll.merge(B.hll)
-                eu = A.hll.estimate()
-                th = theta_set_estimates(A.kmv, B.kmv)
-                recs.append((ka, kb, int(round(ea)), int(round(eb)),
-                             int(round(eu)),
-                             max(0, int(round(ea + eb - eu))),
-                             int(round(th["est_union"])),
-                             int(round(th["est_intersection"])),
-                             int(round(th["est_a_minus_b"])),
-                             int(round(th["est_b_minus_a"]))))
-            yield pd.DataFrame(recs, columns=out_cols)
-
-    return j.mapInPandas(gen, out_schema)
+    return _pairwise_sketch_estimates(
+        df, key_col, col, lambda: _HllKmv(p, k), update,
+        _HllKmv.from_bytes, pair_record,
+        "est_a bigint, est_b bigint, est_union bigint, "
+        "est_intersection bigint, kmv_union bigint, kmv_intersection bigint, "
+        "est_a_minus_b bigint, est_b_minus_a bigint",
+        "hll_kmv_pairwise_set_ops", pairs=pairs, col_is_hash=col_is_hash,
+    )
 
 
 def welford_stats(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
