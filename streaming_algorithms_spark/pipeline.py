@@ -1,0 +1,241 @@
+"""End-to-end curation pipeline: crawl archive -> training-ready corpus.
+
+This module composes the engine's operators into the pipeline a
+pretraining-data user actually runs, as ONE lazy Spark plan:
+
+    WARC segments -> extract text -> quality/lang/repetition signals
+      -> exact dedup -> near-dup dedup (MinHash LSH + connected
+         components, quality-aware survivor) -> filter -> split
+      -> sequence-packing plan for the train stream
+
+Everything is declarative: ``curate()`` performs NO Spark actions — it
+returns a :class:`CurationPlan` of three DataFrames the caller writes,
+counts, or composes further.  (The one iterative piece, connected
+components over the near-dup pair graph, runs its rounds when the plan
+is first executed; the pair graph is duplicate-sized, orders of
+magnitude smaller than the corpus.)
+
+Funnel accounting is a *column*, not a sequence of filters: every input
+document is annotated with the first ``drop_reason`` that applies
+(``exact_duplicate`` / ``near_duplicate`` / ``lang`` / ``low_quality``
+/ ``repetitive`` / NULL = kept), so the full attrition report is ONE
+aggregation over one plan instead of a count-per-stage job cascade —
+at 100 TB that is the difference between one corpus pass and six.
+
+Scale shape of the composed plan (sf-independent):
+
+- extract + signals: a pure map over input splits (mapInPandas for the
+  regex extraction, Catalyst for quality/lang) — the html column is
+  read once and never crosses a shuffle.
+- exact dedup: shuffles (md5, doc_id) pairs only, never text.
+- near-dup: MinHash signatures in one Arrow pass over EXACT-SURVIVORS
+  only, one (band, bucket) join, candidate-pair verification on
+  signatures, components on the pair graph, then an id-keyed join back
+  to the corpus.  No all-pairs stage at any point.
+- repetition signals: the NGram/xxhash64 shape from
+  operators/text.py (hashes cross the shuffle, not gram strings).
+- split: pure hash arithmetic, no shuffle.
+- packing: the two-pass range-partitioned cumsum (operators/text.py)
+  — no corpus-wide single-task window.
+
+Reference framing: the reference library's sketches feed exactly this
+kind of ingestion loop (SURVEY §0/§1 — Common-Crawl-style web pages);
+this module is the loop itself, Spark-first.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Mapping
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import functions as fn
+from .operators.components import dedup_resolve
+from .operators.dedup import exact_dedup_groups, minhash_lsh_dedup_pairs
+from .operators.html_text import extract_text_series
+from .operators.text import repetition_profile, sequence_packing_plan
+
+DEFAULT_SPLITS = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+
+@dataclass(frozen=True)
+class CurationPlan:
+    """The three lazy outputs of :func:`curate`.
+
+    ``annotated``: every input document with its signals and verdict —
+    (doc_id, url, warc_ts, text, n_tokens, lang, quality,
+    dup_3gram_frac, top_2gram_frac, component, drop_reason).
+    ``kept``: the curated corpus (drop_reason IS NULL) plus ``split``.
+    ``train_packing``: sequence coordinates for the train split
+    (doc_id, n_tokens, start_offset, start_seq, start_pos, end_seq).
+    """
+
+    annotated: DataFrame
+    kept: DataFrame
+    train_packing: DataFrame
+
+    def funnel(self) -> DataFrame:
+        """Attrition report in ONE corpus pass: (stage, docs, tokens),
+        ``stage`` = drop_reason or 'kept', tokens = sum of doc token
+        counts (NULL-text docs count 0)."""
+        return (
+            self.annotated
+            .groupBy(F.coalesce("drop_reason", F.lit("kept")).alias("stage"))
+            .agg(F.count("*").alias("docs"),
+                 F.sum(F.coalesce("n_tokens", F.lit(0)).cast("long"))
+                 .alias("tokens"))
+        )
+
+
+def _extract(pages: DataFrame, url_col: str, ts_col: str,
+             html_col: str) -> DataFrame:
+    """(doc_id, url, warc_ts, text): the extraction map with identity
+    columns carried through — html_to_text's batch extractor, without
+    the id-keyed join a two-output-column operator would force (the
+    join would shuffle every extracted text; this shuffles nothing).
+
+    doc_id = xxhash64(url, warc_ts): 64-bit, collision P ~ n^2/2^65
+    (~5e-7 at 10^9 captures) — accepted for the pipeline (the exact
+    dedup stage hashes CONTENT separately, so a doc_id collision can
+    at worst drop one extra page, never corrupt survivors)."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "text": extract_text_series(pdf["html"]),
+            })
+
+    return (
+        pages.select(
+            F.xxhash64(F.col(url_col), F.col(ts_col)).alias("doc_id"),
+            F.col(url_col).alias("url"),
+            F.col(ts_col).alias("warc_ts"),
+            F.col(html_col).alias("html"),
+        )
+        .mapInPandas(gen, "doc_id long, url string, warc_ts timestamp, "
+                          "text string")
+    )
+
+
+def curate(pages: DataFrame, *,
+           html_col: str | None = "html",
+           text_col: str | None = None,
+           url_col: str = "url",
+           ts_col: str = "warc_ts",
+           near_threshold: float = 0.8,
+           num_hashes: int = 128,
+           bands: int = 32,
+           shingle_n: int = 3,
+           lang_allow: list[str] | None = None,
+           min_quality: float = 0.3,
+           max_dup_3gram_frac: float = 0.5,
+           max_top_2gram_frac: float = 0.3,
+           splits: Mapping[str, float] | None = None,
+           split_salt: str = "",
+           seq_len: int = 2048) -> CurationPlan:
+    """Compose the full curation pipeline over ``pages`` (module
+    docstring).  ``pages`` needs (url, warc_ts, html binary) — the WARC
+    reader's shape and the north-rule input_hint — or pass
+    ``text_col`` to skip extraction (html_col is then ignored).
+
+    Thresholds are the standard pretraining-filter shapes (Gopher
+    repetition bounds, composite quality floor, optional language
+    allow-list); defaults are permissive — tune per corpus.  The
+    near-dup survivor per duplicate cluster is the highest-quality
+    member (ties: min doc_id), so re-runs keep the same documents.
+    """
+    splits = dict(splits) if splits is not None else dict(DEFAULT_SPLITS)
+    if text_col is not None:
+        docs = pages.select(
+            F.xxhash64(F.col(url_col), F.col(ts_col)).alias("doc_id"),
+            F.col(url_col).alias("url"),
+            F.col(ts_col).alias("warc_ts"),
+            F.col(text_col).alias("text"),
+        )
+    else:
+        docs = _extract(pages, url_col, ts_col, html_col)
+
+    # Columnar signals (Catalyst, zero shuffle) + repetition profile
+    # (NGram + xxhash64-only shuffle).  Signals are computed for EVERY
+    # doc — dropped docs keep theirs so the funnel can be sliced by any
+    # signal after the fact.
+    sig = docs.select(
+        "*",
+        fn.lang_id(F.col("text")).alias("lang"),
+        F.round(fn.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    rep = repetition_profile(docs, "doc_id", "text")
+    sig = sig.join(rep, "doc_id", "left")
+
+    # Exact dedup verdict: keep iff this doc_id is its content group's
+    # min-id representative.  Joining on text_hash (16-byte md5) keeps
+    # text out of the shuffle.
+    groups = exact_dedup_groups(docs, "doc_id", "text")
+    sig = (
+        sig.withColumn("_th", F.md5("text"))
+        .join(groups.select(F.col("text_hash").alias("_th"), "keep_id"),
+              "_th", "left")
+        .withColumn("_exact_keep",
+                    F.col("keep_id").isNull()  # NULL text: no group
+                    | (F.col("doc_id") == F.col("keep_id")))
+        .drop("_th", "keep_id", "dup_count")
+    )
+
+    # Near-dup verdict on exact survivors only (duplicate captures are
+    # already gone — no point minhashing them).  dedup_resolve labels
+    # every survivor with its cluster and a quality-aware canonical
+    # flag; docs outside any cluster are their own component.
+    survivors = sig.filter(F.col("_exact_keep")).select(
+        "doc_id", "text", "quality")
+    pairs = minhash_lsh_dedup_pairs(
+        survivors, "doc_id", "text", threshold=near_threshold,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+    resolved = dedup_resolve(survivors, pairs, "doc_id",
+                             quality_col="quality")
+    sig = sig.join(resolved.select("doc_id", "component",
+                                   F.col("is_canonical").alias("_near_keep")),
+                   "doc_id", "left")
+
+    lang_ok = (F.lit(True) if lang_allow is None
+               else F.col("lang").isin(list(lang_allow)))
+    drop = (
+        F.when(~F.col("_exact_keep"), F.lit("exact_duplicate"))
+        .when(~F.coalesce("_near_keep", F.lit(True)), F.lit("near_duplicate"))
+        .when(~lang_ok, F.lit("lang"))
+        .when(F.coalesce("quality", F.lit(0.0)) < min_quality,
+              F.lit("low_quality"))
+        .when((F.coalesce("dup_3gram_frac", F.lit(0.0))
+               > max_dup_3gram_frac)
+              | (F.coalesce("top_2gram_frac", F.lit(0.0))
+                 > max_top_2gram_frac),
+              F.lit("repetitive"))
+    )
+    annotated = (
+        sig.withColumn("drop_reason", drop)
+        .drop("_exact_keep", "_near_keep")
+    )
+
+    from .operators.sampling import assign_splits
+    kept = assign_splits(
+        annotated.filter(F.col("drop_reason").isNull()).drop("drop_reason"),
+        "doc_id", splits, salt=split_salt)
+    train = kept.filter(F.col("split") == "train")
+    packing = sequence_packing_plan(train, "doc_id", "text",
+                                    seq_len=seq_len)
+    return CurationPlan(annotated=annotated, kept=kept,
+                        train_packing=packing)
+
+
+def curate_from_warc(spark: SparkSession, path: str,
+                     **kw) -> CurationPlan:
+    """The archive-to-corpus path: ``read_warc`` (real Common-Crawl
+    layout or this engine's compact format) -> :func:`curate`.  One
+    task per ~1 GB segment feeds the extraction map directly."""
+    from .sources.warc import read_warc
+    return curate(read_warc(spark, path), **kw)

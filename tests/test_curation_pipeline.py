@@ -1,0 +1,143 @@
+"""End-to-end curation pipeline (pipeline.py): planted-case funnel and
+the archive-to-corpus path.
+
+The planted corpus pins one document per drop reason plus controls, so
+the funnel counts are exact expectations, not statistical ones.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_algorithms_spark.pipeline import curate, curate_from_warc
+
+_TS = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _planted_rows():
+    # filler vocab is unique per doc so no unintended near-dup pairs
+    def filler(tag, n=30):
+        toks = [f"{tag}tok{i}" for i in range(n)]
+        # sprinkle English stopwords for lang + quality stop ratio
+        return ("the " + " ".join(toks[:10]) + " and of is "
+                + " ".join(toks[10:]) + " the and")
+
+    rows = []
+    good = filler("exact")
+    for i in range(3):  # exact duplicates: same content, distinct capture
+        rows.append((f"https://ex.com/e{i}", _TS, good))
+    base = [f"near{i}" for i in range(60)]
+    n1 = "the " + " ".join(base) + " and of is one"
+    n2 = "the " + " ".join(base) + " and of is two"
+    rows.append(("https://ex.com/n1", _TS, n1))  # near-dup pair
+    rows.append(("https://ex.com/n2", _TS, n2))
+    # low quality: >5000 tokens -> len_ok 0.2, ~zero stopword ratio
+    # -> quality ~0.38 < 0.5, while "the" keeps lang=en
+    rows.append(("https://ex.com/q", _TS,
+                 "the " + " ".join(f"fill{i}" for i in range(5999))))
+    rows.append(("https://ex.com/r", _TS,  # repetitive: one dominating 2gram
+                 "the " + " ".join(["rep"] * 50)))
+    rows.append(("https://ex.com/l", _TS,  # German: lang filter
+                 "der hund und die katze ist ein tier der die das und "
+                 + " ".join(f"wort{i}" for i in range(20))))
+    rows.append(("https://ex.com/nul", _TS, None))  # NULL text -> und lang
+    for i in range(10):  # kept controls
+        rows.append((f"https://ex.com/f{i}", _TS, filler(f"doc{i}")))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def planted_plan(spark):
+    df = spark.createDataFrame(_planted_rows(),
+                               "url string, warc_ts timestamp, text string")
+    return curate(df, text_col="text", lang_allow=["en"], min_quality=0.5,
+                  max_top_2gram_frac=0.9, max_dup_3gram_frac=0.6,
+                  near_threshold=0.8, seq_len=64,
+                  splits={"train": 1.0})
+
+
+def test_funnel_counts_exact(planted_plan):
+    funnel = {r["stage"]: (r["docs"], r["tokens"])
+              for r in planted_plan.funnel().collect()}
+    assert funnel["exact_duplicate"][0] == 2
+    assert funnel["near_duplicate"][0] == 1
+    assert funnel["lang"][0] == 2          # German + NULL text
+    assert funnel["low_quality"][0] == 1
+    assert funnel["repetitive"][0] == 1
+    assert funnel["kept"][0] == 12         # 1 exact + 1 near survivor + 10
+    assert sum(v[0] for v in funnel.values()) == 19
+    assert funnel["kept"][1] > 0           # token totals ride along
+
+
+def test_dedup_verdicts(planted_plan):
+    ann = planted_plan.annotated
+    from collections import Counter
+
+    ex = [r["drop_reason"]
+          for r in ann.filter(F.col("url").rlike("/e[0-9]$")).collect()]
+    assert Counter(ex) == {"exact_duplicate": 2, None: 1}
+    near = ann.filter(F.col("url").rlike("/n[12]$")).collect()
+    assert Counter(r["drop_reason"] for r in near) == {"near_duplicate": 1,
+                                                       None: 1}
+    # both members carry the same duplicate-cluster label
+    comps = {r["component"] for r in near}
+    assert len(comps) == 1 and None not in comps
+
+
+def test_kept_is_clean_and_split(planted_plan):
+    kept = planted_plan.kept.collect()
+    assert len(kept) == 12
+    texts = [r["text"] for r in kept]
+    assert len(set(texts)) == len(texts)  # no surviving duplicates
+    assert all(r["split"] == "train" for r in kept)
+
+
+def test_packing_is_contiguous(planted_plan):
+    rows = sorted(planted_plan.train_packing.collect(),
+                  key=lambda r: r["start_offset"])
+    assert rows and rows[0]["start_offset"] == 0
+    off = 0
+    for r in rows:
+        assert r["start_offset"] == off
+        assert r["start_seq"] == off // 64
+        assert r["end_seq"] == (off + r["n_tokens"] - 1) // 64
+        off += r["n_tokens"]
+    assert off == sum(r["n_tokens"] for r in rows)
+
+
+def test_deterministic_rerun(spark, planted_plan):
+    df = spark.createDataFrame(_planted_rows(),
+                               "url string, warc_ts timestamp, text string")
+    again = curate(df, text_col="text", lang_allow=["en"], min_quality=0.5,
+                   max_top_2gram_frac=0.9, max_dup_3gram_frac=0.6,
+                   near_threshold=0.8, seq_len=64, splits={"train": 1.0})
+    a = sorted(r["url"] for r in planted_plan.kept.collect())
+    b = sorted(r["url"] for r in again.kept.collect())
+    assert a == b
+
+
+def test_curate_from_warc_archive(spark, webpages, tmp_path):
+    """Archive-to-corpus path: cc_style WARC write -> read -> curate.
+    The generator plants ~18% recrawls (same url+content, new capture),
+    so exact dedup must fire; all counts reconcile."""
+    from streaming_algorithms_spark.sources.warc import write_warc
+
+    # deterministic ~10% slice keyed on url ONLY, so every capture of a
+    # kept url (the generator's ~18% recrawls) stays in the slice and
+    # exact dedup has guaranteed work
+    src = webpages.filter(F.pmod(F.xxhash64("url"), F.lit(10)) == 0).cache()
+    n = src.count()
+    path = str(tmp_path / "warc")
+    write_warc(src.repartition(4), path, cc_style=True)
+    plan = curate_from_warc(spark, path)
+    funnel = {r["stage"]: r["docs"] for r in plan.funnel().collect()}
+    assert sum(funnel.values()) == n
+    assert funnel.get("exact_duplicate", 0) > 0  # planted recrawls caught
+    kept = plan.kept
+    texts = [r["text"] for r in kept.select("text").collect()]
+    assert len(set(texts)) == len(texts)
+    assert funnel.get("kept", 0) == len(texts) > 0
+    # extraction really ran: kept docs decode to non-empty text
+    assert all(t for t in texts)
+    src.unpersist()
