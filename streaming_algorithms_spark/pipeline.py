@@ -8,12 +8,16 @@ pretraining-data user actually runs, as ONE lazy Spark plan:
          components, quality-aware survivor) -> filter -> split
       -> sequence-packing plan for the train stream
 
-Everything is declarative: ``curate()`` performs NO Spark actions — it
-returns a :class:`CurationPlan` of three DataFrames the caller writes,
-counts, or composes further.  (The one iterative piece, connected
-components over the near-dup pair graph, runs its rounds when the plan
-is first executed; the pair graph is duplicate-sized, orders of
-magnitude smaller than the corpus.)
+``curate()`` returns a :class:`CurationPlan` of three DataFrames the
+caller writes, counts, or composes further.  Two stages execute AT
+CALL TIME, the rest is lazy: (a) connected components over the
+near-dup pair graph is iterative — its O(log n) convergence rounds
+are Spark jobs (this also materializes the staged corpus and minhash
+signature cache as a side effect); the pair graph is duplicate-sized,
+orders of magnitude smaller than the corpus, and the component table
+it leaves behind is checkpoint-backed, so downstream actions reuse it
+instead of re-running the loop; (b) ``stage=<path>`` writes the
+extracted corpus to a parquet staging table up front.
 
 Funnel accounting is a *column*, not a sequence of filters: every input
 document is annotated with the first ``drop_reason`` that applies
@@ -26,7 +30,9 @@ Scale shape of the composed plan (sf-independent):
 
 - extract + signals: a pure map over input splits (mapInPandas for the
   regex extraction, Catalyst for quality/lang) — the html column is
-  read once and never crosses a shuffle.
+  read once and never crosses a shuffle.  The extracted corpus is
+  STAGED (persisted, or parquet via ``stage=<path>``) because four
+  downstream branches consume it — see ``curate``'s ``stage`` param.
 - exact dedup: shuffles (md5, doc_id) pairs only, never text.
 - near-dup: MinHash signatures in one Arrow pass over EXACT-SURVIVORS
   only, one (band, bucket) join, candidate-pair verification on
@@ -138,7 +144,8 @@ def curate(pages: DataFrame, *,
            max_top_2gram_frac: float = 0.3,
            splits: Mapping[str, float] | None = None,
            split_salt: str = "",
-           seq_len: int = 2048) -> CurationPlan:
+           seq_len: int = 2048,
+           stage: bool | str = True) -> CurationPlan:
     """Compose the full curation pipeline over ``pages`` (module
     docstring).  ``pages`` needs (url, warc_ts, html binary) — the WARC
     reader's shape and the north-rule input_hint — or pass
@@ -149,6 +156,23 @@ def curate(pages: DataFrame, *,
     allow-list); defaults are permissive — tune per corpus.  The
     near-dup survivor per duplicate cluster is the highest-quality
     member (ties: min doc_id), so re-runs keep the same documents.
+
+    ``stage`` controls the staging boundary on the extracted corpus.
+    The plan fans ``docs`` into four branches (signals, repetition,
+    exact groups, minhash survivors) and Spark does NOT dedupe common
+    subplans — unstaged, the extraction map would re-run once per
+    branch per action.  ``True`` (default) persists the extracted
+    corpus (memory, disk spill) so extraction runs once per cluster
+    lifetime; a path string writes it to parquet and re-reads (the
+    100-TB choice: durable, resumable, column-pruned downstream
+    reads); ``False`` skips staging (fine when ``pages`` is already a
+    cheap columnar read — but extraction will re-run per branch).
+
+    Call-time cost: the near-dup components loop runs its rounds
+    inside this function (module docstring) — at call time the corpus
+    IS extracted, minhashed, and pair-resolved.  What remains lazy is
+    everything per-document downstream: signals, verdicts, splits,
+    packing.
     """
     splits = dict(splits) if splits is not None else dict(DEFAULT_SPLITS)
     if text_col is not None:
@@ -160,6 +184,12 @@ def curate(pages: DataFrame, *,
         )
     else:
         docs = _extract(pages, url_col, ts_col, html_col)
+    if isinstance(stage, str):
+        docs.write.parquet(stage)
+        docs = docs.sparkSession.read.parquet(stage)
+    elif stage:
+        from pyspark import StorageLevel
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Columnar signals (Catalyst, zero shuffle) + repetition profile
     # (NGram + xxhash64-only shuffle).  Signals are computed for EVERY
