@@ -14,6 +14,9 @@ A from-scratch re-expression of the capabilities of trink/streaming_algorithms
 - ``plans``     — headline queries (Q1–Q5 of FIXTURES.md §B2 and the
   training-data-pipeline extensions).
 - ``streaming`` — Structured Streaming stateful variants.
+- ``pipeline``  — the composed end-to-end curation loop (WARC archive →
+  extract → signals → dedup → filter → split → packing plan) with
+  single-pass funnel accounting.
 
 Design: every sketch is a commutative monoid (zero / update_batch / merge /
 to_bytes / from_bytes).  Distributed aggregation never shuffles raw rows:
