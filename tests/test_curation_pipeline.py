@@ -106,6 +106,17 @@ def test_packing_is_contiguous(planted_plan):
     assert off == sum(r["n_tokens"] for r in rows)
 
 
+def test_pipeline_plans_are_distributed(planted_plan):
+    """Same structural guarantee the gated-query sweep enforces
+    (test_plans_scale.py): no CollectLimit anywhere in the composed
+    pipeline's plans — the funnel/kept/packing outputs are fully
+    distributed at any corpus size."""
+    for df in (planted_plan.annotated, planted_plan.kept,
+               planted_plan.train_packing, planted_plan.funnel()):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "CollectLimit" not in p, p
+
+
 def test_deterministic_rerun(spark, planted_plan):
     df = spark.createDataFrame(_planted_rows(),
                                "url string, warc_ts timestamp, text string")
