@@ -23,12 +23,21 @@ from pyspark.sql import functions as F
 def matrix_profile_per_series(df: DataFrame, series_col: str, order_col: str,
                               value_col: str, ms=(64,),
                               max_points: int = 4096,
-                              percent: float = 100.0) -> DataFrame:
+                              percent: float = 100.0,
+                              pre_partitioned: bool = False) -> DataFrame:
     """For every series: sort by order_col, run SCRIMP at each subsequence
     length in ``ms`` (multi-resolution motif/discord search) over up to
     max_points values, emit the discord (max matrix-profile distance) per m.
 
-    Output: (series, m, n_points, discord_idx, discord_distance, mp_mean)."""
+    Output: (series, m, n_points, discord_idx, discord_distance, mp_mean).
+
+    ``pre_partitioned=True`` skips the repartition for input that is
+    ALREADY hash-clustered on ``series_col`` — a bucketed table
+    (sources/bucketed.py) or a prior explicit repartition on the same
+    key.  Over a bucketed scan the grouped stage then plans with NO
+    Exchange (asserted in test_plans_scale.py): the write-once bucket
+    layout replaces the per-run corpus shuffle, which is the dominant
+    non-kernel cost of a repeated anomaly scan at scale."""
 
     out_schema = (
         f"`{series_col}` long, m long, n_points long, discord_idx long, "
@@ -57,6 +66,11 @@ def matrix_profile_per_series(df: DataFrame, series_col: str, order_col: str,
                          float(finite.mean())))
         return pd.DataFrame(recs, columns=cols)
 
+    if pre_partitioned:
+        # bucketed/pre-clustered input already satisfies the groupBy's
+        # distribution; an added repartition would reintroduce the exact
+        # Exchange the layout exists to avoid
+        return df.groupBy(series_col).applyInPandas(per_series, out_schema)
     # explicit (user-specified) hash repartitioning: satisfies the groupBy's
     # distribution requirement AND is exempt from AQE shuffle coalescing,
     # which would otherwise collapse this compute-dense stage to 1-2 tasks

@@ -236,6 +236,41 @@ def test_sequence_packing_two_pass_no_corpus_global_window(spark, webpages_parqu
         assert agg != -1 and (scan == -1 or agg < scan), plan
 
 
+def test_mp_per_series_bucketed_pre_partitioned_no_exchange(spark, tmp_path):
+    """matrix_profile_per_series(pre_partitioned=True) over a table
+    bucketed on the series key must plan the grouped Python stage with
+    NO Exchange — the bench scaling probe's shape, and the repeated-
+    anomaly-scan strategy at 100 TB (the corpus shuffle is paid once at
+    bucket-write time).  The default path must keep its explicit
+    repartition (AQE-coalescing-proof)."""
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark.operators.mp_anomaly import (
+        matrix_profile_per_series,
+    )
+    from streaming_algorithms_spark.sources.bucketed import save_bucketed
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 16).alias("sid"),
+        F.col("id").alias("ts"),
+        (F.col("id") * 37 % 101).cast("double").alias("v"),
+    )
+    save_bucketed(df, "t_mp_series_b", ["sid"], 4,
+                  path=str(tmp_path / "mp_series_b"))
+    t = spark.table("t_mp_series_b")
+    out = matrix_profile_per_series(t, "sid", "ts", "v", ms=(8,),
+                                    max_points=256, pre_partitioned=True)
+    plan = _physical_plan(out)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert out.count() == 16  # all series long enough for m=8
+    # same input WITHOUT the flag: explicit repartition stays
+    plan_default = _physical_plan(
+        matrix_profile_per_series(t, "sid", "ts", "v", ms=(8,),
+                                  max_points=256))
+    assert "Exchange hashpartitioning(sid" in plan_default, plan_default
+
+
 def test_load_table_iceberg_branch_requests_iceberg_source(spark):
     """format='iceberg' must actually go through the Iceberg DataSource
     (the claim is code, not a comment): without iceberg jars in the
