@@ -21,10 +21,11 @@ extracted corpus to a parquet staging table up front.
 
 Funnel accounting is a *column*, not a sequence of filters: every input
 document is annotated with the first ``drop_reason`` that applies
-(``exact_duplicate`` / ``near_duplicate`` / ``lang`` / ``low_quality``
-/ ``repetitive`` / NULL = kept), so the full attrition report is ONE
-aggregation over one plan instead of a count-per-stage job cascade —
-at 100 TB that is the difference between one corpus pass and six.
+(``exact_duplicate`` / ``near_duplicate`` / ``contaminated`` /
+``lang`` / ``low_quality`` / ``repetitive`` / NULL = kept), so the
+full attrition report is ONE aggregation over one plan instead of a
+count-per-stage job cascade — at 100 TB that is the difference between
+one corpus pass and six.
 
 Scale shape of the composed plan (sf-independent):
 
@@ -40,6 +41,10 @@ Scale shape of the composed plan (sf-independent):
   to the corpus.  No all-pairs stage at any point.
 - repetition signals: the NGram/xxhash64 shape from
   operators/text.py (hashes cross the shuffle, not gram strings).
+- decontamination (optional): winnowed fingerprints on corpus + eval
+  set, one fingerprint-hash shuffle with the combined-frequency
+  boilerplate cap (operators/text.cross_fingerprint_overlap) — linear
+  in fingerprints, never a corpus x eval product.
 - split: pure hash arithmetic, no shuffle.
 - packing: the two-pass range-partitioned cumsum (operators/text.py)
   — no corpus-wide single-task window.
@@ -138,6 +143,10 @@ def curate(pages: DataFrame, *,
            num_hashes: int = 128,
            bands: int = 32,
            shingle_n: int = 3,
+           decontaminate_against: DataFrame | None = None,
+           decontaminate_text_col: str = "text",
+           decontaminate_min_shared: int = 3,
+           decontaminate_k: int = 32,
            lang_allow: list[str] | None = None,
            min_quality: float = 0.3,
            max_dup_3gram_frac: float = 0.5,
@@ -156,6 +165,19 @@ def curate(pages: DataFrame, *,
     allow-list); defaults are permissive — tune per corpus.  The
     near-dup survivor per duplicate cluster is the highest-quality
     member (ties: min doc_id), so re-runs keep the same documents.
+
+    ``decontaminate_against``: an evaluation/benchmark set (any
+    DataFrame with a ``decontaminate_text_col`` column) — corpus docs
+    sharing >= ``decontaminate_min_shared`` winnowed fingerprints with
+    ANY eval doc are dropped as ``contaminated`` (benchmark
+    decontamination, the fingerprint scale path; the exact-containment
+    operator remains the verification oracle).  ``decontaminate_k`` is
+    the fingerprint byte-gram length: the default 32 (~5-6 words of
+    context, window 16) is deliberately longer than the intra-corpus
+    operator's 16 — cross-corpus flagging wants specific quotes, not
+    shared phrasing (measured: k=16/min_shared=2 flagged half a
+    synthetic zipf-vocab corpus off 25 eval docs; k=32/min_shared=3
+    flags the actual quote sources).
 
     ``stage`` controls the staging boundary on the extracted corpus.
     The plan fans ``docs`` into four branches (signals, repetition,
@@ -232,11 +254,29 @@ def curate(pages: DataFrame, *,
                                    F.col("is_canonical").alias("_near_keep")),
                    "doc_id", "left")
 
+    if decontaminate_against is not None:
+        from .operators.text import cross_fingerprint_overlap
+        ev = decontaminate_against.select(
+            F.xxhash64(decontaminate_text_col).alias("doc_id"),
+            F.col(decontaminate_text_col).alias("text"))
+        hits = cross_fingerprint_overlap(
+            docs, ev, "doc_id", "text",
+            min_shared=decontaminate_min_shared,
+            k=decontaminate_k, window=decontaminate_k // 2)
+        sig = sig.join(
+            hits.select(F.col("train_id").alias("doc_id")).distinct()
+            .withColumn("_contaminated", F.lit(True)),
+            "doc_id", "left")
+    else:
+        sig = sig.withColumn("_contaminated", F.lit(None).cast("boolean"))
+
     lang_ok = (F.lit(True) if lang_allow is None
                else F.col("lang").isin(list(lang_allow)))
     drop = (
         F.when(~F.col("_exact_keep"), F.lit("exact_duplicate"))
         .when(~F.coalesce("_near_keep", F.lit(True)), F.lit("near_duplicate"))
+        .when(F.coalesce("_contaminated", F.lit(False)),
+              F.lit("contaminated"))
         .when(~lang_ok, F.lit("lang"))
         .when(F.coalesce("quality", F.lit(0.0)) < min_quality,
               F.lit("low_quality"))
@@ -248,7 +288,7 @@ def curate(pages: DataFrame, *,
     )
     annotated = (
         sig.withColumn("drop_reason", drop)
-        .drop("_exact_keep", "_near_keep")
+        .drop("_exact_keep", "_near_keep", "_contaminated")
     )
 
     from .operators.sampling import assign_splits

@@ -128,6 +128,29 @@ def test_deterministic_rerun(spark, planted_plan):
     assert a == b
 
 
+def test_decontamination_drops_quoted_doc(spark):
+    """A doc whose text an eval-set item quotes verbatim must drop as
+    'contaminated'; everything else is unaffected (same kept set as the
+    base fixture minus that doc)."""
+    rows = _planted_rows()
+    quoted = next(t for (u, _, t) in rows if u.endswith("/f0"))
+    eval_df = spark.createDataFrame(
+        [(quoted,), ("completely unrelated benchmark question",)],
+        "text string")
+    df = spark.createDataFrame(rows,
+                               "url string, warc_ts timestamp, text string")
+    plan = curate(df, text_col="text", lang_allow=["en"], min_quality=0.5,
+                  max_top_2gram_frac=0.9, max_dup_3gram_frac=0.6,
+                  near_threshold=0.8, seq_len=64, splits={"train": 1.0},
+                  decontaminate_against=eval_df)
+    ann = {r["url"]: r["drop_reason"]
+           for r in plan.annotated.collect()}
+    assert ann["https://ex.com/f0"] == "contaminated"
+    funnel = {r["stage"]: r["docs"] for r in plan.funnel().collect()}
+    assert funnel["contaminated"] == 1
+    assert funnel["kept"] == 11  # base fixture's 12 minus the quoted doc
+
+
 def test_staging_modes_equivalent(spark, tmp_path, planted_plan):
     """stage=True (persist) / stage=<path> (parquet) / stage=False are
     pure performance choices: identical kept sets.  The path mode's
