@@ -37,7 +37,15 @@ def matrix_profile_per_series(df: DataFrame, series_col: str, order_col: str,
     key.  Over a bucketed scan the grouped stage then plans with NO
     Exchange (asserted in test_plans_scale.py): the write-once bucket
     layout replaces the per-run corpus shuffle, which is the dominant
-    non-kernel cost of a repeated anomaly scan at scale."""
+    non-kernel cost of a repeated anomaly scan at scale.
+
+    UNCHECKED caller contract: if the input is NOT actually clustered,
+    Spark inserts its own Exchange to satisfy the groupBy — and since
+    that exchange is planner-inserted (not user-specified), AQE
+    coalescing may collapse this Python-heavy stage to 1-2 tasks (the
+    exact pitfall the default path's explicit repartition exists to
+    prevent).  Pass True only for bucketed/pre-repartitioned input;
+    when unsure, leave the default."""
 
     out_schema = (
         f"`{series_col}` long, m long, n_points long, discord_idx long, "

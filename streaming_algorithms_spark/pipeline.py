@@ -102,16 +102,13 @@ class CurationPlan:
 
 
 def _extract(pages: DataFrame, url_col: str, ts_col: str,
-             html_col: str) -> DataFrame:
+             html_col: str, doc_id) -> DataFrame:
     """(doc_id, url, warc_ts, text): the extraction map with identity
     columns carried through — html_to_text's batch extractor, without
     the id-keyed join a two-output-column operator would force (the
     join would shuffle every extracted text; this shuffles nothing).
-
-    doc_id = xxhash64(url, warc_ts): 64-bit, collision P ~ n^2/2^65
-    (~5e-7 at 10^9 captures) — accepted for the pipeline (the exact
-    dedup stage hashes CONTENT separately, so a doc_id collision can
-    at worst drop one extra page, never corrupt survivors)."""
+    ``doc_id`` is the caller's id Column expression (see ``curate``'s
+    ``id_col`` for the uniqueness contract and collision math)."""
 
     def gen(batches):
         for pdf in batches:
@@ -124,7 +121,7 @@ def _extract(pages: DataFrame, url_col: str, ts_col: str,
 
     return (
         pages.select(
-            F.xxhash64(F.col(url_col), F.col(ts_col)).alias("doc_id"),
+            doc_id.alias("doc_id"),
             F.col(url_col).alias("url"),
             F.col(ts_col).alias("warc_ts"),
             F.col(html_col).alias("html"),
@@ -154,11 +151,21 @@ def curate(pages: DataFrame, *,
            splits: Mapping[str, float] | None = None,
            split_salt: str = "",
            seq_len: int = 2048,
-           stage: bool | str = True) -> CurationPlan:
+           stage: bool | str = True,
+           id_col: str | None = None) -> CurationPlan:
     """Compose the full curation pipeline over ``pages`` (module
     docstring).  ``pages`` needs (url, warc_ts, html binary) — the WARC
     reader's shape and the north-rule input_hint — or pass
     ``text_col`` to skip extraction (html_col is then ignored).
+
+    ``id_col``: a column of ``pages`` holding a UNIQUE long id per
+    capture, used verbatim as ``doc_id``.  When None (the default),
+    ``doc_id = xxhash64(url, warc_ts)``: 64-bit, so by the birthday
+    bound a collision somewhere in the corpus becomes likely at large
+    scale (P ~ n²/2⁶⁵ — ~3% at 10⁹ captures, near-certain at 10¹⁰),
+    and a collided pair multiplies rows through the id-keyed joins
+    (funnel counts then exceed the input count — loud, not silent).
+    Supply a real unique id for >10⁸-capture corpora.
 
     Thresholds are the standard pretraining-filter shapes (Gopher
     repetition bounds, composite quality floor, optional language
@@ -197,17 +204,24 @@ def curate(pages: DataFrame, *,
     packing.
     """
     splits = dict(splits) if splits is not None else dict(DEFAULT_SPLITS)
+    did = (F.col(id_col).cast("long") if id_col is not None
+           else F.xxhash64(F.col(url_col), F.col(ts_col)))
     if text_col is not None:
         docs = pages.select(
-            F.xxhash64(F.col(url_col), F.col(ts_col)).alias("doc_id"),
+            did.alias("doc_id"),
             F.col(url_col).alias("url"),
             F.col(ts_col).alias("warc_ts"),
             F.col(text_col).alias("text"),
         )
     else:
-        docs = _extract(pages, url_col, ts_col, html_col)
+        docs = _extract(pages, url_col, ts_col, html_col, did)
     if isinstance(stage, str):
-        docs.write.parquet(stage)
+        # reuse-if-present backs the "resumable" claim: a completed
+        # staging table (parquet's _SUCCESS marker) is read as-is, so a
+        # re-run after a downstream failure skips re-extraction
+        import os
+        if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+            docs.write.parquet(stage)
         docs = docs.sparkSession.read.parquet(stage)
     elif stage:
         from pyspark import StorageLevel
@@ -216,26 +230,35 @@ def curate(pages: DataFrame, *,
     # Columnar signals (Catalyst, zero shuffle) + repetition profile
     # (NGram + xxhash64-only shuffle).  Signals are computed for EVERY
     # doc — dropped docs keep theirs so the funnel can be sliced by any
-    # signal after the fact.
+    # signal after the fact.  quality is pinned to 0 for NULL text:
+    # quality_score(NULL)'s when-chain would otherwise fall through to
+    # its otherwise() branches and score an unusable row 1.0 — and a
+    # quality-aware dedup election must never prefer a NULL doc.
     sig = docs.select(
         "*",
         fn.lang_id(F.col("text")).alias("lang"),
-        F.round(fn.quality_score(F.col("text")), 6).alias("quality"),
+        F.when(F.col("text").isNull(), F.lit(0.0))
+        .otherwise(F.round(fn.quality_score(F.col("text")), 6))
+        .alias("quality"),
     )
     rep = repetition_profile(docs, "doc_id", "text")
     sig = sig.join(rep, "doc_id", "left")
 
     # Exact dedup verdict: keep iff this doc_id is its content group's
     # min-id representative.  Joining on text_hash (16-byte md5) keeps
-    # text out of the shuffle.
-    groups = exact_dedup_groups(docs, "doc_id", "text")
+    # text out of the shuffle.  NULL text is grouped AS empty content
+    # (coalesce before md5): md5(NULL) would exempt every NULL doc from
+    # exact dedup, and k exempted no-content docs all share the
+    # hash-of-'' minhash signature downstream — a C(k,2) LSH candidate
+    # clique.  Grouping them here keeps exactly one no-content survivor.
+    nn_text = F.coalesce(F.col("text"), F.lit(""))
+    groups = exact_dedup_groups(
+        docs.select("doc_id", nn_text.alias("text")), "doc_id", "text")
     sig = (
-        sig.withColumn("_th", F.md5("text"))
+        sig.withColumn("_th", F.md5(nn_text))
         .join(groups.select(F.col("text_hash").alias("_th"), "keep_id"),
               "_th", "left")
-        .withColumn("_exact_keep",
-                    F.col("keep_id").isNull()  # NULL text: no group
-                    | (F.col("doc_id") == F.col("keep_id")))
+        .withColumn("_exact_keep", F.col("doc_id") == F.col("keep_id"))
         .drop("_th", "keep_id", "dup_count")
     )
 
@@ -256,11 +279,19 @@ def curate(pages: DataFrame, *,
 
     if decontaminate_against is not None:
         from .operators.text import cross_fingerprint_overlap
-        ev = decontaminate_against.select(
-            F.xxhash64(decontaminate_text_col).alias("doc_id"),
-            F.col(decontaminate_text_col).alias("text"))
+        # distinct eval texts: a benchmark item repeated in the eval set
+        # would otherwise share one xxhash64 id across rows and emit each
+        # fingerprint once PER ROW, double-counting `shared` and silently
+        # halving the min_shared threshold
+        ev = (decontaminate_against
+              .select(F.col(decontaminate_text_col).alias("text"))
+              .filter(F.col("text").isNotNull()).distinct()
+              .select(F.xxhash64("text").alias("doc_id"), "text"))
+        # fingerprint exact SURVIVORS only (same economy as the near-dup
+        # stage): an exact duplicate's verdict is already decided, so
+        # fingerprinting its copies would be a wasted partial corpus pass
         hits = cross_fingerprint_overlap(
-            docs, ev, "doc_id", "text",
+            survivors.select("doc_id", "text"), ev, "doc_id", "text",
             min_shared=decontaminate_min_shared,
             k=decontaminate_k, window=decontaminate_k // 2)
         sig = sig.join(

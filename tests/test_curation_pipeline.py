@@ -128,6 +128,58 @@ def test_deterministic_rerun(spark, planted_plan):
     assert a == b
 
 
+def test_null_and_empty_text_collapse_to_one_dropped_survivor(spark):
+    """NULL-text docs must not bypass exact dedup (md5(NULL) would
+    exempt them, leaving k docs that all share the hash-of-'' minhash
+    signature — a C(k,2) LSH candidate clique), must score quality 0
+    (quality_score(NULL)'s when-chain otherwise falls through to 1.0),
+    and must never be elected over real documents."""
+    rows = [(f"https://ex.com/null{i}", _TS, None) for i in range(4)]
+    rows.append(("https://ex.com/empty", _TS, ""))
+    rows += [(f"https://ex.com/real{i}", _TS,
+              "the " + " ".join(f"r{i}tok{j}" for j in range(30))
+              + " and of is") for i in range(3)]
+    df = spark.createDataFrame(rows,
+                               "url string, warc_ts timestamp, text string")
+    plan = curate(df, text_col="text", min_quality=0.5, seq_len=64,
+                  splits={"train": 1.0})
+    ann = plan.annotated.collect()
+    nocontent = [r for r in ann if r["text"] is None or r["text"] == ""]
+    reasons = sorted((r["drop_reason"] for r in nocontent), key=str)
+    # one no-content group: one survivor (dropped as low_quality),
+    # four exact duplicates, zero near_duplicates (no clique)
+    assert reasons == ["exact_duplicate"] * 4 + ["low_quality"]
+    for r in ann:
+        if r["text"] is None:
+            assert r["quality"] == 0.0
+    kept = plan.kept.collect()
+    assert sorted(r["url"] for r in kept) == [
+        f"https://ex.com/real{i}" for i in range(3)]
+
+
+def test_explicit_id_col_used_verbatim(spark):
+    rows = [(i * 100, f"https://ex.com/x{i}", _TS,
+             "the " + " ".join(f"x{i}t{j}" for j in range(20)) + " and of")
+            for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "myid long, url string, warc_ts timestamp, text string")
+    plan = curate(df, text_col="text", id_col="myid", splits={"train": 1.0})
+    ids = sorted(r["doc_id"] for r in plan.annotated.collect())
+    assert ids == [0, 100, 200, 300]
+
+
+def test_path_staging_is_resumable(spark, tmp_path):
+    """A second curate() against the same completed staging path must
+    reuse it (the documented resume workflow), not raise path-exists."""
+    df = spark.createDataFrame(_planted_rows(),
+                               "url string, warc_ts timestamp, text string")
+    st = str(tmp_path / "stage_resume")
+    kw = dict(text_col="text", splits={"train": 1.0}, seq_len=64)
+    first = sorted(r["url"] for r in curate(df, stage=st, **kw).kept.collect())
+    again = sorted(r["url"] for r in curate(df, stage=st, **kw).kept.collect())
+    assert first == again
+
+
 def test_decontamination_drops_quoted_doc(spark):
     """A doc whose text an eval-set item quotes verbatim must drop as
     'contaminated'; everything else is unaffected (same kept set as the
