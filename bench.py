@@ -58,6 +58,39 @@ HEADLINE = [
 ]
 
 
+# Healthy-box record for the pure-kernel SCRIMP control (11.5k pts, m=60,
+# native sweep), measured in BASELINE.md's kernel_bench.  The control is the
+# only reliable host-contention detector on this VM: guest load average stays
+# ~0 while a host co-tenant crushes memory bandwidth 2-5x (measured — see
+# BASELINE.md "guest load cannot detect host contention").
+KERNEL_CONTROL_HEALTHY_SEC = 0.169
+KERNEL_CONTROL_CONTENDED_RATIO = 1.3
+
+
+def _kernel_control() -> float:
+    """Pure-kernel SCRIMP control: best-of-2 wall time for the 11.5k-pt m=60
+    native sweep (same shape as scripts/kernel_bench.py's
+    matrix_profile_fast_11500_m60_sec).  Runs IN-DRIVER with no Spark job in
+    flight, so it never contends with a timed query.  > ~1.3x the healthy
+    record means the box is in a host-contended window and the per-query
+    timings of this capture are noise, not code."""
+    import numpy as np
+
+    from streaming_algorithms_spark.sketches import matrix_profile
+
+    rng = np.random.default_rng(42)
+    series = rng.integers(0, 1000, 11500)
+    # warmup: one-time cc compile of the native kernel + numpy dispatch init
+    matrix_profile(series[:512], m=60, percent=100, with_index=False)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        matrix_profile(series, m=60, percent=100, with_index=False)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def _new_spark(cores: int):
     from streaming_algorithms_spark.sources.session import get_spark
 
@@ -170,23 +203,18 @@ def sketch_build_job(spark, path: str, repeat: int = 1) -> int:
     return int(sum(r["rows_seen"] for r in rows))
 
 
-def main() -> None:
+def _run_query_suite(spark, suite, repeats: int,
+                     prior: dict | None = None) -> dict:
+    """Time every gated query; per-query best-of-``repeats`` (this VM's
+    noisy-neighbor bursts intermittently slow a single run 3-6x — measured
+    5 s -> 33 s on the same query, same code — so the min estimates
+    steady-state capacity, same policy as the scaling section).  ``prior``
+    merges a previous pass's timings via min (contended-window retry)."""
     from streaming_algorithms_spark.plans.queries import QUERIES
 
-    spark = _new_spark(CPUS)
-    _warm_python_workers(spark, CPUS)  # worker spawn/imports out of the timings
-    # EVERY gated query is timed: the r2 17-query suite first (comparable
-    # subtotal), then the rest of the registry sorted by name
-    suite = HEADLINE + sorted(set(QUERIES) - set(HEADLINE))
-    timings = {}
-    t_all = time.perf_counter()
-    repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
+    timings = dict(prior or {})
     for name in suite:
-        best = None
-        # best-of-N per query: this VM's noisy-neighbor bursts intermittently
-        # slow a single run 3-6x (measured 5 s -> 33 s on the same query,
-        # same code); the min estimates steady-state capacity, same policy
-        # as the scaling section
+        best = timings.get(name)
         for _ in range(repeats):
             t0 = time.perf_counter()
             QUERIES[name](spark, SF_DIR).collect()
@@ -196,7 +224,37 @@ def main() -> None:
             # them so cached partitions don't accumulate across the suite
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+    return timings
+
+
+def main() -> None:
+    from streaming_algorithms_spark.plans.queries import QUERIES
+
+    spark = _new_spark(CPUS)
+    _warm_python_workers(spark, CPUS)  # worker spawn/imports out of the timings
+    # EVERY gated query is timed: the r2 17-query suite first (comparable
+    # subtotal), then the rest of the registry sorted by name
+    suite = HEADLINE + sorted(set(QUERIES) - set(HEADLINE))
+    repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
+    contended_at = KERNEL_CONTROL_HEALTHY_SEC * KERNEL_CONTROL_CONTENDED_RATIO
+
+    # Contention gate: pure-kernel control before and after the query phase.
+    # If either side shows a contended window, re-queue ONE retry of the
+    # whole suite (mins merge across passes) — two rounds running, the
+    # recorded artifact was a contended-window capture and the per-query
+    # hard signal was box noise, not code.
+    t_all = time.perf_counter()
+    control_pre = _kernel_control()
+    timings = _run_query_suite(spark, suite, repeats)
+    control_post = _kernel_control()
+    query_retries = 0
+    if max(control_pre, control_post) > contended_at:
+        query_retries = 1
+        timings = _run_query_suite(spark, suite, repeats, prior=timings)
+        control_post = _kernel_control()
     wall = round(time.perf_counter() - t_all, 3)
+    window = ("contended"
+              if max(control_pre, control_post) > contended_at else "clean")
 
     result = {
         # value = sum of per-query best times (steady-state suite estimate,
@@ -208,6 +266,18 @@ def main() -> None:
         "query_repeats": repeats,
         "wall_sec": wall,
         "r2_suite_subtotal": round(sum(timings[n] for n in HEADLINE), 3),
+        # Host-contention evidence for THIS capture: pure-kernel SCRIMP
+        # control (healthy record 0.169 s).  window == "contended" means the
+        # per-query numbers above are box noise — compare records, not this
+        # artifact (see BASELINE.md host-contention diagnosis).
+        "kernel_control": {
+            "pre_sec": control_pre,
+            "post_sec": control_post,
+            "healthy_record_sec": KERNEL_CONTROL_HEALTHY_SEC,
+            "contended_over_sec": round(contended_at, 4),
+        },
+        "window": window,
+        "query_suite_retries": query_retries,
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
     }
