@@ -830,6 +830,10 @@ def cms_heavy_hitters(df: DataFrame, keys: Sequence[str], col: str,
         return {
             "item": [v for _, v in scored],
             "est_count": [e for e, _ in scored],
+            # exact by construction (CMS item_count sums every update and
+            # merges additively) — callers needing N for the eps*N error
+            # bound read it HERE instead of paying a separate count() scan
+            "total_count": sk.cms.item_count,
         }
 
     out = sketch_aggregate(
@@ -838,12 +842,15 @@ def cms_heavy_hitters(df: DataFrame, keys: Sequence[str], col: str,
         update=update,
         from_bytes=_HH.from_bytes,
         finalize=finalize,
-        out_value_schema="item array<string>, est_count array<long>",
+        out_value_schema=("item array<string>, est_count array<long>, "
+                         "total_count bigint"),
     )
     return out.select(
         *keys,
         F.explode(F.arrays_zip("item", "est_count")).alias("hh"),
-    ).select(*keys, F.col("hh.item").alias("item"), F.col("hh.est_count").alias("est_count"))
+        "total_count",
+    ).select(*keys, F.col("hh.item").alias("item"),
+             F.col("hh.est_count").alias("est_count"), "total_count")
 
 
 def bloom_build(df: DataFrame, col: str, capacity: int, fpr: float = 1e-6) -> BloomFilter:

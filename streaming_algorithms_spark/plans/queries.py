@@ -186,13 +186,14 @@ def q_cms_heavy_hitters_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select(
         F.col("l_partkey").cast("string").alias("pk")
     )
-    n_total = li.count()
     eps = 1e-4
     exact_top = (
         li.groupBy("pk").agg(F.count("*").alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), F.asc(F.col("pk").cast("long")))
         .limit(20)
     )
+    # N for the eps*N bound comes from the sketch's exact total_count column
+    # — no separate count() scan (the CMS item_count is exact by construction)
     hh = cms_heavy_hitters(li, [], "pk", top_k=1000, epsilon=eps).withColumnRenamed(
         "item", "pk"
     )
@@ -204,7 +205,9 @@ def q_cms_heavy_hitters_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("est_count").isNotNull()
                 & (F.col("est_count") >= F.col("exact_cnt"))
-                & (F.col("est_count") <= F.col("exact_cnt") + int(eps * n_total) + 1)
+                & (F.col("est_count")
+                   <= F.col("exact_cnt")
+                   + F.floor(eps * F.col("total_count")).cast("long") + 1)
             ).alias("cms_ok"),
         )
         .orderBy(F.desc("exact_cnt"), F.asc("l_partkey"))
@@ -502,13 +505,14 @@ def q_token_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFra
     """Top-15 tokens overall: exact counts + CMS bound check."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(fn.tokens(F.col("text"))).alias("token"))
-    n_total = toks.count()
     eps = 1e-4
     exact_top = (
         toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), F.asc("token"))
         .limit(15)
     )
+    # TWO token passes total (exact top + CMS build): the eps*N bound reads
+    # the sketch's exact total_count instead of a third toks.count() scan
     hh = cms_heavy_hitters(toks, [], "token", top_k=100, epsilon=eps).withColumnRenamed(
         "item", "token"
     )
@@ -520,7 +524,9 @@ def q_token_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFra
             (
                 F.col("est_count").isNotNull()
                 & (F.col("est_count") >= F.col("exact_cnt"))
-                & (F.col("est_count") <= F.col("exact_cnt") + int(eps * n_total) + 1)
+                & (F.col("est_count")
+                   <= F.col("exact_cnt")
+                   + F.floor(eps * F.col("total_count")).cast("long") + 1)
             ).alias("cms_ok"),
         )
         .orderBy(F.desc("exact_cnt"), F.asc("token"))

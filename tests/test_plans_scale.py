@@ -186,6 +186,30 @@ def test_no_collect_limit_in_any_gated_query_plan(spark):
         spark.catalog.clearCache()
 
 
+def test_heavy_hitter_queries_build_lazily_no_count_scan(spark):
+    """The CMS heavy-hitter queries read N for the eps*N bound from the
+    sketch's exact total_count column — constructing the DataFrame must
+    trigger no DATA job (the old shape ran a separate eager count() scan,
+    a third full token pass at any scale).  Each query makes exactly one
+    load_table call, and spark.read.parquet runs one 1-task footer
+    schema-inference job per call — that single job is the allowance; the
+    old count() added two more jobs on top."""
+    from streaming_algorithms_spark.plans.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    sc = spark.sparkContext
+    for name in ("token_heavy_hitters_documents", "cms_heavy_hitters_lineitem"):
+        group = f"construct_{name}"
+        sc.setJobGroup(group, "plan-construction must be lazy")
+        try:
+            df = QUERIES[name](spark, sf_dir)
+        finally:
+            sc.setJobGroup("", "")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert len(jobs) <= 1, (name, jobs)
+        assert "total_count" not in df.columns  # bound folded into cms_ok
+
+
 def test_no_forced_broadcast_of_corpus_sized_sides(spark, webpages_parquet):
     """Per-doc size tables (corpus cardinality) must never carry a mandatory
     broadcast hint — sweep the exact-dedup/Jaccard/containment operators'
