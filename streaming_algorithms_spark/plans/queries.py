@@ -32,8 +32,10 @@ from ..operators.sketch_agg import (
     bloom_might_contain,
     cms_heavy_hitters,
     encode_utf8,
+    ensure_parallelism,
     hll_distinct,
     kll_quantiles,
+    sketch_aggregate,
     space_saving_topk,
     tdigest_quantiles,
     welford_stats,
@@ -65,7 +67,6 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sketches.hll import HyperLogLog
 
     ev = load_table(spark, "events", sf_dir)
-    est = hll_distinct(ev, ["event_type"], "user_id", p=14).drop("rows_seen")
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
@@ -77,21 +78,36 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
 
     # same hash/NULL semantics as hll_distinct(jvm_hash=True): only the
-    # 8-byte xxhash64 crosses the Arrow boundary; the day split reuses it
+    # 8-byte xxhash64 crosses the Arrow boundary; ONE cached hashed frame
+    # feeds the one-shot build, the day split, and the appends
     src = (
         ev.filter(F.col("user_id").isNotNull())
         .select("event_type", F.xxhash64("user_id").alias("_h"))
-        .withColumn("_day", F.pmod(F.col("_h"), F.lit(3)))
-        .cache()  # three appends slice this; one corpus scan, not three
+        .withColumn("_day",
+                    F.concat(F.lit("day-"),
+                             F.pmod(F.col("_h"), F.lit(3)).cast("string")))
+        .cache()
+    )
+    # one-shot estimate: an INDEPENDENT merge tree over the same hashes
+    # (raw partition partials, no table in the path) — what incremental_ok
+    # compares the table's batched lifecycle against
+    est = sketch_aggregate(
+        ensure_parallelism(src.drop("_day")), ["event_type"],
+        factory=factory, update=update,
+        from_bytes=HyperLogLog.from_bytes,
+        finalize=lambda sk, rows: {
+            "approx_distinct": int(round(sk.estimate()))},
+        out_value_schema="approx_distinct bigint",
     )
     scratch = tempfile.mkdtemp(prefix="sketch_tbl_gate_")
     try:
         t = SketchTable(spark, f"{scratch}/tbl", ["event_type"])
-        for d in (0, 1):
-            t.append(src.filter(F.col("_day") == d).drop("_day"),
-                     f"day-{d}", factory, update)
+        # day-0 + day-1 land from ONE partial-build pass (append_many);
+        # day-2 exercises the single-append residual path after compaction
+        t.append_many(src.filter(F.col("_day") != "day-2"), "_day",
+                      ["day-0", "day-1"], factory, update)
         t.compact(HyperLogLog.from_bytes)  # generation + residual batch path
-        t.append(src.filter(F.col("_day") == 2).drop("_day"),
+        t.append(src.filter(F.col("_day") == "day-2").drop("_day"),
                  "day-2", factory, update)
         inc = t.estimates(
             HyperLogLog.from_bytes,

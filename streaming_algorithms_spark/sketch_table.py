@@ -143,10 +143,14 @@ class SketchTable:
                     gens.append((int(m.group(1)), json.load(f)))
         return sorted(gens)
 
-    def live_units(self) -> list[str]:
+    def live_units(self, gens: list[tuple[int, dict]] | None = None) -> list[str]:
         """Relative dirs a reader merges: latest committed generation +
-        every committed batch it does not cover."""
-        gens = self._generations()
+        every committed batch it does not cover.  Pass ``gens`` (a
+        ``_generations()`` snapshot) to pin units/covers/n to ONE listing —
+        compact() does, so a generation committed by a concurrent writer
+        between two listings can't yield an inconsistent view."""
+        if gens is None:
+            gens = self._generations()
         batches = self.committed_batches()
         if not gens:
             return [f"batch-{b}" for b in batches]
@@ -189,6 +193,66 @@ class SketchTable:
             json.dump({"batch_id": batch_id, "algo_version": ALGO_VERSION}, f)
         os.replace(tmp, os.path.join(target, "_BATCH_META.json"))  # commit
 
+    def append_many(self, df: DataFrame, batch_col: str,
+                    batch_ids: Sequence[str],
+                    factory: Callable[[], object],
+                    update: Callable[[object, object], None]) -> None:
+        """Commit SEVERAL ingest batches from ONE Spark pass: ``df`` carries
+        a ``batch_col`` naming each row's batch, partials build grouped by
+        (batch, keys) in a single corpus scan, and each batch's (tiny,
+        serialized-sketch) slice is then written to its own ``batch-<id>``
+        dir under the unchanged per-batch commit protocol.  N separate
+        ``append`` calls over disjoint filters of the same source pay N
+        corpus scans + N Python partial stages; this pays one.
+
+        ``batch_ids`` is the caller's exactly-once ledger (batch values in
+        ``df`` outside it are an ERROR, never silently dropped); ids are
+        validated and collision-checked up front so a half-failed call
+        leaves only fully-committed batch dirs behind."""
+        if batch_col not in df.columns:
+            raise ValueError(f"no column {batch_col!r} in frame")
+        batch_ids = list(batch_ids)
+        if len(set(batch_ids)) != len(batch_ids):
+            raise ValueError("duplicate ids in batch_ids")
+        for b in batch_ids:
+            if not _BATCH_ID_RE.fullmatch(b):
+                raise ValueError(
+                    f"batch_id {b!r} must match {_BATCH_ID_RE.pattern}")
+            if os.path.exists(self._batch_dir(b)):
+                raise ValueError(
+                    f"batch {b!r} already exists in {self.path!r} — "
+                    "batch ids are the exactly-once ledger; pick a new id "
+                    "or remove the old batch first")
+        self._check_meta(write_if_missing=True)
+        partials = build_partials_with_lineage(
+            df, [batch_col] + self.keys, factory, update, query_id=""
+        ).withColumn("query_id", F.col(batch_col))
+        # partials are serialized-sketch rows (kilobytes per batch): cache
+        # them so the one corpus pass above feeds every per-batch write and
+        # the ledger check below without re-scanning raw data
+        partials = partials.cache()
+        try:
+            seen = {r[0] for r in
+                    partials.select(batch_col).distinct().collect()}
+            unknown = sorted(seen - set(batch_ids))
+            if unknown:
+                raise ValueError(
+                    f"{batch_col!r} values {unknown} are not in batch_ids "
+                    "— every row must belong to a declared batch")
+            for b in batch_ids:
+                target = self._batch_dir(b)
+                slice_ = partials.filter(
+                    F.col(batch_col) == b).drop(batch_col)
+                slice_.write.parquet(target)  # errorifexists: FS-level race
+                tmp = os.path.join(target, "_BATCH_META.json.tmp")
+                with open(tmp, "w") as f:
+                    json.dump({"batch_id": b,
+                               "algo_version": ALGO_VERSION}, f)
+                os.replace(tmp,
+                           os.path.join(target, "_BATCH_META.json"))
+        finally:
+            partials.unpersist()
+
     def compact(self, from_bytes: Callable[[bytes], object]) -> str:
         """Merge every live unit down to ONE row per key in a new compact
         generation; returns its relative dir name.  Estimates are
@@ -199,7 +263,7 @@ class SketchTable:
 
         self._check_meta(write_if_missing=False)
         gens = self._generations()  # one snapshot for units, covers, and n
-        units = self.live_units()
+        units = self.live_units(gens)
         if not units:
             raise ValueError(f"nothing to compact in {self.path!r}")
         self._fence_versions(units)
@@ -314,8 +378,12 @@ class SketchTable:
         )
 
     def lineage_metrics(self) -> DataFrame:
-        """Per (batch, partition) lineage over ALL committed batch dirs
-        (compact rows carry the sentinel batch ``compact``)."""
+        """Per (batch, partition) lineage over ALL committed batch dirs.
+        Batch dirs ONLY — compact generations collapse partition lineage
+        (their rows carry partition_id=-1) and are excluded, so this view
+        is unavailable once ``vacuum()`` has deleted the covered batch
+        dirs (it raises "has no batches"; the table itself stays
+        readable via ``estimates``/``sketch_rows``)."""
         units = [f"batch-{b}" for b in self.committed_batches()]
         if not units:
             raise ValueError(f"sketch table {self.path!r} has no batches")

@@ -159,6 +159,54 @@ def test_commit_protocol_and_key_pinning(spark, tmp_path):
     assert _estimates_pdf(t, from_bytes, finalize, schema).equals(base)
 
 
+def test_append_many_one_pass_equals_separate_appends(spark, tmp_path):
+    """append_many commits N batches from one partial-build pass; the table
+    state must be indistinguishable from N separate appends (same committed
+    batches, same per-batch _BATCH_META commits, same estimates), and the
+    declared-ledger contract must hold (unknown batch values error, id
+    collisions refused up front)."""
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark.sketch_table import SketchTable
+
+    factory, update, from_bytes, finalize, schema = _hll_callables()
+    b0, b1 = _batches(spark, n_batches=2)
+    tagged = (b0.withColumn("_day", F.lit("day-0"))
+              .unionByName(b1.withColumn("_day", F.lit("day-1"))))
+
+    t_many = SketchTable(spark, str(tmp_path / "many"), ["lang"])
+    t_many.append_many(tagged, "_day", ["day-0", "day-1"], factory, update)
+    t_sep = SketchTable(spark, str(tmp_path / "sep"), ["lang"])
+    t_sep.append(b0, "day-0", factory, update)
+    t_sep.append(b1, "day-1", factory, update)
+
+    assert t_many.committed_batches() == ["day-0", "day-1"]
+    for b in ("day-0", "day-1"):
+        meta = json.load(open(tmp_path / "many" / f"batch-{b}"
+                              / "_BATCH_META.json"))
+        assert meta["batch_id"] == b
+    assert _estimates_pdf(t_many, from_bytes, finalize, schema).equals(
+        _estimates_pdf(t_sep, from_bytes, finalize, schema))
+    # lineage rows carry the per-row batch id, not a shared query_id
+    lin = t_many.lineage_metrics().toPandas()
+    assert set(lin["batch_id"]) == {"day-0", "day-1"}
+
+    # contract guards
+    with pytest.raises(ValueError, match="not in batch_ids"):
+        t_many.append_many(
+            tagged.withColumn("_day", F.lit("day-9")), "_day",
+            ["day-2"], factory, update)
+    with pytest.raises(ValueError, match="already exists"):
+        t_many.append_many(tagged, "_day", ["day-0", "day-1"],
+                           factory, update)
+    with pytest.raises(ValueError, match="must match"):
+        t_many.append_many(tagged, "_day", ["day 2!"], factory, update)
+    with pytest.raises(ValueError, match="no column"):
+        t_many.append_many(b0, "_nope", ["day-2"], factory, update)
+    # the failed calls left no half-committed dirs behind
+    assert t_many.committed_batches() == ["day-0", "day-1"]
+
+
 def test_version_fence_names_stale_batch(spark, tmp_path, monkeypatch):
     from streaming_algorithms_spark import sketch_table as st_mod
     from streaming_algorithms_spark.sketch_table import SketchTable
