@@ -39,13 +39,15 @@ def matrix_profile_per_series(df: DataFrame, series_col: str, order_col: str,
     layout replaces the per-run corpus shuffle, which is the dominant
     non-kernel cost of a repeated anomaly scan at scale.
 
-    UNCHECKED caller contract: if the input is NOT actually clustered,
-    Spark inserts its own Exchange to satisfy the groupBy — and since
-    that exchange is planner-inserted (not user-specified), AQE
-    coalescing may collapse this Python-heavy stage to 1-2 tasks (the
-    exact pitfall the default path's explicit repartition exists to
-    prevent).  Pass True only for bucketed/pre-repartitioned input;
-    when unsure, leave the default."""
+    The contract is CHECKED at plan time: if the input is NOT actually
+    clustered, Spark inserts its own Exchange to satisfy the groupBy —
+    and since that exchange is planner-inserted (not user-specified),
+    AQE coalescing may collapse this Python-heavy stage to 1-2 tasks
+    (the exact pitfall the default path's explicit repartition exists
+    to prevent).  The pre_partitioned path therefore compares Exchange
+    counts between the input plan and the grouped plan and raises
+    instead of silently planning the hazard; when unsure, leave the
+    default."""
 
     out_schema = (
         f"`{series_col}` long, m long, n_points long, discord_idx long, "
@@ -77,8 +79,24 @@ def matrix_profile_per_series(df: DataFrame, series_col: str, order_col: str,
     if pre_partitioned:
         # bucketed/pre-clustered input already satisfies the groupBy's
         # distribution; an added repartition would reintroduce the exact
-        # Exchange the layout exists to avoid
-        return df.groupBy(series_col).applyInPandas(per_series, out_schema)
+        # Exchange the layout exists to avoid.  Verify the claim on the
+        # PHYSICAL plan (driver-side, no job): a planner-added Exchange
+        # below the grouped stage means the input was not clustered.
+        out = df.groupBy(series_col).applyInPandas(per_series, out_schema)
+        n_in = df._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange")
+        n_out = out._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange")
+        if n_out > n_in:
+            raise ValueError(
+                "matrix_profile_per_series(pre_partitioned=True): the "
+                f"input is not clustered on {series_col!r} — the planner "
+                "inserted an Exchange to satisfy the groupBy, which AQE "
+                "may coalesce to 1-2 tasks.  Use a bucketed table "
+                "(sources/bucketed.py), repartition on the key first, or "
+                "drop pre_partitioned."
+            )
+        return out
     # explicit (user-specified) hash repartitioning: satisfies the groupBy's
     # distribution requirement AND is exempt from AQE shuffle coalescing,
     # which would otherwise collapse this compute-dense stage to 1-2 tasks

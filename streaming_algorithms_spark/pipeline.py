@@ -63,6 +63,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import commit as _commit
 from . import functions as fn
 from .operators.components import dedup_resolve
 from .operators.dedup import exact_dedup_groups, minhash_lsh_dedup_pairs
@@ -99,6 +100,33 @@ class CurationPlan:
                  F.sum(F.coalesce("n_tokens", F.lit(0)).cast("long"))
                  .alias("tokens"))
         )
+
+
+def _stage_fingerprint(pages: DataFrame, params: dict) -> str:
+    """Identity stamp for a staging table: extraction params + the input's
+    identity.  File-backed inputs use the sorted file list (stable across
+    sessions — the 100-TB resumability case).  In-memory/RDD-backed frames
+    (whose plan string is schema-only, e.g. LogicalRDD) add the analyzed
+    plan's semanticHash, which pins the exact in-session lineage: a
+    DIFFERENT driver-built frame never silently reuses the stage, and
+    cross-session reuse of in-memory data is refused — correctly, since
+    the data itself dies with the session."""
+    import hashlib
+    import json
+    import re
+
+    try:
+        files = sorted(pages.inputFiles())
+    except Exception:
+        files = []
+    if files:
+        ident = files
+    else:
+        qe = pages._jdf.queryExecution()
+        ident = [re.sub(r"#\d+L?", "", qe.logical().toString()),
+                 str(qe.analyzed().semanticHash())]
+    blob = json.dumps({"params": params, "input": ident}, sort_keys=True)
+    return hashlib.md5(blob.encode()).hexdigest()
 
 
 def _extract(pages: DataFrame, url_col: str, ts_col: str,
@@ -216,13 +244,55 @@ def curate(pages: DataFrame, *,
     else:
         docs = _extract(pages, url_col, ts_col, html_col, did)
     if isinstance(stage, str):
-        # reuse-if-present backs the "resumable" claim: a completed
-        # staging table (parquet's _SUCCESS marker) is read as-is, so a
-        # re-run after a downstream failure skips re-extraction
+        # Reuse-if-completed backs the "resumable" claim: a completed
+        # staging table is read as-is, so a re-run after a downstream
+        # failure skips re-extraction.  The commit point is
+        # _STAGE_META.json with state=complete AND a fingerprint (input
+        # identity + extraction params) matching THIS call — a stale
+        # table for different data or params is REFUSED, never silently
+        # read.  Crash recovery: a pending-state meta marks OUR crashed
+        # stage (written before the data), so the re-run overwrites and
+        # self-heals; a dir with data but NO meta was not written by this
+        # protocol and is refused rather than clobbered.
+        import json
         import os
-        if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-            docs.write.parquet(stage)
-        docs = docs.sparkSession.read.parquet(stage)
+        fp = _stage_fingerprint(pages, {
+            "text_col": text_col, "html_col": html_col,
+            "url_col": url_col, "ts_col": ts_col, "id_col": id_col,
+        })
+        meta_path = os.path.join(stage, "_STAGE_META.json")
+        data_path = os.path.join(stage, "data")
+        meta = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        foreign = (meta is None and os.path.isdir(stage)
+                   and any(not e.endswith(".tmp") and not e.startswith(".")
+                           for e in os.listdir(stage)))
+        if foreign:
+            raise ValueError(
+                f"stage={stage!r} exists but carries no _STAGE_META.json — "
+                "not a staging table written by this pipeline; refusing to "
+                "overwrite it (point stage= at a fresh path)")
+        if meta is not None and meta.get("state") == "complete":
+            if meta.get("fingerprint") != fp:
+                raise ValueError(
+                    f"staging table at {stage!r} was built from different "
+                    "input or extraction params (fingerprint "
+                    f"{meta.get('fingerprint')} != {fp}) — reusing it "
+                    "would return results for the OLD corpus; point "
+                    "stage= at a fresh path or delete the stale table")
+        else:
+            # fresh dir, or our own crashed stage (state=pending); the
+            # pending marker lands BEFORE the data (overwrite only touches
+            # data/), the complete marker after — the commit point
+            os.makedirs(stage, exist_ok=True)
+            _commit.commit_json({"state": "pending", "fingerprint": fp},
+                                meta_path)
+            docs.write.mode("overwrite").parquet(data_path)
+            _commit.commit_json({"state": "complete", "fingerprint": fp},
+                                meta_path)
+        docs = docs.sparkSession.read.parquet(data_path)
     elif stage:
         from pyspark import StorageLevel
         docs = docs.persist(StorageLevel.MEMORY_AND_DISK)

@@ -1670,7 +1670,24 @@ def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the published bound), language entropy, exact-dup-document rate, and
     mean quality score.  Everything is a composition of operators already
     gated individually; this gates the COMPOSITION: one row, every column
-    value-hash-compared (exact values) or bound-gated (the sketch)."""
+    value-hash-compared (exact values) or bound-gated (the sketch).
+
+    ALSO the driver gate for the END-TO-END CURATION PIPELINE
+    (pipeline.curate): a planted corpus is synthesized from doc_id by
+    residue class (r = doc_id % 23: exact-dup pair, near-dup pair, German,
+    low-quality, repetitive, dup'd-junk precedence case, else kept) and
+    pushed through the FULL composed pipeline — extraction-side signals,
+    exact dedup, MinHash-LSH + connected-components near-dedup with
+    quality-aware survivor election, the drop_reason precedence chain,
+    split assignment, and sequence packing.  The oracle re-derives every
+    expected funnel count from the residue formula (the host_topk
+    synthesis-formula pattern), so the COMPOSITION's wiring — stage
+    precedence, survivor selection, token accounting, packing math — is
+    value-hash-gated end to end, not just each stage in isolation.
+    (Reference analogue: the composed Heka monitor workload,
+    heka_message_monitor.lua:618-709.)"""
+    from ..pipeline import curate
+
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(fn.tokens(F.col("text"))).alias("term"))
     vocab = hll_distinct(toks, [], "term", p=14).drop("rows_seen")
@@ -1689,9 +1706,91 @@ def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * F.log2(F.col("_c") / F.col("_n"))), 6
         ).alias("lang_entropy_bits"))
     )
+    # ---- planted curation funnel through curate() (docstring) ----------
+    # Texts are synthesized from doc_id with per-doc-unique vocab, so
+    # cross-class similarity is zero by construction and every funnel
+    # count is exactly the residue-class count.  The near pair differs in
+    # ONE final equal-length token (J=16/18 on 3-shingles — certain LSH
+    # detection at 128 hashes / 32 bands; identical length & stopword
+    # counts make quality EQUAL, so the min-uid tie-break elects the
+    # original deterministically).  The r=6 class plants the precedence
+    # case: duplicated junk — replica must drop exact_duplicate (first
+    # rule), its original low_quality.
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    base_txt = F.concat(
+        F.lit("the and of is to in"),
+        *[F.concat(F.lit(" w"), ds, F.lit(f"x{j}")) for j in range(12)])
+    near_orig = F.concat(base_txt, F.lit(" peara"))
+    near_var = F.concat(base_txt, F.lit(" pearb"))
+    # every planted class keeps its CROSS-doc shingle overlap far under
+    # the 0.8 near-dup threshold (unique per-doc vocab in most positions)
+    # — otherwise a whole class collapses into one near-dup cluster and
+    # its members drop as near_duplicate by precedence, not their own
+    # reason (observed with a shared-template German text: J = 10/12)
+    german = F.concat(
+        F.lit("der die das und ist ein"),
+        *[F.concat(F.lit(" g"), ds, F.lit(f"x{j}")) for j in range(8)])
+
+    def junk(tag: str):  # >5000 tokens, ~no stopwords -> quality < 0.5
+        return F.concat(F.lit("the "), F.concat_ws(" ", F.array_repeat(
+            F.concat(F.lit(tag), ds), 5999)))
+
+    rep_txt = F.concat(  # the repeated 2-gram is per-doc-unique too
+        F.lit("the r"), ds,
+        *[F.concat(F.lit(" rep"), ds) for _ in range(50)])
+    r = d % 23
+    orig_text = (
+        F.when(r == 1, base_txt).when(r == 2, near_orig)
+        .when(r == 3, german).when(r == 4, junk("q"))
+        .when(r == 5, rep_txt).when(r == 6, junk("j"))
+        .otherwise(base_txt))
+    ids = docs.select("doc_id")
+    originals = ids.select((d * 4).alias("uid"), orig_text.alias("text"))
+    replica_text = (F.when(r == 1, base_txt).when(r == 2, near_var)
+                    .otherwise(junk("j")))
+    replicas = (ids.filter(r.isin(1, 2, 6))
+                .select((d * 4 + 1).alias("uid"),
+                        replica_text.alias("text")))
+    corpus = originals.unionByName(replicas).select(
+        "uid",
+        F.concat(F.lit("https://ex.com/"),
+                 F.col("uid").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "text",
+    )
+    plan = curate(
+        corpus, text_col="text", id_col="uid",
+        lang_allow=["en"], min_quality=0.5, near_threshold=0.8,
+        max_top_2gram_frac=0.9, max_dup_3gram_frac=0.6,
+        splits={"train": 1.0}, seq_len=128)
+    fun = plan.funnel()
+
+    def stage_docs(s: str):
+        return F.coalesce(
+            F.sum(F.when(F.col("stage") == s, F.col("docs"))),
+            F.lit(0)).cast("long")
+
+    funnel_row = fun.agg(
+        stage_docs("exact_duplicate").alias("funnel_exact_dup"),
+        stage_docs("near_duplicate").alias("funnel_near_dup"),
+        stage_docs("lang").alias("funnel_lang"),
+        stage_docs("low_quality").alias("funnel_low_quality"),
+        stage_docs("repetitive").alias("funnel_repetitive"),
+        stage_docs("kept").alias("funnel_kept_docs"),
+        F.coalesce(F.sum(F.when(F.col("stage") == "kept",
+                                F.col("tokens"))), F.lit(0))
+        .cast("long").alias("funnel_kept_tokens"),
+    )
+    # last packed sequence index = (total kept tokens - 1) div seq_len —
+    # gates the packing cumsum through the composition too
+    pack_row = plan.train_packing.agg(
+        F.max("end_seq").cast("long").alias("funnel_train_last_seq"))
+
     rse = 1.04 / np.sqrt(2 ** 14)
     return (
         base.crossJoin(exact_vocab).crossJoin(vocab).crossJoin(lang_ent)
+        .crossJoin(funnel_row).crossJoin(pack_row)
         .select(
             "n_docs",
             "total_tokens",
@@ -1703,6 +1802,14 @@ def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("dup_doc_rate"),
             "lang_entropy_bits",
             "mean_quality",
+            "funnel_exact_dup",
+            "funnel_near_dup",
+            "funnel_lang",
+            "funnel_low_quality",
+            "funnel_repetitive",
+            "funnel_kept_docs",
+            "funnel_kept_tokens",
+            "funnel_train_last_seq",
         )
     )
 
@@ -2997,6 +3104,34 @@ ORACLES = {
                        AS lang_entropy_bits
             FROM (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
                  (SELECT COUNT(*) AS n FROM documents)
+        ),
+        -- planted curation funnel: expected counts re-derived from the
+        -- residue-class synthesis formula (r = doc_id % 23); kept docs =
+        -- all originals except the four fully-dropped classes, kept
+        -- tokens = 18 per plain/exact-original + 19 per near-survivor
+        fc AS (
+            SELECT COUNT(*) AS n,
+                   COUNT(*) FILTER (WHERE doc_id % 23 = 1) AS c1,
+                   COUNT(*) FILTER (WHERE doc_id % 23 = 2) AS c2,
+                   COUNT(*) FILTER (WHERE doc_id % 23 = 3) AS c3,
+                   COUNT(*) FILTER (WHERE doc_id % 23 = 4) AS c4,
+                   COUNT(*) FILTER (WHERE doc_id % 23 = 5) AS c5,
+                   COUNT(*) FILTER (WHERE doc_id % 23 = 6) AS c6
+            FROM documents
+        ),
+        fx AS (
+            SELECT CAST(c1 + c6 AS BIGINT) AS funnel_exact_dup,
+                   CAST(c2 AS BIGINT) AS funnel_near_dup,
+                   CAST(c3 AS BIGINT) AS funnel_lang,
+                   CAST(c4 + c6 AS BIGINT) AS funnel_low_quality,
+                   CAST(c5 AS BIGINT) AS funnel_repetitive,
+                   CAST(n - c3 - c4 - c5 - c6 AS BIGINT)
+                       AS funnel_kept_docs,
+                   CAST((n - c2 - c3 - c4 - c5 - c6) * 18 + c2 * 19
+                        AS BIGINT) AS funnel_kept_tokens,
+                   CAST(((n - c2 - c3 - c4 - c5 - c6) * 18 + c2 * 19 - 1)
+                        // 128 AS BIGINT) AS funnel_train_last_seq
+            FROM fc
         )
         SELECT base.n_docs,
                ts.total_tokens,
@@ -3004,8 +3139,9 @@ ORACLES = {
                TRUE AS vocab_hll_ok,
                ROUND(1.0 - dtexts * 1.0 / base.n_docs, 6) AS dup_doc_rate,
                lent.lang_entropy_bits,
-               ROUND(q.mq, 6) AS mean_quality
-        FROM base, ts, lent, q
+               ROUND(q.mq, 6) AS mean_quality,
+               fx.*
+        FROM base, ts, lent, q, fx
     """,
     # unigram log-prob: corpus distribution + per-doc occurrence average
     # re-derived verbatim; mean over occurrences (not distinct tokens).

@@ -23,8 +23,15 @@ monoid with an associative byte-stable ``merge``) makes exact:
         accumulate.  Associativity makes compacted estimates
         byte-identical to merging the raw batch rows.
 
-Commit protocol (object-store friendly, mini table-format semantics —
-same honesty bar as sources/warc.py's task-commit story):
+Commit protocol (mini table-format semantics — same honesty bar as
+sources/warc.py's task-commit story).  Metadata commits go through the
+``commit.publish_file`` seam: on THIS implementation that is driver-local
+``os.replace`` plus ``os.listdir`` discovery, so the table path must be a
+filesystem visible to the driver (local disk / NFS); an object-store
+deployment swaps the seam's one function for the store's atomic
+primitive and the listing helpers for its list API — the protocol design
+(what is written before the swap, what a reader treats as committed) is
+already store-shaped and fault-injection-tested through the seam:
 
 - An append writes ``<path>/batch-<id>/`` via Spark parquet; the batch
   is live only once its ``_SUCCESS`` lands.  A failed/partial append is
@@ -61,6 +68,7 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import commit as _commit
 from .checkpoint import ALGO_VERSION, build_partials_with_lineage
 
 _BATCH_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
@@ -104,11 +112,8 @@ class SketchTable:
                 )
         elif write_if_missing:
             os.makedirs(self.path, exist_ok=True)
-            tmp = mp + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"keys": self.keys,
-                           "created_algo_version": ALGO_VERSION}, f)
-            os.replace(tmp, mp)
+            _commit.commit_json({"keys": self.keys,
+                                 "created_algo_version": ALGO_VERSION}, mp)
         else:
             raise ValueError(f"no sketch table at {self.path!r}")
 
@@ -188,10 +193,9 @@ class SketchTable:
         # errorifexists (default mode): two concurrent appends with the
         # same id race at the FS layer too, not just the check above.
         partials.write.parquet(target)
-        tmp = os.path.join(target, "_BATCH_META.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "algo_version": ALGO_VERSION}, f)
-        os.replace(tmp, os.path.join(target, "_BATCH_META.json"))  # commit
+        _commit.commit_json(  # the batch-level commit point
+            {"batch_id": batch_id, "algo_version": ALGO_VERSION},
+            os.path.join(target, "_BATCH_META.json"))
 
     def append_many(self, df: DataFrame, batch_col: str,
                     batch_ids: Sequence[str],
@@ -244,12 +248,9 @@ class SketchTable:
                 slice_ = partials.filter(
                     F.col(batch_col) == b).drop(batch_col)
                 slice_.write.parquet(target)  # errorifexists: FS-level race
-                tmp = os.path.join(target, "_BATCH_META.json.tmp")
-                with open(tmp, "w") as f:
-                    json.dump({"batch_id": b,
-                               "algo_version": ALGO_VERSION}, f)
-                os.replace(tmp,
-                           os.path.join(target, "_BATCH_META.json"))
+                _commit.commit_json(
+                    {"batch_id": b, "algo_version": ALGO_VERSION},
+                    os.path.join(target, "_BATCH_META.json"))
         finally:
             partials.unpersist()
 
@@ -298,10 +299,9 @@ class SketchTable:
                           if u.startswith("batch-")}
         prior = set(gens[-1][1]["covers"]) if gens else set()
         covers = sorted(prior | merged_batches)
-        tmp = os.path.join(gen_dir, "MANIFEST.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"covers": covers, "algo_version": ALGO_VERSION}, f)
-        os.replace(tmp, os.path.join(gen_dir, "MANIFEST.json"))  # commit
+        _commit.commit_json(  # the generation-level commit point
+            {"covers": covers, "algo_version": ALGO_VERSION},
+            os.path.join(gen_dir, "MANIFEST.json"))
         return f"compact-{n:06d}"
 
     def vacuum(self) -> list[str]:

@@ -170,7 +170,11 @@ class _TaskWriter:
 
     def commit(self) -> None:
         self._close()
-        os.replace(self.tmp, self.final)  # atomic on POSIX
+        # the one atomic swap — runs executor-side, through the shared
+        # commit seam (commit.publish_file; os.replace locally, the object
+        # store's primitive in that deployment)
+        from .. import commit as _commit
+        _commit.publish_file(self.tmp, self.final)
 
     def abort(self) -> None:
         self._close()
@@ -188,9 +192,9 @@ def write_warc(df: DataFrame, path: str, url_col: str = "url",
     emits the spec-faithful Common-Crawl layout (per-record gzip members +
     HTTP response envelope); the default is the compact internal format.
     Local/shared filesystem paths (the sandbox case); an object-store
-    deployment swaps the ``open``/``os.replace`` pair in ``_TaskWriter``
-    for its client in that one class.  Refuses a non-empty target
-    directory."""
+    deployment swaps ``commit.publish_file`` (the shared atomic-publish
+    seam ``_TaskWriter.commit`` routes through) plus the ``open`` for its
+    client.  Refuses a non-empty target directory."""
     os.makedirs(path, exist_ok=True)
     existing = [f for f in os.listdir(path) if not f.startswith(".")]
     if existing:

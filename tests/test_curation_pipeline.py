@@ -180,6 +180,100 @@ def test_path_staging_is_resumable(spark, tmp_path):
     assert first == again
 
 
+def test_path_staging_refuses_stale_and_heals_crashed(spark, tmp_path):
+    """A completed staging table carries an input/params fingerprint:
+    reuse with DIFFERENT input or extraction params is refused (silently
+    reading the old corpus's extraction is the failure mode); a crashed
+    stage (pending-state marker) self-heals via overwrite; a data dir NOT
+    written by the protocol is never clobbered."""
+    import json
+    import os
+
+    df = spark.createDataFrame(_planted_rows(),
+                               "url string, warc_ts timestamp, text string")
+    other = spark.createDataFrame(
+        [("https://ex.com/z", _TS, "the zzz and of is")],
+        "url string, warc_ts timestamp, text string")
+    st = str(tmp_path / "stage_fp")
+    kw = dict(text_col="text", splits={"train": 1.0}, seq_len=64)
+    curate(df, stage=st, **kw).kept.collect()
+
+    with pytest.raises(ValueError, match="different input or extraction"):
+        curate(other, stage=st, **kw)
+
+    # crashed stage: marker downgraded to pending (= crash between data
+    # write and commit) -> the rerun overwrites and heals, even for new
+    # input (a pending stage is a temp, nothing durable is lost)
+    meta_path = os.path.join(st, "_STAGE_META.json")
+    meta = json.load(open(meta_path))
+    meta["state"] = "pending"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    kept = sorted(r["url"] for r in
+                  curate(other, stage=st, **kw).kept.collect())
+    assert kept == ["https://ex.com/z"]
+
+    # a foreign dir (data, no marker): refused, not overwritten
+    foreign = tmp_path / "not_a_stage"
+    foreign.mkdir()
+    (foreign / "valuable.parquet").write_text("do not clobber")
+    with pytest.raises(ValueError, match="no _STAGE_META"):
+        curate(df, stage=str(foreign), **kw)
+    assert (foreign / "valuable.parquet").read_text() == "do not clobber"
+
+
+def test_commit_seam_crash_leaves_commit_invisible(spark, tmp_path,
+                                                   monkeypatch):
+    """Fault injection through the ONE atomic-publish seam
+    (commit.publish_file): a crash at the swap point must leave every
+    protocol's commit invisible — the sketch-table batch stays
+    uncommitted, the staging marker absent — and the retry path after the
+    fault heals without manual cleanup.  This is the test double that
+    proves the object-store swap really is one class."""
+    from streaming_algorithms_spark import commit as commit_mod
+    from streaming_algorithms_spark.sketch_table import SketchTable
+
+    def crash(tmp, final):
+        raise OSError("injected: crashed before atomic publish")
+
+    # sketch table: partials parquet lands, _BATCH_META commit crashes ->
+    # batch invisible; retry with the real seam commits it
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    def factory():
+        from streaming_algorithms_spark.sketches.hll import HyperLogLog
+        return HyperLogLog(12)
+
+    def update(sk, pdf):
+        sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
+
+    b = (spark.range(0, 300)
+         .select(F.concat(F.lit("lang"), (F.col("id") % 3)).alias("lang"),
+                 F.xxhash64("id").alias("_h")).repartition(2))
+    t = SketchTable(spark, str(tmp_path / "tbl"), ["lang"])
+    t.append(b, "day-0", factory, update)
+    monkeypatch.setattr(commit_mod, "publish_file", crash)
+    with pytest.raises(OSError, match="injected"):
+        t.append(b, "day-1", factory, update)
+    monkeypatch.undo()
+    assert t.committed_batches() == ["day-0"]  # crashed append invisible
+
+    # staging marker: parquet write completes, marker commit crashes ->
+    # the stage is not "completed", rerun overwrites and commits
+    df = spark.createDataFrame(_planted_rows(),
+                               "url string, warc_ts timestamp, text string")
+    st = str(tmp_path / "stage_crash")
+    kw = dict(text_col="text", splits={"train": 1.0}, seq_len=64)
+    monkeypatch.setattr(commit_mod, "publish_file", crash)
+    with pytest.raises(OSError, match="injected"):
+        curate(df, stage=st, **kw)
+    monkeypatch.undo()
+    import os
+    assert not os.path.exists(os.path.join(st, "_STAGE_META.json"))
+    assert len(curate(df, stage=st, **kw).kept.take(1)) == 1
+
+
 def test_decontamination_drops_quoted_doc(spark):
     """A doc whose text an eval-set item quotes verbatim must drop as
     'contaminated'; everything else is unaffected (same kept set as the
@@ -219,7 +313,8 @@ def test_staging_modes_equivalent(spark, tmp_path, planted_plan):
     for mode in (False, st):
         p = curate(df, stage=mode, **kw)
         assert sorted(r["url"] for r in p.kept.collect()) == expected
-    assert any(f.endswith(".parquet") for f in os.listdir(st))
+    assert any(f.endswith(".parquet")
+               for f in os.listdir(os.path.join(st, "data")))
     staged = curate(df, stage=str(tmp_path / "staged2"), **kw)
     plan_str = (staged.annotated._jdf.queryExecution()
                 .executedPlan().toString())

@@ -294,6 +294,16 @@ def test_mp_per_series_bucketed_pre_partitioned_no_exchange(spark, tmp_path):
                                   max_points=256))
     assert "Exchange hashpartitioning(sid" in plan_default, plan_default
 
+    # the contract is CHECKED, not just documented: non-clustered input
+    # with pre_partitioned=True fails at plan time (the planner would
+    # insert an Exchange that AQE can coalesce to 1-2 tasks), instead of
+    # silently planning the hazard
+    df.write.parquet(str(tmp_path / "mp_series_flat"))
+    flat = spark.read.parquet(str(tmp_path / "mp_series_flat"))
+    with pytest.raises(ValueError, match="not clustered"):
+        matrix_profile_per_series(flat, "sid", "ts", "v", ms=(8,),
+                                  max_points=256, pre_partitioned=True)
+
 
 def test_load_table_iceberg_branch_requests_iceberg_source(spark):
     """format='iceberg' must actually go through the Iceberg DataSource
