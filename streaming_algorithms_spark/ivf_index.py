@@ -1,0 +1,327 @@
+"""Incrementally-maintained IVF ANN index: append -> (drift) refresh -> query.
+
+The similarity path's continuous operating mode, mirroring
+``sketch_table.SketchTable``: at 10^12 documents a full k-means plus a full
+corpus re-assignment per refresh is a rescan-shaped cost, so the index
+persists the coarse quantizer (kilobytes of centroids) and per-batch posting
+lists.  Folding in a new crawl segment then costs ONE Arrow assignment pass
+over ONLY the new batch (operators/similarity.assign_with_centroids); the
+corpus history is never re-read.  Re-running Lloyd is reserved for measured
+distribution DRIFT, and the one corpus-sized rewrite (re-assignment) happens
+only inside ``refresh()``'s compaction.
+
+Layout at ``<path>`` (commit protocol through the ``commit.publish_file``
+seam, same crash-invisibility contract as SketchTable — driver-visible
+filesystem paths; an object store swaps the seam's one function):
+
+- ``TABLE_META.json`` — id/vec columns, pinned at creation.
+- ``quantizer-<n>/QUANT.json`` — centroids + the creation-time baseline
+  assignment cosine; the file IS the quantizer commit point.
+- ``batch-<id>/`` — parquet postings ``(id, vec, list_id, assign_cos)``
+  assigned under the then-latest quantizer, plus ``_BATCH_META.json``
+  (quantizer generation, batch mean assign_cos, drift flag) written last
+  through the seam — the batch commit point.  Duplicate ids refused.
+- ``compact-<n>/data/`` + ``MANIFEST.json`` — all covered postings
+  re-assigned under one quantizer generation; the manifest is the commit
+  point and lists the batch ids it covers.
+
+Queries are always correct for the index's current contents: ``postings()``
+re-assigns any unit written under an older quantizer generation in-flight
+(an Arrow map over just those units), so a committed-but-not-yet-compacted
+state never serves stale list routing.
+
+Drift detection: every append records the batch's mean cosine to its
+assigned centroid.  A batch whose mean falls more than ``drift_tol`` below
+the quantizer's creation baseline is flagged (``drift_report()``); the
+operator's contract is flag-and-report, the caller decides when to pay for
+``refresh()`` (re-Lloyd + re-assign compaction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import commit as _commit
+from .checkpoint import ALGO_VERSION
+
+_BATCH_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+class IvfIndex:
+    """One IVF index over one (id, vector) column pair, maintained across
+    ingest batches.  See module docstring for layout and guarantees."""
+
+    def __init__(self, spark: SparkSession, path: str, id_col: str,
+                 vec_col: str, drift_tol: float = 0.05):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.drift_tol = float(drift_tol)
+
+    # -- layout helpers ----------------------------------------------------
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "TABLE_META.json")
+
+    def _batch_dir(self, batch_id: str) -> str:
+        return os.path.join(self.path, f"batch-{batch_id}")
+
+    def _check_meta(self, write_if_missing: bool) -> None:
+        mp = self._meta_path()
+        if os.path.exists(mp):
+            with open(mp) as f:
+                meta = json.load(f)
+            if [meta["id_col"], meta["vec_col"]] != [self.id_col,
+                                                     self.vec_col]:
+                raise ValueError(
+                    f"ivf index at {self.path!r} is over "
+                    f"({meta['id_col']}, {meta['vec_col']}), not "
+                    f"({self.id_col}, {self.vec_col})")
+        elif write_if_missing:
+            os.makedirs(self.path, exist_ok=True)
+            _commit.commit_json(
+                {"id_col": self.id_col, "vec_col": self.vec_col,
+                 "created_algo_version": ALGO_VERSION}, mp)
+        else:
+            raise ValueError(f"no ivf index at {self.path!r}")
+
+    def _quantizers(self) -> list[tuple[int, dict]]:
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for name in os.listdir(self.path):
+            m = re.fullmatch(r"quantizer-(\d+)", name)
+            if not m:
+                continue
+            qf = os.path.join(self.path, name, "QUANT.json")
+            if os.path.exists(qf):
+                with open(qf) as f:
+                    out.append((int(m.group(1)), json.load(f)))
+        return sorted(out)
+
+    def latest_quantizer(self) -> tuple[int, np.ndarray, float]:
+        """(generation, centroids, baseline mean assign cosine)."""
+        qs = self._quantizers()
+        if not qs:
+            raise ValueError(f"ivf index {self.path!r} has no quantizer")
+        n, q = qs[-1]
+        return n, np.asarray(q["centroids"], np.float64), q["baseline_cos"]
+
+    def committed_batches(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            d = os.path.join(self.path, name)
+            if (name.startswith("batch-")
+                    and os.path.exists(os.path.join(d, "_SUCCESS"))
+                    and os.path.exists(os.path.join(d, "_BATCH_META.json"))):
+                out.append(name[len("batch-"):])
+        return out
+
+    def _generations(self) -> list[tuple[int, dict]]:
+        if not os.path.isdir(self.path):
+            return []
+        gens = []
+        for name in os.listdir(self.path):
+            m = re.fullmatch(r"compact-(\d+)", name)
+            if not m:
+                continue
+            mf = os.path.join(self.path, name, "MANIFEST.json")
+            if os.path.exists(mf):
+                with open(mf) as f:
+                    gens.append((int(m.group(1)), json.load(f)))
+        return sorted(gens)
+
+    def live_units(self,
+                   gens: list[tuple[int, dict]] | None = None) -> list[str]:
+        if gens is None:
+            gens = self._generations()
+        batches = self.committed_batches()
+        if not gens:
+            return [f"batch-{b}" for b in batches]
+        n, manifest = gens[-1]
+        covered = set(manifest["covers"])
+        return [f"compact-{n:06d}/data"] + [
+            f"batch-{b}" for b in batches if b not in covered
+        ]
+
+    def _unit_meta(self, unit: str) -> dict:
+        if unit.startswith("compact-"):
+            meta = os.path.join(self.path, unit.split("/")[0],
+                                "MANIFEST.json")
+        else:
+            meta = os.path.join(self.path, unit, "_BATCH_META.json")
+        with open(meta) as f:
+            return json.load(f)
+
+    # -- quantizer build ---------------------------------------------------
+
+    def _commit_quantizer(self, gen: int, cent: np.ndarray,
+                          baseline_cos: float) -> None:
+        gdir = os.path.join(self.path, f"quantizer-{gen}")
+        os.makedirs(gdir, exist_ok=True)
+        _commit.commit_json(
+            {"centroids": cent.tolist(),
+             "baseline_cos": float(baseline_cos),
+             "algo_version": ALGO_VERSION},
+            os.path.join(gdir, "QUANT.json"))
+
+    # -- write path --------------------------------------------------------
+
+    def append(self, df: DataFrame, batch_id: str,
+               n_lists: int | None = None, seed: int = 42) -> dict:
+        """Commit ``df``'s (id, vec) rows as posting batch ``batch_id``.
+
+        First append fits the quantizer (ivf_assign's sample-kmeans +
+        distributed-Lloyd shape; ``n_lists=None`` applies the sqrt(N)
+        policy) and commits ``quantizer-0``; every later append is ONE
+        Arrow assignment pass over the new rows with the broadcast
+        centroids — no history re-read, no Lloyd.  Returns the batch
+        stats dict (also persisted in ``_BATCH_META.json``)."""
+        from .operators.similarity import assign_with_centroids, ivf_assign
+
+        if not _BATCH_ID_RE.fullmatch(batch_id):
+            raise ValueError(
+                f"batch_id {batch_id!r} must match {_BATCH_ID_RE.pattern}")
+        self._check_meta(write_if_missing=True)
+        target = self._batch_dir(batch_id)
+        if os.path.exists(target):
+            raise ValueError(
+                f"batch {batch_id!r} already exists in {self.path!r} — "
+                "batch ids are the exactly-once ledger")
+        src = df.select(F.col(self.id_col).cast("long").alias(self.id_col),
+                        self.vec_col)
+        qs = self._quantizers()
+        if not qs:
+            # bootstrap: fit quantizer on this batch, then assign WITH
+            # cosine in one pass (ivf_assign's plain assignment rides the
+            # same assign_with_centroids map)
+            _, cent = ivf_assign(src, self.id_col, self.vec_col,
+                                 n_lists=n_lists, seed=seed)
+            qgen = 0
+        else:
+            qgen, cent, _ = self.latest_quantizer()
+        assigned = assign_with_centroids(src, self.vec_col, cent,
+                                         with_cos=True)
+        assigned.write.parquet(target)  # errorifexists
+        # batch stats from the WRITTEN postings: column-pruned read of the
+        # tiny assign_cos column, no second pass over raw vectors
+        stats_row = self.spark.read.parquet(target).agg(
+            F.avg("assign_cos").alias("mean_cos"),
+            F.count("*").alias("rows")).collect()[0]
+        mean_cos = float(stats_row["mean_cos"] or 0.0)
+        n_rows = int(stats_row["rows"])
+        if not qs:
+            self._commit_quantizer(0, cent, baseline_cos=mean_cos)
+            drift = False
+        else:
+            baseline = self.latest_quantizer()[2]
+            drift = mean_cos < baseline - self.drift_tol
+        meta = {"batch_id": batch_id, "quantizer_gen": qgen,
+                "rows": n_rows, "mean_cos": round(mean_cos, 6),
+                "drift": bool(drift), "algo_version": ALGO_VERSION}
+        _commit.commit_json(meta, os.path.join(target, "_BATCH_META.json"))
+        return meta
+
+    def refresh(self, lloyd_iters: int = 2) -> str:
+        """Re-fit the quantizer on the CURRENT contents (distributed Lloyd
+        from the latest centroids — partial-sum shape, no raw-row collect)
+        and compact: every live posting re-assigned once under the new
+        generation.  The corpus-sized rewrite lives HERE, paid only when
+        drift justifies it; returns the new compact dir name."""
+        from .operators.similarity import (
+            _lloyd_refine_distributed, assign_with_centroids,
+        )
+
+        self._check_meta(write_if_missing=False)
+        gens = self._generations()
+        units = self.live_units(gens)
+        if not units:
+            raise ValueError(f"nothing to refresh in {self.path!r}")
+        qgen_old, cent, _ = self.latest_quantizer()
+        rows = self._read_units(units).select(self.id_col, self.vec_col)
+        cent = _lloyd_refine_distributed(rows, self.vec_col, cent,
+                                         lloyd_iters)
+        n = gens[-1][0] + 1 if gens else 0
+        gen_dir = os.path.join(self.path, f"compact-{n:06d}")
+        if (os.path.isdir(gen_dir)
+                and not os.path.exists(os.path.join(gen_dir,
+                                                    "MANIFEST.json"))):
+            import shutil
+            shutil.rmtree(gen_dir)  # reclaim a crashed predecessor
+        assigned = assign_with_centroids(rows, self.vec_col, cent,
+                                         with_cos=True)
+        assigned.write.parquet(os.path.join(gen_dir, "data"))
+        new_baseline = float(self.spark.read.parquet(
+            os.path.join(gen_dir, "data"))
+            .agg(F.avg("assign_cos")).collect()[0][0] or 0.0)
+        qgen_new = qgen_old + 1
+        self._commit_quantizer(qgen_new, cent, baseline_cos=new_baseline)
+        merged_batches = {u[len("batch-"):] for u in units
+                          if u.startswith("batch-")}
+        prior = set(gens[-1][1]["covers"]) if gens else set()
+        _commit.commit_json(
+            {"covers": sorted(prior | merged_batches),
+             "quantizer_gen": qgen_new, "algo_version": ALGO_VERSION},
+            os.path.join(gen_dir, "MANIFEST.json"))
+        return f"compact-{n:06d}"
+
+    # -- read path ---------------------------------------------------------
+
+    def _read_units(self, units: Sequence[str]) -> DataFrame:
+        paths = [os.path.join(self.path, u) for u in units]
+        return self.spark.read.parquet(*paths)
+
+    def postings(self) -> DataFrame:
+        """Live (id, vec, list_id) rows, list-routed under the LATEST
+        quantizer: units written under an older generation are re-assigned
+        in-flight (Arrow map over just those units), so a query between
+        refresh steps never mixes routings."""
+        from .operators.similarity import assign_with_centroids
+
+        self._check_meta(write_if_missing=False)
+        units = self.live_units()
+        if not units:
+            raise ValueError(f"ivf index {self.path!r} has no live units")
+        qgen, cent, _ = self.latest_quantizer()
+        fresh = [u for u in units
+                 if self._unit_meta(u)["quantizer_gen"] == qgen]
+        stale = [u for u in units
+                 if self._unit_meta(u)["quantizer_gen"] != qgen]
+        cols = [self.id_col, self.vec_col, "list_id"]
+        parts = []
+        if fresh:
+            parts.append(self._read_units(fresh).select(*cols))
+        if stale:
+            parts.append(assign_with_centroids(
+                self._read_units(stale).select(self.id_col, self.vec_col),
+                self.vec_col, cent).select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def topk(self, k: int = 10, n_probe: int | None = 3) -> DataFrame:
+        """Self-join ANN over the index contents — identical search plan
+        to ivf_topk (ivf_search), reading persisted postings instead of
+        re-fitting anything.  ``n_probe=None`` probes every list: exact."""
+        from .operators.similarity import ivf_search
+
+        _, cent, _ = self.latest_quantizer()
+        return ivf_search(self.postings(), cent, self.id_col, self.vec_col,
+                          k=k, n_probe=n_probe)
+
+    def drift_report(self) -> list[dict]:
+        """Per committed batch: quantizer gen, rows, mean assign cosine,
+        drift flag — the caller's refresh trigger."""
+        return [self._unit_meta(f"batch-{b}")
+                for b in self.committed_batches()]

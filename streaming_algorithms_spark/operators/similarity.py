@@ -291,12 +291,22 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
             dist_iters = 2 if len(rows) >= sample else 0
     if dist_iters:
         cent = _lloyd_refine_distributed(df, vec_col, cent, dist_iters)
+    return assign_with_centroids(df, vec_col, cent), cent
+
+
+def assign_with_centroids(df: DataFrame, vec_col: str, cent: np.ndarray,
+                          with_cos: bool = False) -> DataFrame:
+    """Assign every row its nearest centroid (`list_id`) in ONE Arrow pass
+    with a broadcast (n_lists x dim) matrix — the incremental-index append
+    path: folding a new batch into a built IVF index costs exactly this
+    map over ONLY the new rows.  ``with_cos`` adds ``assign_cos`` (cosine
+    to the assigned centroid), the per-batch drift statistic."""
     sc = df.sparkSession.sparkContext
     b_cent = sc.broadcast(cent)
 
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", list_id int"
+    ) + ", list_id int" + (", assign_cos double" if with_cos else "")
 
     def gen(batches):
         C = b_cent.value
@@ -304,41 +314,33 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
             if not len(pdf):
                 continue
             vm = _normalize(np.stack(pdf[vec_col].to_numpy()))
+            sims = vm @ C.T
+            a = sims.argmax(axis=1)
             pdf = pdf.copy()
-            pdf["list_id"] = (vm @ C.T).argmax(axis=1).astype(np.int32)
+            pdf["list_id"] = a.astype(np.int32)
+            if with_cos:
+                pdf["assign_cos"] = sims[np.arange(len(a)), a]
             yield pdf
 
-    return df.mapInPandas(gen, out_schema), cent
+    return df.mapInPandas(gen, out_schema)
 
 
-def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
-             n_lists: int = 16, n_probe: int = 3, seed: int = 42) -> DataFrame:
-    """Self-join ANN via IVF: queries probe their n_probe nearest lists,
-    exact cosine reranks within the probed lists only.  Work is
-    ~(n_probe/n_lists) of brute force; recall tested in
-    tests/test_pipeline_ops.py.  ``n_probe=None`` (or >= n_lists) probes
-    EVERY list — provably exact, the fully-distributed replacement for the
-    driver-collect brute force (no corpus collect anywhere).
-
-    Scoring shape: a cogrouped per-list numpy matmul.  Queries replicate to
-    their probed lists (shuffle rows x n_probe), corpus rows shuffle once to
-    their own list, and each list group computes one BLAS product emitting
-    only local top-k rows — never per-pair join rows with JVM array cosine
-    (measured 17.5 s -> ~2 s at sf0.1 full-probe).  A corpus row lives in
-    exactly one list, so (query, neighbor) pairs are scored at most once;
-    local selection pre-sorts members by id so the stable argsort tie-breaks
-    (cosine desc, id asc) exactly like the global window and the SQL
-    ROW_NUMBER oracle.  ``n_lists=None`` applies the sqrt(N) policy with
-    distributed Lloyd refinement (see ivf_assign)."""
+def ivf_search(assigned: DataFrame, cent: np.ndarray, id_col: str,
+               vec_col: str, k: int = 10, n_probe: int = 3) -> DataFrame:
+    """IVF probe + per-list exact rerank over an ALREADY-ASSIGNED corpus
+    (`assigned` carries ``list_id``): queries replicate to their n_probe
+    nearest lists, each list group computes one BLAS product emitting only
+    local top-k rows, global window keeps the final top-k.  Factored out
+    of ivf_topk so the incremental index (ivf_index.IvfIndex) reuses the
+    identical search plan over its persisted postings."""
     from pyspark.sql import Window
 
-    assigned, cent = ivf_assign(df, id_col, vec_col, n_lists, seed=seed)
     n_lists = cent.shape[0]
     if n_probe is None or n_probe > n_lists:
         n_probe = n_lists
-    sc = df.sparkSession.sparkContext
+    sc = assigned.sparkSession.sparkContext
     b_cent = sc.broadcast(cent)
-    vec_type = df.schema[vec_col].dataType.simpleString()
+    vec_type = dict(assigned.dtypes)[vec_col]
     probe_schema = f"`{id_col}` long, `{vec_col}` {vec_type}, list_id int"
 
     def probes(batches):
@@ -356,7 +358,8 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
                 "list_id": top.ravel().astype(np.int32),
             })
 
-    probe_df = df.select(id_col, vec_col).mapInPandas(probes, probe_schema)
+    probe_df = assigned.select(id_col, vec_col).mapInPandas(
+        probes, probe_schema)
     corpus = assigned.select(id_col, vec_col, "list_id")
     out_schema = f"`{id_col}` long, neighbor_id long, cosine double"
 
@@ -385,18 +388,44 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
             "cosine": top[keep],
         })
 
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = int(
+        assigned.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     scored = (
         probe_df.repartition(n_parts, "list_id").groupby("list_id")
         .cogroup(corpus.repartition(n_parts, "list_id").groupby("list_id"))
         .applyInPandas(score, out_schema)
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"),
+                                           F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
+             n_lists: int = 16, n_probe: int = 3, seed: int = 42) -> DataFrame:
+    """Self-join ANN via IVF: queries probe their n_probe nearest lists,
+    exact cosine reranks within the probed lists only.  Work is
+    ~(n_probe/n_lists) of brute force; recall tested in
+    tests/test_pipeline_ops.py.  ``n_probe=None`` (or >= n_lists) probes
+    EVERY list — provably exact, the fully-distributed replacement for the
+    driver-collect brute force (no corpus collect anywhere).
+
+    Scoring shape: a cogrouped per-list numpy matmul.  Queries replicate to
+    their probed lists (shuffle rows x n_probe), corpus rows shuffle once to
+    their own list, and each list group computes one BLAS product emitting
+    only local top-k rows — never per-pair join rows with JVM array cosine
+    (measured 17.5 s -> ~2 s at sf0.1 full-probe).  A corpus row lives in
+    exactly one list, so (query, neighbor) pairs are scored at most once;
+    local selection pre-sorts members by id so the stable argsort tie-breaks
+    (cosine desc, id asc) exactly like the global window and the SQL
+    ROW_NUMBER oracle.  ``n_lists=None`` applies the sqrt(N) policy with
+    distributed Lloyd refinement (see ivf_assign)."""
+    assigned, cent = ivf_assign(df, id_col, vec_col, n_lists, seed=seed)
+    return ivf_search(assigned.select(id_col, vec_col, "list_id"), cent,
+                      id_col, vec_col, k=k, n_probe=n_probe)
 
 
 def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,

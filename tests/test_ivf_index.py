@@ -1,0 +1,169 @@
+"""Incremental IVF index (ivf_index.IvfIndex).
+
+Contracts, in production order:
+
+1. recall parity: an incrementally-built index (N appends, no refresh)
+   queried at full probe is EXACT — equal to brute force over the union,
+   which also makes it equal to the one-shot ivf_topk full-probe build.
+2. partial-probe recall on clustered data stays >= 0.9 (the ANN regime).
+3. drift lifecycle: a distribution-shifted batch is flagged; refresh()
+   re-Lloyds + compacts; post-refresh appends from the new distribution
+   are no longer flagged (baseline moved with the quantizer).
+4. commit protocol: duplicate batch ids refused, a crashed append
+   (missing _SUCCESS) is invisible, postings written under an older
+   quantizer generation are re-routed in-flight.
+"""
+import numpy as np
+import pytest
+
+
+def _clustered(rng, centers, n_per, dim, spread=0.05, id_base=0):
+    rows = []
+    for ci, c in enumerate(centers):
+        pts = c[None, :] + rng.normal(scale=spread, size=(n_per, dim))
+        for j, p in enumerate(pts):
+            rows.append((id_base + ci * n_per + j,
+                         [float(x) for x in p]))
+    return rows
+
+
+def _mk_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def clustered_halves(spark):
+    rng = np.random.default_rng(7)
+    dim = 16
+    centers = rng.normal(size=(6, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = _clustered(rng, centers, n_per=40, dim=dim)
+    # interleaved halves: both batches see every cluster
+    return (_mk_df(spark, rows[0::2]), _mk_df(spark, rows[1::2]),
+            _mk_df(spark, rows))
+
+
+def test_incremental_full_probe_exact_equals_bruteforce(
+        spark, tmp_path, clustered_halves):
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+    from streaming_algorithms_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    half_a, half_b, union = clustered_halves
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "embedding")
+    idx.append(half_a, "day-0", n_lists=8)
+    idx.append(half_b, "day-1")
+
+    got = {r["vec_id"]: r["neighbor_id"]
+           for r in idx.topk(k=1, n_probe=None).collect()}
+    bf = {r["vec_id"]: r["neighbor_id"]
+          for r in brute_force_topk(union, union, "vec_id", "embedding",
+                                    k=1).collect()}
+    assert got == bf  # full probe is EXACT, batching irrelevant
+
+
+def test_partial_probe_recall(spark, tmp_path, clustered_halves):
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+    from streaming_algorithms_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    half_a, half_b, union = clustered_halves
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "embedding")
+    idx.append(half_a, "day-0", n_lists=8)
+    idx.append(half_b, "day-1")
+    got = {r["vec_id"]: r["neighbor_id"]
+           for r in idx.topk(k=1, n_probe=2).collect()}
+    bf = {r["vec_id"]: r["neighbor_id"]
+          for r in brute_force_topk(union, union, "vec_id", "embedding",
+                                    k=1).collect()}
+    recall = sum(got.get(q) == n for q, n in bf.items()) / len(bf)
+    assert recall >= 0.9, recall
+
+
+def test_drift_flag_refresh_and_rebaseline(spark, tmp_path):
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    centers_a = rng.normal(size=(4, dim))
+    centers_a /= np.linalg.norm(centers_a, axis=1, keepdims=True)
+    # drifted distribution: each cluster center rotated by a moderate
+    # perturbation (cos ~0.5 to its original) — assignment cosine under
+    # the A-fit quantizer drops well past drift_tol, while a re-fit
+    # quantizer can cover the A/B pair midpoints and re-baseline
+    centers_b = centers_a + 0.4 * rng.normal(size=(4, dim))
+    centers_b /= np.linalg.norm(centers_b, axis=1, keepdims=True)
+
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "embedding",
+                   drift_tol=0.05)
+    a = _mk_df(spark, _clustered(rng, centers_a, 30, dim))
+    m0 = idx.append(a, "day-0", n_lists=4)
+    assert not m0["drift"]
+
+    b = _mk_df(spark, _clustered(rng, centers_b, 30, dim, id_base=10_000))
+    m1 = idx.append(b, "day-1")
+    assert m1["drift"]  # shifted distribution detected
+    assert [m["drift"] for m in idx.drift_report()] == [False, True]
+
+    gen = idx.refresh()
+    assert gen == "compact-000000"
+    # refresh committed a new quantizer generation and covered both batches
+    qgen, cent, baseline = idx.latest_quantizer()
+    assert qgen == 1 and cent.shape == (4, dim)
+    assert idx.live_units() == ["compact-000000/data"]
+
+    # the SAME distribution appended after refresh is no longer drift:
+    # the baseline moved with the re-fit quantizer
+    b2 = _mk_df(spark, _clustered(rng, centers_b, 30, dim, id_base=20_000))
+    m2 = idx.append(b2, "day-2")
+    assert not m2["drift"]
+    assert m2["quantizer_gen"] == 1
+
+
+def test_commit_protocol_and_stale_unit_rerouting(spark, tmp_path):
+    import os
+
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+    from streaming_algorithms_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    centers = rng.normal(size=(3, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    a = _mk_df(spark, _clustered(rng, centers, 20, dim))
+    b = _mk_df(spark, _clustered(rng, centers, 20, dim, id_base=5_000))
+
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "embedding")
+    idx.append(a, "day-0", n_lists=3)
+    with pytest.raises(ValueError, match="already exists"):
+        idx.append(a, "day-0")
+    with pytest.raises(ValueError, match="must match"):
+        idx.append(a, "day 0!")
+
+    # crashed append: no _SUCCESS -> invisible to reads
+    idx.append(b, "day-1")
+    os.remove(tmp_path / "ivf" / "batch-day-1" / "_SUCCESS")
+    assert idx.committed_batches() == ["day-0"]
+
+    # stale-generation re-routing: refresh (quantizer gen 1), then
+    # hand-age a fresh batch's meta back to gen 0 — postings() must
+    # re-assign it in-flight and the full-probe query stays exact
+    idx.refresh()
+    idx.append(b, "day-1b")
+    import json
+    mp = tmp_path / "ivf" / "batch-day-1b" / "_BATCH_META.json"
+    meta = json.load(open(mp))
+    meta["quantizer_gen"] = 0
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    union = a.unionByName(b)
+    got = {r["vec_id"]: r["neighbor_id"]
+           for r in idx.topk(k=1, n_probe=None).collect()}
+    bf = {r["vec_id"]: r["neighbor_id"]
+          for r in brute_force_topk(union, union, "vec_id", "embedding",
+                                    k=1).collect()}
+    assert got == bf
