@@ -178,7 +178,8 @@ class IvfIndex:
     # -- write path --------------------------------------------------------
 
     def append(self, df: DataFrame, batch_id: str,
-               n_lists: int | None = None, seed: int = 42) -> dict:
+               n_lists: int | None = None, seed: int = 42,
+               stats: bool = True) -> dict:
         """Commit ``df``'s (id, vec) rows as posting batch ``batch_id``.
 
         First append fits the quantizer (ivf_assign's sample-kmeans +
@@ -186,7 +187,12 @@ class IvfIndex:
         policy) and commits ``quantizer-0``; every later append is ONE
         Arrow assignment pass over the new rows with the broadcast
         centroids — no history re-read, no Lloyd.  Returns the batch
-        stats dict (also persisted in ``_BATCH_META.json``)."""
+        stats dict (also persisted in ``_BATCH_META.json``).
+
+        ``stats=False`` skips the drift statistic (and its tiny
+        read-back job over the written assign_cos column) — for callers
+        that manage refresh externally; such batches never flag drift
+        (mean_cos recorded as null)."""
         from .operators.similarity import assign_with_centroids, ivf_assign
 
         if not _BATCH_ID_RE.fullmatch(batch_id):
@@ -213,21 +219,27 @@ class IvfIndex:
         assigned = assign_with_centroids(src, self.vec_col, cent,
                                          with_cos=True)
         assigned.write.parquet(target)  # errorifexists
-        # batch stats from the WRITTEN postings: column-pruned read of the
-        # tiny assign_cos column, no second pass over raw vectors
-        stats_row = self.spark.read.parquet(target).agg(
-            F.avg("assign_cos").alias("mean_cos"),
-            F.count("*").alias("rows")).collect()[0]
-        mean_cos = float(stats_row["mean_cos"] or 0.0)
-        n_rows = int(stats_row["rows"])
+        if stats or not qs:  # bootstrap always needs the baseline
+            # batch stats from the WRITTEN postings: column-pruned read of
+            # the tiny assign_cos column, no second pass over raw vectors
+            stats_row = self.spark.read.parquet(target).agg(
+                F.avg("assign_cos").alias("mean_cos"),
+                F.count("*").alias("rows")).collect()[0]
+            mean_cos = float(stats_row["mean_cos"] or 0.0)
+            n_rows = int(stats_row["rows"])
+        else:
+            mean_cos = n_rows = None
         if not qs:
             self._commit_quantizer(0, cent, baseline_cos=mean_cos)
+            drift = False
+        elif mean_cos is None:
             drift = False
         else:
             baseline = self.latest_quantizer()[2]
             drift = mean_cos < baseline - self.drift_tol
         meta = {"batch_id": batch_id, "quantizer_gen": qgen,
-                "rows": n_rows, "mean_cos": round(mean_cos, 6),
+                "rows": n_rows,
+                "mean_cos": None if mean_cos is None else round(mean_cos, 6),
                 "drift": bool(drift), "algo_version": ALGO_VERSION}
         _commit.commit_json(meta, os.path.join(target, "_BATCH_META.json"))
         return meta

@@ -993,13 +993,50 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     and all lists are probed — so the distributed IVF machinery (assignment,
     probe join, window rerank) must reproduce the brute-force top-1 and is
     value-hash-gated against the SQL argmax.  The n_probe < n_lists
-    approximation is recall-gated in pytest (test_pipeline_ops)."""
-    from ..operators.similarity import ivf_topk
+    approximation is recall-gated in pytest (test_pipeline_ops).
+
+    ALSO the driver gate for the INCREMENTAL IVF INDEX
+    (ivf_index.IvfIndex, the hll_distinct_users pattern): a hash-slice of
+    the corpus is maintained through the persisted-index lifecycle (two
+    appends = quantizer fit + one Arrow assignment pass over the new
+    batch only) and ``incremental_ok`` asserts its full-probe top-1
+    EQUALS the one-shot build's per query — full probe is exact, so the
+    gate is equality, not a recall band."""
+    import shutil
+    import tempfile
+
+    from ..ivf_index import IvfIndex
+    from ..operators.similarity import brute_force_topk, ivf_topk
 
     emb = load_table(spark, "embeddings", sf_dir)
+    sub = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    scratch = tempfile.mkdtemp(prefix="ivf_idx_gate_")
+    try:
+        idx = IvfIndex(spark, f"{scratch}/ivf", "vec_id", "embedding")
+        idx.append(sub.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+                   "day-0", n_lists=4)
+        idx.append(sub.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
+                   "day-1", stats=False)  # gate manages no refresh
+        inc = idx.topk(k=1, n_probe=None).select(
+            "vec_id", F.col("neighbor_id").alias("inc_n"))
+        # exactness reference in ONE job: driver-broadcast brute force
+        # over the slice (slice-sized collect, bounded)
+        ref = brute_force_topk(sub, sub, "vec_id", "embedding",
+                               k=1).select(
+            "vec_id", F.col("neighbor_id").alias("ref_n"))
+        # one scalar crosses the driver: (rows, mismatches) — never the
+        # per-row result set (the scratch index is deleted below)
+        row = (ref.join(inc, "vec_id", "full").agg(
+            F.count("*").alias("n"),
+            F.sum((~F.col("ref_n").eqNullSafe(F.col("inc_n")))
+                  .cast("int")).alias("bad")).collect()[0])
+        incremental_ok = int(row["n"]) > 0 and int(row["bad"] or 0) == 0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
     return (
         ivf_topk(emb, "vec_id", "embedding", k=1, n_lists=8, n_probe=8)
-        .select("vec_id", F.col("neighbor_id").alias("ivf_neighbor"))
+        .select("vec_id", F.col("neighbor_id").alias("ivf_neighbor"),
+                F.lit(incremental_ok).alias("incremental_ok"))
         .orderBy("vec_id")
     )
 
@@ -1732,9 +1769,17 @@ def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("der die das und ist ein"),
         *[F.concat(F.lit(" g"), ds, F.lit(f"x{j}")) for j in range(8)])
 
-    def junk(tag: str):  # >5000 tokens, ~no stopwords -> quality < 0.5
-        return F.concat(F.lit("the "), F.concat_ws(" ", F.array_repeat(
-            F.concat(F.lit(tag), ds), 5999)))
+    def junk(tag: str):
+        # quality 0.475 < 0.5 via the PUNCT route: pr ~0.4 > 0.3 kills the
+        # punct component, one stopword in 40 tokens (needed for lang=en)
+        # leaves stop_ok at 0.075 — 0.4 + 0 + 0.075.  Deliberately SHORT
+        # (40 tokens): a >5000-token length-rule plant made every
+        # downstream text stage scan megabytes of filler (measured 79 s
+        # for this gate at sf0.1; ~8 s with this shape)
+        return F.concat(
+            F.lit("the"),
+            *[F.concat(F.lit(" %%%%"), F.lit(tag), ds, F.lit(f"x{j}"))
+              for j in range(39)])
 
     rep_txt = F.concat(  # the repeated 2-gram is per-doc-unique too
         F.lit("the r"), ds,
@@ -1745,7 +1790,10 @@ def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(r == 3, german).when(r == 4, junk("q"))
         .when(r == 5, rep_txt).when(r == 6, junk("j"))
         .otherwise(base_txt))
-    ids = docs.select("doc_id")
+    # a deterministic quarter-slice carries the gate: composition wiring
+    # is corpus-size-independent, and every residue class keeps ~n/92
+    # members at each SF (gcd(4,23)=1)
+    ids = docs.select("doc_id").filter(d % 4 == 0)
     originals = ids.select((d * 4).alias("uid"), orig_text.alias("text"))
     replica_text = (F.when(r == 1, base_txt).when(r == 2, near_var)
                     .otherwise(junk("j")))
@@ -2911,7 +2959,8 @@ ORACLES = {
     # full-probe IVF is exact (see q_ivf_topk_embeddings) — same argmax as
     # ann_top1, exercised through the distributed IVF machinery
     "ivf_topk_embeddings": """
-        SELECT vec_id, neighbor_id AS ivf_neighbor FROM (
+        SELECT vec_id, neighbor_id AS ivf_neighbor,
+               TRUE AS incremental_ok FROM (
             SELECT a.vec_id, b.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (
                        PARTITION BY a.vec_id
@@ -3117,7 +3166,7 @@ ORACLES = {
                    COUNT(*) FILTER (WHERE doc_id % 23 = 4) AS c4,
                    COUNT(*) FILTER (WHERE doc_id % 23 = 5) AS c5,
                    COUNT(*) FILTER (WHERE doc_id % 23 = 6) AS c6
-            FROM documents
+            FROM documents WHERE doc_id % 4 = 0
         ),
         fx AS (
             SELECT CAST(c1 + c6 AS BIGINT) AS funnel_exact_dup,

@@ -151,6 +151,7 @@ def test_packing_degenerate_docs_cross_engine_parity(spark):
 
 
 @pytest.mark.parametrize("name", ["checkpoint_resume_events",
+                                  "corpus_card_documents",
                                   "embedding_near_dups",
                                   "lsh_topk_embeddings",
                                   "streaming_sketches_events"])
