@@ -287,6 +287,33 @@ class IvfIndex:
             os.path.join(gen_dir, "MANIFEST.json"))
         return f"compact-{n:06d}"
 
+    def vacuum(self) -> list[str]:
+        """Delete units subsumed by the latest compact generation (covered
+        batch dirs, older compacts, and quantizer generations below the
+        latest manifest's) — safe any time after the manifest commit.
+        Returns what it removed."""
+        import shutil
+
+        gens = self._generations()
+        if not gens:
+            return []
+        latest_n, manifest = gens[-1]
+        covered = set(manifest["covers"])
+        keep_qgen = manifest["quantizer_gen"]
+        removed = []
+        for b in self.committed_batches():
+            if b in covered:
+                shutil.rmtree(self._batch_dir(b))
+                removed.append(f"batch-{b}")
+        for n, _ in gens[:-1]:
+            shutil.rmtree(os.path.join(self.path, f"compact-{n:06d}"))
+            removed.append(f"compact-{n:06d}")
+        for qn, _ in self._quantizers():
+            if qn < keep_qgen:
+                shutil.rmtree(os.path.join(self.path, f"quantizer-{qn}"))
+                removed.append(f"quantizer-{qn}")
+        return removed
+
     # -- read path ---------------------------------------------------------
 
     def _read_units(self, units: Sequence[str]) -> DataFrame:

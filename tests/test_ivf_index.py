@@ -121,6 +121,14 @@ def test_drift_flag_refresh_and_rebaseline(spark, tmp_path):
     assert not m2["drift"]
     assert m2["quantizer_gen"] == 1
 
+    # vacuum removes covered batches and superseded quantizers; the
+    # index stays fully readable and day-2 stays live
+    before = idx.topk(k=1, n_probe=None).count()
+    removed = idx.vacuum()
+    assert set(removed) == {"batch-day-0", "batch-day-1", "quantizer-0"}
+    assert set(idx.live_units()) == {"compact-000000/data", "batch-day-2"}
+    assert idx.topk(k=1, n_probe=None).count() == before
+
 
 def test_commit_protocol_and_stale_unit_rerouting(spark, tmp_path):
     import os
