@@ -203,28 +203,84 @@ def sketch_build_job(spark, path: str, repeat: int = 1) -> int:
     return int(sum(r["rows_seen"] for r in rows))
 
 
+def _disk_probe() -> float:
+    """Local-disk write throughput (MB/s), fsync'd, best-of-2 over 64 MB.
+    The third independent crush mode on this VM (after CPU and DRAM): a
+    host co-tenant hammering the disk stalls shuffle/checkpoint writes
+    2-30x (measured 11 -> 331 MB/s across adjacent trials) while the
+    cache-resident kernel control AND aggregate DRAM bandwidth stay
+    healthy.  Informational — the per-query stall mitigation is the
+    decorrelated-pass structure in _run_query_suite."""
+    import tempfile
+
+    buf = b"\x5a" * (64 << 20)
+    best = 0.0
+    for _ in range(2):
+        with tempfile.NamedTemporaryFile(dir="/tmp", delete=True) as f:
+            t0 = time.perf_counter()
+            f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+            dt = time.perf_counter() - t0
+        best = max(best, len(buf) / dt / 1e6)
+    return round(best, 1)
+
+
+# Clean-window records for a handful of stable, mature queries — the
+# suite's own scan/shuffle canaries.  A healthy kernel control plus slow
+# canaries = disk/DRAM-side host contention the kernel cannot see.
+CANARY_RECORDS = {
+    "url_canon_documents": 0.95,
+    "welford_lineitem": 2.0,
+    "split_documents": 0.35,
+    "sample_documents": 0.54,
+    "ts_hourly_events": 0.40,
+}
+
+
+def _canary_ratio(timings: dict) -> float:
+    import statistics
+
+    ratios = [timings[n] / r for n, r in CANARY_RECORDS.items()
+              if n in timings]
+    return round(statistics.median(ratios), 2) if ratios else 1.0
+
+
 def _run_query_suite(spark, suite, repeats: int,
-                     prior: dict | None = None) -> dict:
-    """Time every gated query; per-query best-of-``repeats`` (this VM's
-    noisy-neighbor bursts intermittently slow a single run 3-6x — measured
-    5 s -> 33 s on the same query, same code — so the min estimates
-    steady-state capacity, same policy as the scaling section).  ``prior``
-    merges a previous pass's timings via min (contended-window retry)."""
+                     prior: dict | None = None) -> tuple[dict, float]:
+    """Time every gated query.  Structure matters on this VM: the host's
+    disk stalls are INTERMITTENT (seconds-long), so back-to-back repeats
+    of one query land in the same stall and the min doesn't help.  Each
+    pass runs the WHOLE suite, so a query's samples are minutes apart
+    (decorrelated from any one stall); queries whose samples still spread
+    > 1.8x get one extra sample.  Returns (per-query minima, fraction of
+    queries that needed the stall retry).  ``prior`` merges a previous
+    call's timings via min (contended-window retry)."""
     from streaming_algorithms_spark.plans.queries import QUERIES
 
-    timings = dict(prior or {})
-    for name in suite:
-        best = timings.get(name)
-        for _ in range(repeats):
+    samples: dict[str, list] = {name: [] for name in suite}
+    for _ in range(repeats):
+        for name in suite:
             t0 = time.perf_counter()
             QUERIES[name](spark, SF_DIR).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            samples[name].append(time.perf_counter() - t0)
             # queries may cache intermediates (signatures, shingles); drop
             # them so cached partitions don't accumulate across the suite
             spark.catalog.clearCache()
+    suspects = [n for n in suite
+                if max(samples[n]) / min(samples[n]) > 1.8]
+    for name in suspects:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).collect()
+        samples[name].append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    timings = dict(prior or {})
+    for name in suite:
+        best = min(samples[name])
+        if name in timings:
+            best = min(best, timings[name])
         timings[name] = round(best, 3)
-    return timings
+    return timings, round(len(suspects) / max(len(suite), 1), 2)
 
 
 def main() -> None:
@@ -238,23 +294,37 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
     contended_at = KERNEL_CONTROL_HEALTHY_SEC * KERNEL_CONTROL_CONTENDED_RATIO
 
-    # Contention gate: pure-kernel control before and after the query phase.
-    # If either side shows a contended window, re-queue ONE retry of the
-    # whole suite (mins merge across passes) — two rounds running, the
-    # recorded artifact was a contended-window capture and the per-query
-    # hard signal was box noise, not code.
+    # Contention gate: three independent crush modes on this box (see
+    # BASELINE.md) need three signals — pure-kernel control (CPU), the
+    # suite's own canary queries vs their clean records (DRAM/scan), and
+    # the per-query sample spread (intermittent disk stalls; also
+    # mitigated structurally by the decorrelated passes).  A contended
+    # verdict re-queues ONE retry of the whole suite (mins merge) — two
+    # rounds running, the recorded artifact was a contended-window
+    # capture and the per-query hard signal was box noise, not code.
     t_all = time.perf_counter()
     control_pre = _kernel_control()
-    timings = _run_query_suite(spark, suite, repeats)
+    disk_pre = _disk_probe()
+    timings, unstable_frac = _run_query_suite(spark, suite, repeats)
     control_post = _kernel_control()
     query_retries = 0
-    if max(control_pre, control_post) > contended_at:
+
+    def verdict():
+        return ("contended"
+                if (max(control_pre, control_post) > contended_at
+                    or _canary_ratio(timings) > 1.5
+                    or unstable_frac > 0.3)
+                else "clean")
+
+    if verdict() == "contended":
         query_retries = 1
-        timings = _run_query_suite(spark, suite, repeats, prior=timings)
+        timings, retry_frac = _run_query_suite(spark, suite, repeats,
+                                               prior=timings)
+        unstable_frac = min(unstable_frac, retry_frac)
         control_post = _kernel_control()
+    disk_post = _disk_probe()
     wall = round(time.perf_counter() - t_all, 3)
-    window = ("contended"
-              if max(control_pre, control_post) > contended_at else "clean")
+    window = verdict()
 
     result = {
         # value = sum of per-query best times (steady-state suite estimate,
@@ -276,6 +346,9 @@ def main() -> None:
             "healthy_record_sec": KERNEL_CONTROL_HEALTHY_SEC,
             "contended_over_sec": round(contended_at, 4),
         },
+        "disk_write_mb_s": {"pre": disk_pre, "post": disk_post},
+        "canary_ratio_vs_records": _canary_ratio(timings),
+        "stall_retry_fraction": unstable_frac,
         "window": window,
         "query_suite_retries": query_retries,
         "queries": timings,
