@@ -200,6 +200,8 @@ class IvfIndex:
                 f"batch_id {batch_id!r} must match {_BATCH_ID_RE.pattern}")
         self._check_meta(write_if_missing=True)
         target = self._batch_dir(batch_id)
+        from .sketch_table import reclaim_uncommitted_batch
+        reclaim_uncommitted_batch(target)  # crashed-append retry self-heals
         if os.path.exists(target):
             raise ValueError(
                 f"batch {batch_id!r} already exists in {self.path!r} — "

@@ -74,6 +74,23 @@ from .checkpoint import ALGO_VERSION, build_partials_with_lineage
 _BATCH_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
 
 
+def reclaim_uncommitted_batch(target: str) -> None:
+    """A batch dir WITHOUT ``_BATCH_META.json`` is an uncommitted orphan
+    (the meta commit, written last through the seam, IS the batch commit
+    point — a crash anywhere earlier leaves the dir meta-less and
+    invisible to readers): remove it so the same logical writer's retry
+    self-heals instead of colliding on "already exists" forever —
+    mirroring ``compact()``'s manifest-less-orphan reclaim.  Two LIVE
+    writers sharing a batch id are outside the ledger contract (ids are
+    exactly-once; the parquet errorifexists race guard still covers the
+    window after reclaim)."""
+    if (os.path.isdir(target)
+            and not os.path.exists(os.path.join(target,
+                                                "_BATCH_META.json"))):
+        import shutil
+        shutil.rmtree(target)
+
+
 class SketchTable:
     """One sketch family over one key set, maintained across ingest batches.
 
@@ -181,6 +198,7 @@ class SketchTable:
             )
         self._check_meta(write_if_missing=True)
         target = self._batch_dir(batch_id)
+        reclaim_uncommitted_batch(target)
         if os.path.exists(target):
             raise ValueError(
                 f"batch {batch_id!r} already exists in {self.path!r} — "
@@ -222,6 +240,7 @@ class SketchTable:
             if not _BATCH_ID_RE.fullmatch(b):
                 raise ValueError(
                     f"batch_id {b!r} must match {_BATCH_ID_RE.pattern}")
+            reclaim_uncommitted_batch(self._batch_dir(b))
             if os.path.exists(self._batch_dir(b)):
                 raise ValueError(
                     f"batch {b!r} already exists in {self.path!r} — "

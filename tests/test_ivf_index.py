@@ -157,6 +157,18 @@ def test_commit_protocol_and_stale_unit_rerouting(spark, tmp_path):
     os.remove(tmp_path / "ivf" / "batch-day-1" / "_SUCCESS")
     assert idx.committed_batches() == ["day-0"]
 
+    # crashed append, meta missing (= died before the commit point):
+    # retry reclaims the orphan instead of "already exists"
+    import shutil
+    shutil.rmtree(tmp_path / "ivf" / "batch-day-1")
+    idx.append(b, "day-1")
+    os.remove(tmp_path / "ivf" / "batch-day-1" / "_BATCH_META.json")
+    idx.append(b, "day-1")
+    assert idx.committed_batches() == ["day-0", "day-1"]
+    shutil.rmtree(tmp_path / "ivf" / "batch-day-1")
+    idx.append(b, "day-1")  # restore for the stale-unit scenario below
+    os.remove(tmp_path / "ivf" / "batch-day-1" / "_SUCCESS")
+
     # stale-generation re-routing: refresh (quantizer gen 1), then
     # hand-age a fresh batch's meta back to gen 0 — postings() must
     # re-assign it in-flight and the full-probe query stays exact

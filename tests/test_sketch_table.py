@@ -158,6 +158,15 @@ def test_commit_protocol_and_key_pinning(spark, tmp_path):
     assert t.live_units() == ["compact-000000/data"]
     assert _estimates_pdf(t, from_bytes, finalize, schema).equals(base)
 
+    # crashed append (dir without _BATCH_META = uncommitted orphan):
+    # the same writer's RETRY reclaims it instead of "already exists"
+    import shutil
+    shutil.rmtree(tmp_path / "tbl" / "batch-day-1")
+    t.append(b1, "day-1", factory, update)
+    os.remove(tmp_path / "tbl" / "batch-day-1" / "_BATCH_META.json")
+    t.append(b1, "day-1", factory, update)  # self-heals
+    assert "day-1" in t.committed_batches()
+
 
 def test_append_many_one_pass_equals_separate_appends(spark, tmp_path):
     """append_many commits N batches from one partial-build pass; the table
