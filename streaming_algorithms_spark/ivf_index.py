@@ -234,7 +234,9 @@ class IvfIndex:
         if not qs:
             self._commit_quantizer(0, cent, baseline_cos=mean_cos)
             drift = False
-        elif mean_cos is None:
+        elif mean_cos is None or n_rows == 0:
+            # no stats requested, or an EMPTY batch (whose avg(assign_cos)
+            # is vacuously 0 and would false-flag drift)
             drift = False
         else:
             baseline = self.latest_quantizer()[2]
