@@ -248,12 +248,24 @@ class IvfIndex:
         _commit.commit_json(meta, os.path.join(target, "_BATCH_META.json"))
         return meta
 
-    def refresh(self, lloyd_iters: int = 2) -> str:
+    def _bucket_table_name(self, gen_n: int) -> str:
+        import hashlib
+
+        h = hashlib.md5(os.path.abspath(self.path).encode()).hexdigest()[:10]
+        return f"ivf_postings_{h}_{gen_n:06d}"
+
+    def refresh(self, lloyd_iters: int = 2, bucket: bool = True) -> str:
         """Re-fit the quantizer on the CURRENT contents (distributed Lloyd
         from the latest centroids — partial-sum shape, no raw-row collect)
         and compact: every live posting re-assigned once under the new
         generation.  The corpus-sized rewrite lives HERE, paid only when
-        drift justifies it; returns the new compact dir name."""
+        drift justifies it; returns the new compact dir name.
+
+        ``bucket=True`` (default) writes the compacted postings BUCKETED
+        on ``list_id`` (sources/bucketed.py): every later ``topk`` then
+        plans its cogroup with NO corpus-side Exchange — the per-query
+        corpus shuffle is paid once here, the write-once layout strategy
+        this library uses for every repeated grouped scan at 100 TB."""
         from .operators.similarity import (
             _lloyd_refine_distributed, assign_with_centroids,
         )
@@ -276,10 +288,25 @@ class IvfIndex:
             shutil.rmtree(gen_dir)  # reclaim a crashed predecessor
         assigned = assign_with_centroids(rows, self.vec_col, cent,
                                          with_cos=True)
-        assigned.write.parquet(os.path.join(gen_dir, "data"))
-        new_baseline = float(self.spark.read.parquet(
-            os.path.join(gen_dir, "data"))
-            .agg(F.avg("assign_cos")).collect()[0][0] or 0.0)
+        data_dir = os.path.join(gen_dir, "data")
+        bucket_spec = None
+        if bucket:
+            from .sources.bucketed import save_bucketed
+
+            n_buckets = int(min(32, max(4, cent.shape[0])))
+            tbl = self._bucket_table_name(n)
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            save_bucketed(assigned, tbl, ["list_id"], n_buckets,
+                          path=data_dir)
+            bucket_spec = {"keys": ["list_id"], "n_buckets": n_buckets,
+                           "schema_ddl": ", ".join(
+                               f"`{f.name}` {f.dataType.simpleString()}"
+                               for f in assigned.schema.fields)}
+        else:
+            assigned.write.parquet(data_dir)
+        new_baseline = float(self.spark.read.parquet(data_dir)
+                             .agg(F.avg("assign_cos")).collect()[0][0]
+                             or 0.0)
         qgen_new = qgen_old + 1
         self._commit_quantizer(qgen_new, cent, baseline_cos=new_baseline)
         merged_batches = {u[len("batch-"):] for u in units
@@ -287,7 +314,8 @@ class IvfIndex:
         prior = set(gens[-1][1]["covers"]) if gens else set()
         _commit.commit_json(
             {"covers": sorted(prior | merged_batches),
-             "quantizer_gen": qgen_new, "algo_version": ALGO_VERSION},
+             "quantizer_gen": qgen_new, "bucket": bucket_spec,
+             "algo_version": ALGO_VERSION},
             os.path.join(gen_dir, "MANIFEST.json"))
         return f"compact-{n:06d}"
 
@@ -311,6 +339,8 @@ class IvfIndex:
                 removed.append(f"batch-{b}")
         for n, _ in gens[:-1]:
             shutil.rmtree(os.path.join(self.path, f"compact-{n:06d}"))
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._bucket_table_name(n)}")
             removed.append(f"compact-{n:06d}")
         for qn, _ in self._quantizers():
             if qn < keep_qgen:
@@ -353,15 +383,48 @@ class IvfIndex:
             out = out.unionByName(p)
         return out
 
+    def _routed_postings(self):
+        """(assigned_df, corpus_pre_partitioned, n_parts): when the live
+        set is exactly one current-generation BUCKETED compact, return its
+        catalog-registered bucketed scan — ``topk``'s cogroup then plans
+        with no corpus-side Exchange; any other live shape (uncompacted
+        batches, stale generation, unbucketed compact) falls back to the
+        plain union, which re-routes/re-shuffles as needed."""
+        self._check_meta(write_if_missing=False)
+        gens = self._generations()
+        units = self.live_units(gens)
+        if gens and len(units) == 1 and units[0].startswith("compact-"):
+            gen_n, manifest = gens[-1]
+            spec = manifest.get("bucket")
+            qgen, _, _ = self.latest_quantizer()
+            if spec and manifest["quantizer_gen"] == qgen:
+                tbl = self._bucket_table_name(gen_n)
+                loc = os.path.join(self.path, units[0])
+                if not self.spark.catalog.tableExists(tbl):
+                    self.spark.sql(
+                        f"CREATE TABLE {tbl} ({spec['schema_ddl']}) "
+                        "USING parquet CLUSTERED BY (list_id) "
+                        "SORTED BY (list_id) "
+                        f"INTO {spec['n_buckets']} BUCKETS "
+                        f"LOCATION '{loc}'")
+                df = self.spark.table(tbl).select(
+                    self.id_col, self.vec_col, "list_id")
+                return df, True, int(spec["n_buckets"])
+        return self.postings(), False, None
+
     def topk(self, k: int = 10, n_probe: int | None = 3) -> DataFrame:
         """Self-join ANN over the index contents — identical search plan
         to ivf_topk (ivf_search), reading persisted postings instead of
-        re-fitting anything.  ``n_probe=None`` probes every list: exact."""
+        re-fitting anything.  ``n_probe=None`` probes every list: exact.
+        Over a bucketed compact generation the corpus side plans with no
+        Exchange (see ``refresh``/``_routed_postings``)."""
         from .operators.similarity import ivf_search
 
         _, cent, _ = self.latest_quantizer()
-        return ivf_search(self.postings(), cent, self.id_col, self.vec_col,
-                          k=k, n_probe=n_probe)
+        assigned, prepart, n_parts = self._routed_postings()
+        return ivf_search(assigned, cent, self.id_col, self.vec_col,
+                          k=k, n_probe=n_probe,
+                          corpus_pre_partitioned=prepart, n_parts=n_parts)
 
     def drift_report(self) -> list[dict]:
         """Per committed batch: quantizer gen, rows, mean assign cosine,

@@ -326,13 +326,26 @@ def assign_with_centroids(df: DataFrame, vec_col: str, cent: np.ndarray,
 
 
 def ivf_search(assigned: DataFrame, cent: np.ndarray, id_col: str,
-               vec_col: str, k: int = 10, n_probe: int = 3) -> DataFrame:
+               vec_col: str, k: int = 10, n_probe: int = 3,
+               corpus_pre_partitioned: bool = False,
+               n_parts: int | None = None) -> DataFrame:
     """IVF probe + per-list exact rerank over an ALREADY-ASSIGNED corpus
     (`assigned` carries ``list_id``): queries replicate to their n_probe
     nearest lists, each list group computes one BLAS product emitting only
     local top-k rows, global window keeps the final top-k.  Factored out
     of ivf_topk so the incremental index (ivf_index.IvfIndex) reuses the
-    identical search plan over its persisted postings."""
+    identical search plan over its persisted postings.
+
+    ``corpus_pre_partitioned=True`` skips the corpus-side repartition for
+    input already hash-clustered on ``list_id`` (IvfIndex's BUCKETED
+    compact generation): the cogroup's corpus child plans with NO
+    Exchange — the per-query corpus shuffle is paid once at compact-write
+    time, the same write-once layout strategy as sources/bucketed.py.
+    ``n_parts`` must then equal the bucket count so the probe side's
+    explicit repartition co-partitions with the bucketed scan (same
+    Murmur3 hash family).  The claim is CHECKED on the physical plan
+    (the mp_anomaly pre_partitioned pattern): a planner-inserted
+    corpus-side Exchange raises instead of silently shuffling."""
     from pyspark.sql import Window
 
     n_lists = cent.shape[0]
@@ -388,13 +401,29 @@ def ivf_search(assigned: DataFrame, cent: np.ndarray, id_col: str,
             "cosine": top[keep],
         })
 
-    n_parts = int(
-        assigned.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if n_parts is None:
+        n_parts = int(
+            assigned.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    corpus_side = (corpus if corpus_pre_partitioned
+                   else corpus.repartition(n_parts, "list_id"))
     scored = (
         probe_df.repartition(n_parts, "list_id").groupby("list_id")
-        .cogroup(corpus.repartition(n_parts, "list_id").groupby("list_id"))
+        .cogroup(corpus_side.groupby("list_id"))
         .applyInPandas(score, out_schema)
     )
+    if corpus_pre_partitioned:
+        # verify on the PHYSICAL plan that the bucketed layout actually
+        # satisfied the cogroup (driver-side, no job): exactly one
+        # list_id Exchange (the probe side's explicit repartition)
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        if plan.count("Exchange hashpartitioning(list_id") > 1:
+            raise ValueError(
+                "ivf_search(corpus_pre_partitioned=True): the corpus is "
+                "not hash-clustered on list_id with the probe side's "
+                "partition count — the planner inserted a corpus-side "
+                "Exchange.  Pass the bucketed compact table (IvfIndex "
+                "refresh) with n_parts equal to its bucket count, or "
+                "drop the flag.")
     w = Window.partitionBy(id_col).orderBy(F.desc("cosine"),
                                            F.asc("neighbor_id"))
     return (

@@ -130,6 +130,70 @@ def test_drift_flag_refresh_and_rebaseline(spark, tmp_path):
     assert idx.topk(k=1, n_probe=None).count() == before
 
 
+def test_bucketed_compact_no_corpus_exchange(spark, tmp_path):
+    """refresh() writes the compacted postings bucketed on list_id: topk's
+    cogroup then plans with NO corpus-side Exchange (exactly one list_id
+    Exchange — the probe side), while results stay exact at full probe.
+    Any other live shape (a post-compact append) falls back to the
+    shuffled path; the pre-partitioned claim is plan-checked and raises
+    on non-clustered input."""
+    import io
+    from contextlib import redirect_stdout
+
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+    from streaming_algorithms_spark.operators.similarity import (
+        brute_force_topk, ivf_search,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    centers = rng.normal(size=(4, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    a = _mk_df(spark, _clustered(rng, centers, 25, dim))
+    b = _mk_df(spark, _clustered(rng, centers, 25, dim, id_base=7_000))
+
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "embedding")
+    idx.append(a, "day-0", n_lists=4)
+    idx.append(b, "day-1")
+    idx.refresh()
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(True)
+        return buf.getvalue().split("== Physical Plan ==")[-1]
+
+    out = idx.topk(k=1, n_probe=None)
+    plan = plan_of(out)
+    assert plan.count("Exchange hashpartitioning(list_id") == 1, plan
+    union = a.unionByName(b)
+    got = {r["vec_id"]: r["neighbor_id"] for r in out.collect()}
+    bf = {r["vec_id"]: r["neighbor_id"]
+          for r in brute_force_topk(union, union, "vec_id", "embedding",
+                                    k=1).collect()}
+    assert got == bf
+
+    # post-compact append: live set is no longer one bucketed compact ->
+    # the shuffled fallback (two list_id Exchanges), still correct
+    c = _mk_df(spark, _clustered(rng, centers, 10, dim, id_base=9_000))
+    idx.append(c, "day-2")
+    out2 = idx.topk(k=1, n_probe=None)
+    assert plan_of(out2).count("Exchange hashpartitioning(list_id") == 2
+    union3 = union.unionByName(c)
+    got2 = {r["vec_id"]: r["neighbor_id"] for r in out2.collect()}
+    bf2 = {r["vec_id"]: r["neighbor_id"]
+           for r in brute_force_topk(union3, union3, "vec_id", "embedding",
+                                     k=1).collect()}
+    assert got2 == bf2
+
+    # contract check: a plain (non-clustered) corpus with the flag raises
+    _, cent, _ = idx.latest_quantizer()
+    with pytest.raises(ValueError, match="not hash-clustered"):
+        ivf_search(idx.postings(), cent, "vec_id", "embedding", k=1,
+                   n_probe=None, corpus_pre_partitioned=True,
+                   n_parts=int(cent.shape[0]))
+
+
 def test_commit_protocol_and_stale_unit_rerouting(spark, tmp_path):
     import os
 
