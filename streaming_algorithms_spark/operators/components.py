@@ -108,39 +108,49 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     diverged-input guard, not a tuning knob: O(log^2 n) rounds suffice
     for any graph, so 24 covers far beyond 2^24 nodes.
 
-    Convergence action per round: (count, bit-xor, wide-decimal sum)
-    over per-edge xxhash64 — an order-independent set fingerprint, one
-    job, no driver edge collection.  A fixed edge set under
-    large-star+small-star is exactly the star-graph fixpoint
-    (Kiveris et al. Thm 4.3).
+    Convergence action per round: a direct STAR-FOREST test — the edge
+    set is a fixpoint iff no node is both a parent (u side) and a child
+    (v side) AND every child has exactly one distinct parent (a star
+    forest is trivially stable under both stars, and Kiveris et al.
+    Thm 4.3 says every fixpoint is a star forest, so the test is exact).
+    One grouped aggregation over edge-sized rows per round, no driver
+    edge collection.  Testing structure directly instead of comparing
+    round fingerprints detects convergence IN the round that reaches it
+    — the fingerprint version always paid one extra full round (3 more
+    edge-list shuffles) just to observe an unchanged set.
     """
     cur = _canon_edges(edges, id_a, id_b)
-    prev_sig = None
     for round_no in range(max_rounds):
         # checkpoint every round: one round references its input several
         # times (symmetrize/emit unions in both stars), so an
         # unmaterialized plan grows exponentially in rounds and the
-        # per-round fingerprint action would recompute the whole tower.
-        # LAZY checkpoint: the fingerprint action below is the round's
-        # one and only job — it materializes the checkpoint as a side
-        # effect, halving the Spark jobs per round vs eager=True.
+        # per-round star-test action would recompute the whole tower.
+        # LAZY checkpoint: the star test below is the round's one and
+        # only job — it materializes the checkpoint as a side effect,
+        # halving the Spark jobs per round vs eager=True.
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
-        sig_df = cur.select(
-            F.xxhash64(F.col("u"), F.col("v")).alias("h"))
-        agg = sig_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(h)").alias("x"),
-            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
-        ).first()
-        sig = (agg["n"], agg["x"], agg["s"])
-        if sig == prev_sig:
+        # role bitmask per node: 1 = appears as parent, 2 = as child
+        # (with its parent carried so multi-parent children are caught).
+        roles = cur.select(
+            F.col("u").alias("node"), F.lit(1).alias("role"),
+            F.lit(None).cast("long").alias("parent"),
+        ).union(cur.select(
+            F.col("v").alias("node"), F.lit(2).alias("role"),
+            F.col("u").alias("parent"),
+        ))
+        bad = (
+            roles.groupBy("node")
+            .agg(F.expr("bit_or(role)").alias("r"),
+                 F.countDistinct("parent").alias("np"))
+            .filter((F.col("r") == 3) | (F.col("np") > 1))
+            .count()
+        )
+        if bad == 0:
             break
-        prev_sig = sig
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "
-            f"(last fingerprint {prev_sig}) — input exceeds the guard's "
-            "design range; raise max_rounds")
+            "— input exceeds the guard's design range; raise max_rounds")
     # fixpoint: star edges (child, root); roots appear only on the small
     # side. component of child = root, component of root = itself.
     children = cur.select(F.col("v").alias("node"),
