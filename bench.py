@@ -336,9 +336,14 @@ def main() -> None:
         if suspects:
             timings, retry_spreads = _run_query_suite(
                 spark, suspects, repeats, prior=timings)
+            # merge retry spreads into the FULL-suite spreads so the
+            # recorded fraction and the final verdict use the same
+            # statistic as the first pass (suspects-only would be
+            # biased high: they were selected FOR instability)
+            spreads = {**spreads, **retry_spreads}
             unstable_frac = round(
-                sum(s > 1.8 for s in retry_spreads.values())
-                / max(len(suspects), 1), 2)
+                sum(s > 1.8 for s in spreads.values())
+                / max(len(suite), 1), 2)
         control_post = _kernel_control()
     disk_post = _disk_probe()
     wall = round(time.perf_counter() - t_all, 3)

@@ -20,7 +20,10 @@ filesystem paths; an object store swaps the seam's one function):
 - ``batch-<id>/`` — parquet postings ``(id, vec, list_id, assign_cos)``
   assigned under the then-latest quantizer, plus ``_BATCH_META.json``
   (quantizer generation, batch mean assign_cos, drift flag) written last
-  through the seam — the batch commit point.  Duplicate ids refused.
+  through the seam — the batch commit point.  Duplicate BATCH ids refused
+  (the exactly-once ledger); row-id uniqueness across batches is the
+  CALLER's contract — appending the same vector id in two batches yields
+  two corpus rows, exactly as two parquet appends would.
 - ``compact-<n>/data/`` + ``MANIFEST.json`` — all covered postings
   re-assigned under one quantizer generation; the manifest is the commit
   point and lists the batch ids it covers.

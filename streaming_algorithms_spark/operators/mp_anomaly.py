@@ -83,10 +83,14 @@ def matrix_profile_per_series(df: DataFrame, series_col: str, order_col: str,
         # PHYSICAL plan (driver-side, no job): a planner-added Exchange
         # below the grouped stage means the input was not clustered.
         out = df.groupBy(series_col).applyInPandas(per_series, out_schema)
+        # anchor the match to a hash Exchange ON THE GROUP KEY (raw
+        # 'Exchange' substring counts misjudge reused/AQE-rewritten
+        # exchanges elsewhere in a complex-but-clustered input plan)
+        anchor = f"Exchange hashpartitioning({series_col}"
         n_in = df._jdf.queryExecution().executedPlan().toString().count(
-            "Exchange")
+            anchor)
         n_out = out._jdf.queryExecution().executedPlan().toString().count(
-            "Exchange")
+            anchor)
         if n_out > n_in:
             raise ValueError(
                 "matrix_profile_per_series(pre_partitioned=True): the "

@@ -115,12 +115,27 @@ def _stage_fingerprint(pages: DataFrame, params: dict) -> str:
     import json
     import re
 
+    import os
+
     try:
         files = sorted(pages.inputFiles())
     except Exception:
         files = []
     if files:
-        ident = files
+        # Path alone is NOT identity: a segment re-fetched IN PLACE (same
+        # path, new bytes) must invalidate the stage, so fold each file's
+        # size and mtime in.  Unstat-able paths (e.g. non-local URIs in a
+        # real deployment) contribute (None, None) — still path-keyed,
+        # never an exception.
+        def _stat(p):
+            local = re.sub(r"^file:/*", "/", p) if p.startswith("file:") else p
+            try:
+                st = os.stat(local)
+                return [p, st.st_size, st.st_mtime_ns]
+            except OSError:
+                return [p, None, None]
+
+        ident = [_stat(p) for p in files]
     else:
         qe = pages._jdf.queryExecution()
         ident = [re.sub(r"#\d+L?", "", qe.logical().toString()),

@@ -249,7 +249,7 @@ class SketchTable:
         self._check_meta(write_if_missing=True)
         partials = build_partials_with_lineage(
             df, [batch_col] + self.keys, factory, update, query_id=""
-        ).withColumn("query_id", F.col(batch_col))
+        ).withColumn("query_id", F.col(batch_col).cast("string"))
         # partials are serialized-sketch rows (kilobytes per batch): cache
         # them so the one corpus pass above feeds every per-batch write and
         # the ledger check below without re-scanning raw data
