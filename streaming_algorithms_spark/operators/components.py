@@ -98,8 +98,31 @@ def _small_star(canon: DataFrame) -> DataFrame:
     return emitted
 
 
+def _driver_union_find(rows) -> dict:
+    """Exact min-label components over collected (u, v) rows."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union toward the smaller root: roots stay component minima
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
 def connected_components(edges: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_rounds: int = 24) -> DataFrame:
+                         id_b: str = "id_b", max_rounds: int = 24,
+                         driver_threshold: int = 65536) -> DataFrame:
     """Component label (= component-minimum node id) for every node that
     appears in ``edges``.  Returns (node long, component long).
 
@@ -107,6 +130,18 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     with label = own id (``dedup_resolve`` does).  ``max_rounds`` is a
     diverged-input guard, not a tuning knob: O(log^2 n) rounds suffice
     for any graph, so 24 covers far beyond 2^24 nodes.
+
+    SMALL-GRAPH FAST PATH: the canonical edge list is materialized and
+    counted first; at or under ``driver_threshold`` edges the labels come
+    from ONE driver-side union-find over the collected pairs (bounded:
+    16 bytes/edge -> <= ~1 MiB at the default) instead of O(log^2 n)
+    distributed rounds.  Each star round costs ~5 tiny shuffle stages of
+    pure scheduler latency when the graph is verified-near-dup-pair
+    sized (measured 4.5-8 s for a few hundred edges on local[32]) — the
+    fast path replaces that with one count + one bounded collect.  At
+    10^12-doc scale the verified pair graph exceeds any sane threshold
+    and takes the distributed loop; pass ``driver_threshold=0`` to force
+    the loop (the stress tests do).
 
     Convergence action per round: a direct STAR-FOREST test — the edge
     set is a fixpoint iff no node is both a parent (u side) and a child
@@ -119,7 +154,17 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     — the fingerprint version always paid one extra full round (3 more
     edge-list shuffles) just to observe an unchanged set.
     """
+    spark = edges.sparkSession
     cur = _canon_edges(edges, id_a, id_b)
+    if driver_threshold > 0:
+        # one materialization feeds the count AND (fast path) the collect
+        # or (loop path) round 1's several references
+        cur = cur.localCheckpoint(eager=False)
+        if cur.count() <= driver_threshold:
+            labels = _driver_union_find(
+                (r[0], r[1]) for r in cur.collect())
+            return spark.createDataFrame(
+                list(labels.items()), "node long, component long")
     for round_no in range(max_rounds):
         # checkpoint every round: one round references its input several
         # times (symmetrize/emit unions in both stars), so an

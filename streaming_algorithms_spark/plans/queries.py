@@ -750,12 +750,16 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The gate also drives CLUSTER RESOLUTION (operators/components.py):
     comp_a/comp_b are the duplicate-cluster labels (= min reachable doc
-    id through the verified pair graph) from the distributed
-    large-star/small-star connected-components loop, hash-gated against
-    the oracle's recursive-CTE transitive closure over the same pairs.
-    The verified pair set is localCheckpoint'ed first so the O(log n)
-    CC rounds iterate a tiny materialized edge list, not the rerank
-    lineage."""
+    id through the verified pair graph), hash-gated against the oracle's
+    recursive-CTE transitive closure over the same pairs.  At gate scale
+    the pair graph is a few hundred edges, so connected_components takes
+    its small-graph driver fast path (one count + one bounded collect +
+    union-find) instead of paying O(log^2 n) rounds x ~5 shuffle stages
+    of pure scheduler latency (measured ~3.5 s here); the distributed
+    large-star/small-star loop is what runs at real scale and is gated
+    by the forced-loop stress tests in tests/test_components.py.
+    The verified pair set is localCheckpoint'ed first so neither path
+    recomputes the signature/banding/rerank lineage."""
     from ..operators.components import connected_components
     from ..operators.dedup import (
         exact_jaccard_for_pairs,

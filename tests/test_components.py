@@ -37,7 +37,10 @@ def _union_find_components(edges, nodes=None):
     return {n: find(n) for n in parent}
 
 
-def _run_cc(spark, edges):
+def _run_cc(spark, edges, driver_threshold=0):
+    # threshold 0 by default HERE: these stress tests exist to gate the
+    # distributed large-star/small-star loop, which the small-graph
+    # driver fast path would otherwise bypass on every one of them
     from streaming_algorithms_spark.operators.components import (
         connected_components,
     )
@@ -45,7 +48,7 @@ def _run_cc(spark, edges):
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
     )
-    got = connected_components(df)
+    got = connected_components(df, driver_threshold=driver_threshold)
     return {r["node"]: r["component"] for r in got.collect()}
 
 
@@ -88,6 +91,32 @@ def test_cc_star_fixpoint_input(spark):
 
 def test_cc_empty_edges(spark):
     assert _run_cc(spark, []) == {}
+    assert _run_cc(spark, [], driver_threshold=1000) == {}
+
+
+def test_cc_driver_fastpath_matches_distributed_loop(spark):
+    # default-threshold fast path and forced distributed loop must agree
+    # with each other and the oracle on path / clique / random shapes
+    rng = random.Random(11)
+    shapes = [
+        [(i, i + 1) for i in range(50)],
+        [(a, b) for a in range(8) for b in range(a + 1, 8)],
+        [(rng.randrange(80), rng.randrange(80)) for _ in range(160)],
+    ]
+    for edges in shapes:
+        edges = [e for e in edges if e[0] != e[1]]
+        want = _union_find_components(edges)
+        assert _run_cc(spark, edges, driver_threshold=65536) == want
+        assert _run_cc(spark, edges, driver_threshold=0) == want
+
+
+def test_cc_threshold_boundary_routes_to_loop(spark):
+    # exactly-at-threshold takes the fast path; one-over takes the loop —
+    # both produce identical labels
+    edges = [(i, i + 1) for i in range(10)]  # 10 canonical edges
+    want = _union_find_components(edges)
+    assert _run_cc(spark, edges, driver_threshold=10) == want
+    assert _run_cc(spark, edges, driver_threshold=9) == want
 
 
 def test_dedup_resolve_min_id_and_quality(spark):
@@ -139,4 +168,4 @@ def test_cc_round_guard_raises_not_hangs(spark):
 
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(df, max_rounds=0)
+        connected_components(df, max_rounds=0, driver_threshold=0)
