@@ -1,4 +1,5 @@
-"""Incrementally-maintained IVF ANN index: append -> (drift) refresh -> query.
+"""Incrementally-maintained IVF ANN index: append -> (drift) refresh -> query
+(``topk`` self-join over the contents, ``search`` for external query sets).
 
 The similarity path's continuous operating mode, mirroring
 ``sketch_table.SketchTable``: at 10^12 documents a full k-means plus a full
@@ -428,6 +429,34 @@ class IvfIndex:
         return ivf_search(assigned, cent, self.id_col, self.vec_col,
                           k=k, n_probe=n_probe,
                           corpus_pre_partitioned=prepart, n_parts=n_parts)
+
+    def search(self, queries: DataFrame, k: int = 10,
+               n_probe: int | None = 3) -> DataFrame:
+        """Top-k neighbors IN THE INDEX for every row of an EXTERNAL
+        query DataFrame (columns named like the index's id/vec pair; ids
+        unique — the rank window partitions on them) — the retrieval /
+        eval-set-decontamination verb, separated from update exactly as
+        every reference sketch separates update from query (reference
+        cm_sketch.h:70 update vs point_query).  ``n_probe=None`` probes
+        every list: provably exact vs brute force.  Same cogrouped
+        per-list BLAS plan as ``topk``; no self-exclusion (query and
+        corpus ids are separate namespaces), queries never collected, and
+        over a bucketed compact generation the corpus side still plans
+        with NO Exchange — only the query side shuffles."""
+        from .operators.similarity import ivf_search
+
+        missing = [c for c in (self.id_col, self.vec_col)
+                   if c not in queries.columns]
+        if missing:
+            raise ValueError(
+                f"search queries must carry the index's columns "
+                f"({self.id_col}, {self.vec_col}); missing {missing}")
+        _, cent, _ = self.latest_quantizer()
+        assigned, prepart, n_parts = self._routed_postings()
+        return ivf_search(assigned, cent, self.id_col, self.vec_col,
+                          k=k, n_probe=n_probe,
+                          corpus_pre_partitioned=prepart, n_parts=n_parts,
+                          queries=queries)
 
     def drift_report(self) -> list[dict]:
         """Per committed batch: quantizer gen, rows, mean assign cosine,

@@ -328,13 +328,25 @@ def assign_with_centroids(df: DataFrame, vec_col: str, cent: np.ndarray,
 def ivf_search(assigned: DataFrame, cent: np.ndarray, id_col: str,
                vec_col: str, k: int = 10, n_probe: int = 3,
                corpus_pre_partitioned: bool = False,
-               n_parts: int | None = None) -> DataFrame:
+               n_parts: int | None = None,
+               queries: DataFrame | None = None) -> DataFrame:
     """IVF probe + per-list exact rerank over an ALREADY-ASSIGNED corpus
     (`assigned` carries ``list_id``): queries replicate to their n_probe
     nearest lists, each list group computes one BLAS product emitting only
     local top-k rows, global window keeps the final top-k.  Factored out
     of ivf_topk so the incremental index (ivf_index.IvfIndex) reuses the
     identical search plan over its persisted postings.
+
+    ``queries=None`` (default) is the SELF-JOIN mode: the corpus queries
+    itself and each row's own id is excluded from its neighbors.  Passing
+    a ``queries`` DataFrame (same ``id_col``/``vec_col`` column names,
+    ids unique — the rank window partitions on them) searches an EXTERNAL
+    query set against the corpus — the retrieval / eval-decontamination
+    entry point.  No self-exclusion then: query and corpus ids are
+    separate namespaces, so an id collision must not suppress a true
+    neighbor.  The query side is never collected — it replicates
+    x n_probe through the same hash shuffle as self-join probes, so a
+    billion-row eval set is as fine as a ten-row one.
 
     ``corpus_pre_partitioned=True`` skips the corpus-side repartition for
     input already hash-clustered on ``list_id`` (IvfIndex's BUCKETED
@@ -353,7 +365,9 @@ def ivf_search(assigned: DataFrame, cent: np.ndarray, id_col: str,
         n_probe = n_lists
     sc = assigned.sparkSession.sparkContext
     b_cent = sc.broadcast(cent)
-    vec_type = dict(assigned.dtypes)[vec_col]
+    probe_src = assigned if queries is None else queries
+    exclude_self = queries is None
+    vec_type = dict(probe_src.dtypes)[vec_col]
     probe_schema = f"`{id_col}` long, `{vec_col}` {vec_type}, list_id int"
 
     def probes(batches):
@@ -371,8 +385,9 @@ def ivf_search(assigned: DataFrame, cent: np.ndarray, id_col: str,
                 "list_id": top.ravel().astype(np.int32),
             })
 
-    probe_df = assigned.select(id_col, vec_col).mapInPandas(
-        probes, probe_schema)
+    probe_df = probe_src.select(
+        F.col(id_col).cast("long").alias(id_col), vec_col
+    ).mapInPandas(probes, probe_schema)
     corpus = assigned.select(id_col, vec_col, "list_id")
     out_schema = f"`{id_col}` long, neighbor_id long, cosine double"
 
@@ -386,7 +401,8 @@ def ivf_search(assigned: DataFrame, cent: np.ndarray, id_col: str,
         order = np.argsort(ci)  # id-asc members => stable argsort tie-break
         ci, cm = ci[order], cm[order]
         sims = qm @ cm.T
-        sims[qi[:, None] == ci[None, :]] = -np.inf  # exclude self
+        if exclude_self:  # self-join mode only — external ids are a
+            sims[qi[:, None] == ci[None, :]] = -np.inf  # separate namespace
         kk = min(k, sims.shape[1])
         if kk == 1:
             sel = np.argmax(sims, axis=1)[:, None]  # first max = lowest id

@@ -251,3 +251,92 @@ def test_commit_protocol_and_stale_unit_rerouting(spark, tmp_path):
           for r in brute_force_topk(union, union, "vec_id", "embedding",
                                     k=1).collect()}
     assert got == bf
+
+
+def test_external_search_full_probe_exact(spark, tmp_path, clustered_halves):
+    """IvfIndex.search(): an EXTERNAL query set against the persisted
+    index — full probe equals brute force over the index contents, no
+    self-exclusion (a query sharing a corpus id still gets that corpus
+    row as a neighbor), and k>1 ranks match the oracle exactly."""
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+    from streaming_algorithms_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    half_a, half_b, union = clustered_halves
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "embedding")
+    idx.append(half_a, "day-0", n_lists=8)
+    idx.append(half_b, "day-1")
+
+    # external queries: perturbed copies of corpus vectors under NEW ids,
+    # PLUS one exact copy under a COLLIDING id (id-namespace check)
+    rng = np.random.default_rng(21)
+    base = union.orderBy("vec_id").limit(12).collect()
+    q_rows = [(10_000 + i,
+               [float(x) for x in
+                np.asarray(r["embedding"]) + rng.normal(scale=0.01, size=16)])
+              for i, r in enumerate(base)]
+    collide = base[0]
+    q_rows.append((int(collide["vec_id"]),
+                   [float(x) for x in collide["embedding"]]))
+    qdf = _mk_df(spark, q_rows)
+
+    got = idx.search(qdf, k=3, n_probe=None).collect()
+    # oracle: for each query row, top-3 among the index contents
+    bf = brute_force_topk(qdf, union, "vec_id", "embedding", k=3,
+                          exclude_self=False).collect()
+    key = lambda rows: {(r["vec_id"], r["rank"]):
+                        (r["neighbor_id"], round(r["cosine"], 9))
+                        for r in rows}
+    assert key(got) == key(bf)
+    # the colliding id's rank-1 neighbor is its own corpus twin, cosine 1
+    top1 = {r["vec_id"]: r for r in got if r["rank"] == 1}
+    hit = top1[collide["vec_id"]]
+    assert hit["neighbor_id"] == collide["vec_id"]
+    assert hit["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_external_search_partial_probe_recall_and_bucketed_plan(
+        spark, tmp_path):
+    """Partial-probe external search keeps recall >= 0.9 on clustered
+    data, and over a bucketed compact generation the corpus side plans
+    with NO Exchange (exactly one list_id Exchange: the query side)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+    from streaming_algorithms_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    dim = 16
+    centers = rng.normal(size=(6, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    corpus = _mk_df(spark, _clustered(rng, centers, 40, dim))
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "embedding")
+    idx.append(corpus, "day-0", n_lists=6)
+    idx.refresh()  # bucketed compact generation
+
+    q_rows = _clustered(rng, centers, 8, dim, id_base=50_000)
+    qdf = _mk_df(spark, q_rows)
+
+    out = idx.search(qdf, k=1, n_probe=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(True)
+    plan = buf.getvalue().split("== Physical Plan ==")[-1]
+    assert plan.count("Exchange hashpartitioning(list_id") == 1, plan
+
+    got = {r["vec_id"]: r["neighbor_id"] for r in out.collect()}
+    bf = {r["vec_id"]: r["neighbor_id"]
+          for r in brute_force_topk(qdf, corpus, "vec_id", "embedding",
+                                    k=1, exclude_self=False).collect()}
+    assert len(got) == len(bf) == len(q_rows)
+    recall = sum(got[q] == bf[q] for q in bf) / len(bf)
+    assert recall >= 0.9, recall
+
+    # column-contract error is eager and specific
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing"):
+        idx.search(qdf.withColumnRenamed("embedding", "vec"), k=1)
