@@ -395,3 +395,145 @@ def test_warc_stream_incremental_ingest(spark, tmp_path):
         return sorted((r["url"], r["warc_ts"], bytes(r["html"]))
                       for r in df.collect())
     assert rowset(got) == rowset(batch)
+
+
+def test_stream_to_incremental_stores_end_to_end(spark, tmp_path):
+    """The composed 10^12-doc operating loop (streaming/ingest.py): a WARC
+    drop directory streams through foreachBatch into BOTH incremental
+    stores — SketchTable (per-host HLL partials) and IvfIndex
+    (deterministic hash embeddings) — one append per micro-batch.  After
+    3 segments across two drains plus a mid-stream CRASH (injected after
+    the epoch's store commits but before the streaming checkpoint commits
+    the epoch), the replay is idempotent: exactly one batch per epoch in
+    each ledger, sketch estimates EQUAL the one-shot aggregate over
+    everything landed, and full-probe index search equals brute force."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+    from streaming_algorithms_spark.operators.sketch_agg import (
+        sketch_aggregate,
+    )
+    from streaming_algorithms_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from streaming_algorithms_spark.sketch_table import SketchTable
+    from streaming_algorithms_spark.sketches.hll import HyperLogLog
+    from streaming_algorithms_spark.sources.warc import (
+        read_warc,
+        read_warc_stream,
+        write_warc,
+    )
+    from streaming_algorithms_spark.sources.webpages import generate_webpages
+    from streaming_algorithms_spark.streaming.ingest import (
+        AppendRoute,
+        ingest_stream,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ck = str(tmp_path / "ck")
+
+    pages = generate_webpages(spark, 90, n_hosts=5, partitions=2).cache()
+    segs = [pages.filter(f"xxhash64(url) % 3 = {i}") for i in range(2)]
+    segs.append(pages.subtract(segs[0]).subtract(segs[1]))
+
+    def land(df, name):
+        d = tmp_path / ("stage_" + name)
+        write_warc(df.coalesce(1), str(d), compress=True, cc_style=True)
+        import os
+        import shutil
+        for f in os.listdir(str(d)):
+            if f.startswith("part-"):
+                shutil.move(str(d / f), str(drop / (name + ".warc.gz")))
+
+    # --- the two stores and their route transforms -----------------------
+    def factory():
+        return HyperLogLog(12)
+
+    def update(sk, pdf):  # closure: executors can't import from tests/
+        sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
+
+    def finalize(sk, rows):
+        return {"approx_distinct": int(round(sk.estimate())),
+                "rows_seen": rows}
+
+    schema = "approx_distinct bigint, rows_seen bigint"
+
+    def to_host_hashes(batch_df):
+        return batch_df.select(
+            F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"),
+            F.xxhash64("url").alias("_h"))
+
+    def to_embeddings(batch_df):
+        # deterministic 8-dim hash embedding: the Spark-side plumbing is
+        # the test subject, not the featurizer
+        return batch_df.select(
+            F.xxhash64("url").alias("vec_id"),
+            F.array(*[(F.xxhash64("url", F.lit(i)) % 1000)
+                      .cast("double") for i in range(8)]).alias("vec"))
+
+    table = SketchTable(spark, str(tmp_path / "tbl"), ["host"])
+    index = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "vec")
+    routes = [
+        AppendRoute(table, to_host_hashes,
+                    {"factory": factory, "update": update}),
+        AppendRoute(index, to_embeddings, {"n_lists": 4}),
+    ]
+
+    def drain(on_epoch=None):
+        q = ingest_stream(
+            read_warc_stream(spark, str(drop), max_files_per_trigger=1),
+            routes, ck, on_epoch=on_epoch)
+        q.awaitTermination(180)
+
+    # drain 1: two segments -> two epochs -> two batches per store
+    land(segs[0], "seg-a")
+    land(segs[1], "seg-b")
+    drain()
+    assert table.committed_batches() == ["epoch-000000000",
+                                         "epoch-000000001"]
+    assert index.committed_batches() == table.committed_batches()
+
+    # drain 2 with a CRASH: seg-c's epoch commits to both stores, then the
+    # injected failure kills the query BEFORE the checkpoint commits the
+    # epoch -- the classic replay window
+    land(segs[2], "seg-c")
+    armed = {"on": True}
+
+    def fail_once(epoch_id, batch_df):
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("injected crash before epoch commit")
+
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        drain(on_epoch=fail_once)
+    assert "epoch-000000002" in table.committed_batches()  # committed...
+
+    # restart from the SAME checkpoint: the epoch replays, both appends
+    # are skipped as already-committed (no "already exists" error), and
+    # the ledgers hold exactly one batch per epoch
+    drain()
+    assert table.committed_batches() == [
+        "epoch-000000000", "epoch-000000001", "epoch-000000002"]
+    assert index.committed_batches() == table.committed_batches()
+
+    # incremental == one-shot over everything landed (both stores)
+    everything = read_warc(spark, str(drop))
+    inc = (table.estimates(HyperLogLog.from_bytes, finalize, schema)
+           .orderBy("host").toPandas())
+    oneshot = (sketch_aggregate(to_host_hashes(everything), ["host"],
+                                factory, update, HyperLogLog.from_bytes,
+                                finalize, schema)
+               .orderBy("host").toPandas())
+    assert inc.equals(oneshot)
+
+    vecs = to_embeddings(everything)
+    got = {(r["vec_id"], r["rank"]): r["neighbor_id"]
+           for r in index.topk(k=1, n_probe=None).collect()}
+    bf = {(r["vec_id"], r["rank"]): r["neighbor_id"]
+          for r in brute_force_topk(vecs, vecs, "vec_id", "vec",
+                                    k=1).collect()}
+    assert got == bf
