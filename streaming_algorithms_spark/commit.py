@@ -33,6 +33,24 @@ def publish_file(tmp: str, final: str) -> None:
     os.replace(tmp, final)
 
 
+def list_units(path: str) -> list[str]:
+    """The DISCOVERY half of the commit protocol: names directly under a
+    store root (sketch-table / IVF-index unit dirs).  Every reader-side
+    enumeration routes through this one function so an object-store
+    deployment swaps it alongside ``publish_file`` (a LIST-prefix call
+    there; ``os.listdir`` locally).  A root that was never written has no
+    units — missing path returns ``[]``, matching LIST-on-empty-prefix
+    semantics.  Names come back sorted so discovery order is
+    deterministic across stores.  NOTE: listing is only candidate
+    enumeration — committedness is still decided per unit by its marker
+    (``_SUCCESS``/``_BATCH_META.json``/``MANIFEST.json``/``QUANT.json``),
+    so an eventually-consistent listing that surfaces an uncommitted
+    temporary never changes what a reader treats as live."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(os.listdir(path))
+
+
 def commit_json(obj: dict, final: str) -> None:
     """Write ``obj`` beside ``final`` then publish it through the seam —
     the shape every metadata commit (batch meta, manifest, staging marker)

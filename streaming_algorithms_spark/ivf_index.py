@@ -98,10 +98,8 @@ class IvfIndex:
             raise ValueError(f"no ivf index at {self.path!r}")
 
     def _quantizers(self) -> list[tuple[int, dict]]:
-        if not os.path.isdir(self.path):
-            return []
         out = []
-        for name in os.listdir(self.path):
+        for name in _commit.list_units(self.path):
             m = re.fullmatch(r"quantizer-(\d+)", name)
             if not m:
                 continue
@@ -120,10 +118,8 @@ class IvfIndex:
         return n, np.asarray(q["centroids"], np.float64), q["baseline_cos"]
 
     def committed_batches(self) -> list[str]:
-        if not os.path.isdir(self.path):
-            return []
         out = []
-        for name in sorted(os.listdir(self.path)):
+        for name in _commit.list_units(self.path):
             d = os.path.join(self.path, name)
             if (name.startswith("batch-")
                     and os.path.exists(os.path.join(d, "_SUCCESS"))
@@ -132,10 +128,8 @@ class IvfIndex:
         return out
 
     def _generations(self) -> list[tuple[int, dict]]:
-        if not os.path.isdir(self.path):
-            return []
         gens = []
-        for name in os.listdir(self.path):
+        for name in _commit.list_units(self.path):
             m = re.fullmatch(r"compact-(\d+)", name)
             if not m:
                 continue

@@ -28,8 +28,9 @@ sources/warc.py's task-commit story).  Metadata commits go through the
 ``commit.publish_file`` seam: on THIS implementation that is driver-local
 ``os.replace`` plus ``os.listdir`` discovery, so the table path must be a
 filesystem visible to the driver (local disk / NFS); an object-store
-deployment swaps the seam's one function for the store's atomic
-primitive and the listing helpers for its list API — the protocol design
+deployment swaps the seam's TWO functions — ``commit.publish_file`` for
+the store's atomic primitive and ``commit.list_units`` (every reader's
+unit enumeration routes through it) for its list API — the protocol design
 (what is written before the swap, what a reader treats as committed) is
 already store-shaped and fault-injection-tested through the seam:
 
@@ -139,10 +140,8 @@ class SketchTable:
         AND the append's own ``_BATCH_META.json`` (written after, via
         atomic rename — the batch-level commit point carrying the
         version stamp).  A dir missing either is a crashed append."""
-        if not os.path.isdir(self.path):
-            return []
         out = []
-        for name in sorted(os.listdir(self.path)):
+        for name in _commit.list_units(self.path):
             d = os.path.join(self.path, name)
             if (name.startswith("batch-")
                     and os.path.exists(os.path.join(d, "_SUCCESS"))
@@ -152,10 +151,8 @@ class SketchTable:
 
     def _generations(self) -> list[tuple[int, dict]]:
         """(n, manifest) for every manifest-committed compact generation."""
-        if not os.path.isdir(self.path):
-            return []
         gens = []
-        for name in os.listdir(self.path):
+        for name in _commit.list_units(self.path):
             m = re.fullmatch(r"compact-(\d+)", name)
             if not m:
                 continue

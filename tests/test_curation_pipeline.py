@@ -348,3 +348,72 @@ def test_curate_from_warc_archive(spark, webpages, tmp_path):
     # extraction really ran: kept docs decode to non-empty text
     assert all(t for t in texts)
     src.unpersist()
+
+
+def test_discovery_seam_list_units_double(spark, tmp_path, monkeypatch):
+    """Discovery routes through the seam's SECOND function
+    (commit.list_units): both stores' unit enumeration must call it (an
+    object-store deployment swaps it for LIST-prefix), an
+    eventually-consistent double that surfaces phantom/uncommitted
+    entries changes nothing a reader treats as live (committedness is
+    per-unit markers, not listing), and one that HIDES a committed unit
+    hides it everywhere consistently."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark import commit as commit_mod
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+    from streaming_algorithms_spark.sketch_table import SketchTable
+
+    def factory():
+        from streaming_algorithms_spark.sketches.hll import HyperLogLog
+        return HyperLogLog(12)
+
+    def update(sk, pdf):
+        sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
+
+    b = (spark.range(0, 200)
+         .select(F.concat(F.lit("lang"), (F.col("id") % 3)).alias("lang"),
+                 F.xxhash64("id").alias("_h")).repartition(2))
+    t = SketchTable(spark, str(tmp_path / "tbl"), ["lang"])
+    t.append(b, "day-0", factory, update)
+
+    vecs = spark.range(0, 60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.xxhash64("id", F.lit(i)) % 100).cast("double")
+                  for i in range(4)]).alias("vec"))
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "vec")
+    idx.append(vecs, "day-0", n_lists=2)
+
+    # 1) both stores actually enumerate through the seam
+    calls = []
+    real = commit_mod.list_units
+
+    def recorder(path):
+        calls.append(path)
+        return real(path)
+
+    monkeypatch.setattr(commit_mod, "list_units", recorder)
+    assert t.committed_batches() == ["day-0"]
+    assert idx.committed_batches() == ["day-0"]
+    idx.latest_quantizer()
+    assert str(tmp_path / "tbl") in calls and str(tmp_path / "ivf") in calls
+
+    # 2) phantom entries from an eventually-consistent listing are inert:
+    # markers, not the listing, decide committedness
+    def phantoms(path):
+        return real(path) + ["batch-ghost", "compact-000099",
+                             "quantizer-7", ".trash"]
+
+    monkeypatch.setattr(commit_mod, "list_units", phantoms)
+    assert t.committed_batches() == ["day-0"]
+    assert t.live_units() == ["batch-day-0"]
+    assert idx.committed_batches() == ["day-0"]
+    assert idx.latest_quantizer()[0] == 0
+
+    # 3) a listing that hides units hides them consistently (the reader
+    # sees a coherent older state, never a half-visible one)
+    monkeypatch.setattr(commit_mod, "list_units", lambda path: [])
+    assert t.committed_batches() == []
+    assert t.live_units() == []
+    assert idx.committed_batches() == []
