@@ -5,7 +5,10 @@ pretraining-data user actually runs, as ONE lazy Spark plan:
 
     WARC segments -> extract text -> quality/lang/repetition signals
       -> exact dedup -> near-dup dedup (MinHash LSH + connected
-         components, quality-aware survivor) -> filter -> split
+         components, quality-aware survivor)
+      -> semantic dedup (optional, SemDeDup-style over a precomputed
+         embedding column — same LSH/components/election shape)
+      -> filter -> split
       -> sequence-packing plan for the train stream
 
 ``curate()`` returns a :class:`CurationPlan` of three DataFrames the
@@ -21,8 +24,9 @@ extracted corpus to a parquet staging table up front.
 
 Funnel accounting is a *column*, not a sequence of filters: every input
 document is annotated with the first ``drop_reason`` that applies
-(``exact_duplicate`` / ``near_duplicate`` / ``contaminated`` /
-``lang`` / ``low_quality`` / ``repetitive`` / NULL = kept), so the
+(``exact_duplicate`` / ``near_duplicate`` / ``semantic_duplicate`` /
+``contaminated`` / ``lang`` / ``low_quality`` / ``repetitive`` /
+NULL = kept), so the
 full attrition report is ONE aggregation over one plan instead of a
 count-per-stage job cascade — at 100 TB that is the difference between
 one corpus pass and six.
@@ -79,7 +83,9 @@ class CurationPlan:
 
     ``annotated``: every input document with its signals and verdict —
     (doc_id, url, warc_ts, text, n_tokens, lang, quality,
-    dup_3gram_frac, top_2gram_frac, component, drop_reason).
+    dup_3gram_frac, top_2gram_frac, component, drop_reason); with an
+    ``embedding_col``, also the embedding and its ``sem_component``
+    semantic-cluster label.
     ``kept``: the curated corpus (drop_reason IS NULL) plus ``split``.
     ``train_packing``: sequence coordinates for the train split
     (doc_id, n_tokens, start_offset, start_seq, start_pos, end_seq).
@@ -145,32 +151,42 @@ def _stage_fingerprint(pages: DataFrame, params: dict) -> str:
 
 
 def _extract(pages: DataFrame, url_col: str, ts_col: str,
-             html_col: str, doc_id) -> DataFrame:
-    """(doc_id, url, warc_ts, text): the extraction map with identity
-    columns carried through — html_to_text's batch extractor, without
-    the id-keyed join a two-output-column operator would force (the
-    join would shuffle every extracted text; this shuffles nothing).
-    ``doc_id`` is the caller's id Column expression (see ``curate``'s
-    ``id_col`` for the uniqueness contract and collision math)."""
+             html_col: str, doc_id,
+             passthrough: list[tuple[str, str]] = ()) -> DataFrame:
+    """(doc_id, url, warc_ts, text[, passthrough...]): the extraction map
+    with identity columns carried through — html_to_text's batch
+    extractor, without the id-keyed join a two-output-column operator
+    would force (the join would shuffle every extracted text; this
+    shuffles nothing).  ``doc_id`` is the caller's id Column expression
+    (see ``curate``'s ``id_col`` for the uniqueness contract and
+    collision math).  ``passthrough``: (name, ddl_type) columns of
+    ``pages`` carried through the map unchanged (e.g. a precomputed
+    embedding column for the semantic-dedup stage)."""
+    extra = list(passthrough)
 
     def gen(batches):
         for pdf in batches:
-            yield pd.DataFrame({
+            out = {
                 "doc_id": pdf["doc_id"],
                 "url": pdf["url"],
                 "warc_ts": pdf["warc_ts"],
                 "text": extract_text_series(pdf["html"]),
-            })
+            }
+            for name, _ in extra:
+                out[name] = pdf[name]
+            yield pd.DataFrame(out)
 
+    schema = ("doc_id long, url string, warc_ts timestamp, text string"
+              + "".join(f", `{n}` {t}" for n, t in extra))
     return (
         pages.select(
             doc_id.alias("doc_id"),
             F.col(url_col).alias("url"),
             F.col(ts_col).alias("warc_ts"),
             F.col(html_col).alias("html"),
+            *[F.col(n) for n, _ in extra],
         )
-        .mapInPandas(gen, "doc_id long, url string, warc_ts timestamp, "
-                          "text string")
+        .mapInPandas(gen, schema)
     )
 
 
@@ -183,6 +199,10 @@ def curate(pages: DataFrame, *,
            num_hashes: int = 128,
            bands: int = 32,
            shingle_n: int = 3,
+           embedding_col: str | None = None,
+           semantic_threshold: float = 0.95,
+           semantic_n_bits: int = 8,
+           semantic_n_tables: int = 12,
            decontaminate_against: DataFrame | None = None,
            decontaminate_text_col: str = "text",
            decontaminate_min_shared: int = 3,
@@ -215,6 +235,21 @@ def curate(pages: DataFrame, *,
     allow-list); defaults are permissive — tune per corpus.  The
     near-dup survivor per duplicate cluster is the highest-quality
     member (ties: min doc_id), so re-runs keep the same documents.
+
+    ``embedding_col``: a precomputed document-embedding column of
+    ``pages`` (``array<float>``/``array<double>``) — when given, a
+    SEMANTIC near-dup stage (SemDeDup-style, Abbas et al. 2023) runs
+    AFTER the text near-dup verdict, over only the docs still alive:
+    random-hyperplane LSH candidates + exact cosine rerank at
+    ``semantic_threshold`` (operators/similarity.embedding_near_dup_
+    pairs — rows x n_tables shuffle, never all-pairs), connected
+    components over the verified pair graph, and the SAME
+    quality-aware survivor election as the text stage.  Losers drop as
+    ``semantic_duplicate``; ``annotated`` gains a ``sem_component``
+    cluster label.  Docs with a NULL embedding are exempt (never
+    dropped by this stage).  The two stages are complementary: MinHash
+    catches lexical copies, embeddings catch paraphrases MinHash
+    cannot see.
 
     ``decontaminate_against``: an evaluation/benchmark set (any
     DataFrame with a ``decontaminate_text_col`` column) — corpus docs
@@ -249,15 +284,23 @@ def curate(pages: DataFrame, *,
     splits = dict(splits) if splits is not None else dict(DEFAULT_SPLITS)
     did = (F.col(id_col).cast("long") if id_col is not None
            else F.xxhash64(F.col(url_col), F.col(ts_col)))
+    if embedding_col is not None and embedding_col not in pages.columns:
+        raise ValueError(
+            f"embedding_col {embedding_col!r} is not a column of pages "
+            f"({pages.columns})")
+    emb_cols = ([] if embedding_col is None
+                else [(embedding_col, dict(pages.dtypes)[embedding_col])])
     if text_col is not None:
         docs = pages.select(
             did.alias("doc_id"),
             F.col(url_col).alias("url"),
             F.col(ts_col).alias("warc_ts"),
             F.col(text_col).alias("text"),
+            *[F.col(n) for n, _ in emb_cols],
         )
     else:
-        docs = _extract(pages, url_col, ts_col, html_col, did)
+        docs = _extract(pages, url_col, ts_col, html_col, did,
+                        passthrough=emb_cols)
     if isinstance(stage, str):
         # Reuse-if-completed backs the "resumable" claim: a completed
         # staging table is read as-is, so a re-run after a downstream
@@ -274,6 +317,9 @@ def curate(pages: DataFrame, *,
         fp = _stage_fingerprint(pages, {
             "text_col": text_col, "html_col": html_col,
             "url_col": url_col, "ts_col": ts_col, "id_col": id_col,
+            # staged schema depends on the passthrough column; a stage
+            # written without it must not satisfy a call that needs it
+            "embedding_col": embedding_col,
         })
         meta_path = os.path.join(stage, "_STAGE_META.json")
         data_path = os.path.join(stage, "data")
@@ -370,6 +416,35 @@ def curate(pages: DataFrame, *,
                                    F.col("is_canonical").alias("_near_keep")),
                    "doc_id", "left")
 
+    # Semantic near-dup (SemDeDup-style) over docs still alive after the
+    # text stages — lexical copies are already gone, so the embedding
+    # pass prices only paraphrase candidates.  Same LSH-not-all-pairs
+    # scale shape (rows x n_tables shuffle, exact cosine on candidates
+    # only) and the same quality-aware survivor election.  NULL-embedding
+    # docs are exempt: absence of evidence never drops a doc.
+    if embedding_col is not None:
+        from .operators.similarity import embedding_near_dup_pairs
+        alive = (
+            sig.filter(F.col("_exact_keep")
+                       & F.coalesce("_near_keep", F.lit(True))
+                       & F.col(embedding_col).isNotNull())
+            .select("doc_id", embedding_col, "quality"))
+        if stage:  # several consumers: LSH signatures, rerank, election
+            from pyspark import StorageLevel
+            alive = alive.persist(StorageLevel.MEMORY_AND_DISK)
+        sem_pairs = embedding_near_dup_pairs(
+            alive, "doc_id", embedding_col, threshold=semantic_threshold,
+            n_bits=semantic_n_bits, n_tables=semantic_n_tables)
+        sem = dedup_resolve(alive, sem_pairs, "doc_id",
+                            quality_col="quality")
+        sig = sig.join(
+            sem.select("doc_id",
+                       F.col("component").alias("sem_component"),
+                       F.col("is_canonical").alias("_sem_keep")),
+            "doc_id", "left")
+    else:
+        sig = sig.withColumn("_sem_keep", F.lit(None).cast("boolean"))
+
     if decontaminate_against is not None:
         from .operators.text import cross_fingerprint_overlap
         # distinct eval texts: a benchmark item repeated in the eval set
@@ -399,6 +474,8 @@ def curate(pages: DataFrame, *,
     drop = (
         F.when(~F.col("_exact_keep"), F.lit("exact_duplicate"))
         .when(~F.coalesce("_near_keep", F.lit(True)), F.lit("near_duplicate"))
+        .when(~F.coalesce("_sem_keep", F.lit(True)),
+              F.lit("semantic_duplicate"))
         .when(F.coalesce("_contaminated", F.lit(False)),
               F.lit("contaminated"))
         .when(~lang_ok, F.lit("lang"))
@@ -412,7 +489,7 @@ def curate(pages: DataFrame, *,
     )
     annotated = (
         sig.withColumn("drop_reason", drop)
-        .drop("_exact_keep", "_near_keep", "_contaminated")
+        .drop("_exact_keep", "_near_keep", "_sem_keep", "_contaminated")
     )
 
     from .operators.sampling import assign_splits

@@ -417,3 +417,117 @@ def test_discovery_seam_list_units_double(spark, tmp_path, monkeypatch):
     assert t.committed_batches() == []
     assert t.live_units() == []
     assert idx.committed_batches() == []
+
+
+def _sem_rows():
+    """Planted semantic-dedup corpus: every stage's interaction with the
+    embedding pass pinned by one case.  Texts reuse the _planted_rows
+    filler shape (lang=en, quality comfortably above the floor); vocab
+    is unique per doc except the planted near-dup pair."""
+    def filler(tag, n=30):
+        toks = [f"{tag}tok{i}" for i in range(n)]
+        return ("the " + " ".join(toks[:10]) + " and of is "
+                + " ".join(toks[10:]) + " the and")
+
+    def axis(i, dim=8):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    near_axis = axis(7)
+    near_axis_jig = [0.001] + near_axis[1:]
+    sem_a = axis(0)
+    sem_b = [0.9999, 0.0141] + [0.0] * 6  # cosine ~0.9999 to sem_a
+    rows = []
+    # exact text pair (same embedding): loser is exact_duplicate, the
+    # embedding stage never sees it
+    ex = filler("exact")
+    rows.append(("https://ex.com/e0", _TS, ex, axis(6)))
+    rows.append(("https://ex.com/e1", _TS, ex, axis(6)))
+    # text near-dup pair whose embeddings are ALSO near-identical: the
+    # loser drops as near_duplicate (verdict order), the survivor is its
+    # semantic cluster's only alive member -> kept
+    base = [f"near{i}" for i in range(60)]
+    rows.append(("https://ex.com/n1", _TS,
+                 "the " + " ".join(base) + " and of is one", near_axis))
+    rows.append(("https://ex.com/n2", _TS,
+                 "the " + " ".join(base) + " and of is two", near_axis_jig))
+    # the planted SEMANTIC pair: lexically disjoint (no minhash pair),
+    # embeddings at cosine ~0.9999 -> one drops as semantic_duplicate
+    rows.append(("https://ex.com/s1", _TS, filler("semA"), sem_a))
+    rows.append(("https://ex.com/s2", _TS, filler("semB"), sem_b))
+    # orthogonal-embedding controls: kept
+    for i in range(3):
+        rows.append((f"https://ex.com/k{i}", _TS, filler(f"ctl{i}"),
+                     axis(i + 2)))
+    # NULL embedding: exempt from the semantic stage, kept
+    rows.append(("https://ex.com/nul", _TS, filler("nullemb"), None))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def semantic_plan(spark):
+    df = spark.createDataFrame(
+        _sem_rows(),
+        "url string, warc_ts timestamp, text string, emb array<double>")
+    return curate(df, text_col="text", embedding_col="emb",
+                  near_threshold=0.8, semantic_threshold=0.95,
+                  seq_len=64, splits={"train": 1.0})
+
+
+def test_semantic_funnel_counts_exact(semantic_plan):
+    funnel = {r["stage"]: r["docs"]
+              for r in semantic_plan.funnel().collect()}
+    assert funnel == {"exact_duplicate": 1, "near_duplicate": 1,
+                      "semantic_duplicate": 1, "kept": 7}
+
+
+def test_semantic_pair_election_and_cluster(semantic_plan):
+    ann = semantic_plan.annotated
+    pair = ann.filter(F.col("url").rlike("/s[12]$")).collect()
+    dropped = [r for r in pair if r["drop_reason"] == "semantic_duplicate"]
+    survived = [r for r in pair if r["drop_reason"] is None]
+    assert len(dropped) == 1 and len(survived) == 1
+    # both members carry the same semantic-cluster label
+    assert dropped[0]["sem_component"] == survived[0]["sem_component"]
+    assert survived[0]["sem_component"] is not None
+    # quality-aware election: survivor is the (quality desc, id asc) max
+    assert ((survived[0]["quality"], -survived[0]["doc_id"])
+            >= (dropped[0]["quality"], -dropped[0]["doc_id"]))
+    # exempt + control docs untouched by the semantic stage
+    nul = ann.filter(F.col("url") == "https://ex.com/nul").collect()[0]
+    assert nul["drop_reason"] is None and nul["sem_component"] is None
+    ctl = ann.filter(F.col("url").rlike("/k[0-9]$")).collect()
+    assert all(r["drop_reason"] is None for r in ctl)
+    # verdict ORDER: the text near-dup loser stays near_duplicate even
+    # though its embedding also matches its twin; the twin is kept
+    near = {r["url"]: r["drop_reason"]
+            for r in ann.filter(F.col("url").rlike("/n[12]$")).collect()}
+    assert sorted(near.values(), key=str) == ["near_duplicate", "None"] or \
+        sorted(v for v in near.values() if v) == ["near_duplicate"]
+    assert list(near.values()).count(None) == 1
+
+
+def test_semantic_stage_through_extraction_passthrough(spark):
+    """The html-extraction path carries the embedding column through the
+    Arrow map (passthrough), and the semantic verdict still lands."""
+    def page(tag):
+        body = "the " + " ".join(f"{tag}w{i}" for i in range(40)) \
+               + " and of is the and"
+        return f"<html><body><p>{body}</p></body></html>".encode()
+
+    rows = [
+        ("https://x.com/a", _TS, page("aa"), [1.0, 0.0, 0.0, 0.0]),
+        ("https://x.com/b", _TS, page("bb"), [0.9999, 0.0141, 0.0, 0.0]),
+        ("https://x.com/c", _TS, page("cc"), [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "emb array<double>")
+    plan = curate(df, embedding_col="emb", splits={"train": 1.0})
+    ann = plan.annotated.collect()
+    reasons = sorted(str(r["drop_reason"]) for r in ann)
+    assert reasons == ["None", "None", "semantic_duplicate"]
+    sem = [r for r in ann if r["drop_reason"] == "semantic_duplicate"][0]
+    assert sem["url"] in ("https://x.com/a", "https://x.com/b")
+    assert all(r["text"] for r in ann)  # extraction really ran
