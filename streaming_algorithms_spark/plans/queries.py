@@ -758,8 +758,10 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     of pure scheduler latency (measured ~3.5 s here); the distributed
     large-star/small-star loop is what runs at real scale and is gated
     by the forced-loop stress tests in tests/test_components.py.
-    The verified pair set is localCheckpoint'ed first so neither path
-    recomputes the signature/banding/rerank lineage."""
+    The verified pair set is localCheckpoint'ed (LAZILY — the fast
+    path's own count materializes it, so the gate pays exactly one
+    pipeline-sized job plus two tiny ones) so neither path recomputes
+    the signature/banding/rerank lineage."""
     from ..operators.components import connected_components
     from ..operators.dedup import (
         exact_jaccard_for_pairs,
@@ -788,7 +790,7 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("est_jaccard") - F.col("jaccard"))
              <= 4 * sigma + 1.0 / 128).alias("minhash_ok"),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     comp = connected_components(base.select("id_a", "id_b"))
     ca = comp.select(F.col("node").alias("id_a"),
                      F.col("component").alias("comp_a"))
@@ -1005,7 +1007,11 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     appends = quantizer fit + one Arrow assignment pass over the new
     batch only) and ``incremental_ok`` asserts its full-probe top-1
     EQUALS the one-shot build's per query — full probe is exact, so the
-    gate is equality, not a recall band."""
+    gate is equality, not a recall band.  ``search_ok`` gates the
+    index's EXTERNAL-query verb the same way: a re-id'd query slice hits
+    the SAME persisted index via ``IvfIndex.search`` at full probe and
+    must equal the driver-broadcast brute force over (queries x index
+    contents) with no self-exclusion."""
     import shutil
     import tempfile
 
@@ -1035,12 +1041,29 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~F.col("ref_n").eqNullSafe(F.col("inc_n")))
                   .cast("int")).alias("bad")).collect()[0])
         incremental_ok = int(row["n"]) > 0 and int(row["bad"] or 0) == 0
+        # external-query verb against the SAME persisted index: re-id a
+        # sub-slice (disjoint id namespace) and full-probe search it —
+        # exact, so equality vs brute force with exclude_self=False
+        qext = (sub.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
+                .select((F.col("vec_id") + F.lit(10_000_000))
+                        .alias("vec_id"), "embedding"))
+        got_s = idx.search(qext, k=1, n_probe=None).select(
+            "vec_id", F.col("neighbor_id").alias("s_n"))
+        ref_s = brute_force_topk(qext, sub, "vec_id", "embedding", k=1,
+                                 exclude_self=False).select(
+            "vec_id", F.col("neighbor_id").alias("r_n"))
+        row_s = (ref_s.join(got_s, "vec_id", "full").agg(
+            F.count("*").alias("n"),
+            F.sum((~F.col("r_n").eqNullSafe(F.col("s_n")))
+                  .cast("int")).alias("bad")).collect()[0])
+        search_ok = int(row_s["n"]) > 0 and int(row_s["bad"] or 0) == 0
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return (
         ivf_topk(emb, "vec_id", "embedding", k=1, n_lists=8, n_probe=8)
         .select("vec_id", F.col("neighbor_id").alias("ivf_neighbor"),
-                F.lit(incremental_ok).alias("incremental_ok"))
+                F.lit(incremental_ok).alias("incremental_ok"),
+                F.lit(search_ok).alias("search_ok"))
         .orderBy("vec_id")
     )
 
@@ -2964,7 +2987,7 @@ ORACLES = {
     # ann_top1, exercised through the distributed IVF machinery
     "ivf_topk_embeddings": """
         SELECT vec_id, neighbor_id AS ivf_neighbor,
-               TRUE AS incremental_ok FROM (
+               TRUE AS incremental_ok, TRUE AS search_ok FROM (
             SELECT a.vec_id, b.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (
                        PARTITION BY a.vec_id
