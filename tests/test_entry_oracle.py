@@ -153,6 +153,7 @@ def test_packing_degenerate_docs_cross_engine_parity(spark):
 @pytest.mark.parametrize("name", ["checkpoint_resume_events",
                                   "corpus_card_documents",
                                   "embedding_near_dups",
+                                  "ivf_topk_embeddings",
                                   "lsh_topk_embeddings",
                                   "streaming_sketches_events"])
 def test_scale_sensitive_gates_green_at_sf0001(spark, name):
