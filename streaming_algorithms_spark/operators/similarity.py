@@ -196,6 +196,52 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def cross_set_near_dup_pairs(left: DataFrame, right: DataFrame,
+                             id_col: str, vec_col: str,
+                             threshold: float = 0.95, n_bits: int = 8,
+                             n_tables: int = 12,
+                             seed: int = 42) -> DataFrame:
+    """CROSS-set near-duplicate pairs (cosine >= threshold) between two
+    corpora — the semantic-decontamination join shape: which left-side
+    (training) vectors semantically match ANY right-side (benchmark)
+    vector.  Both frames need ``id_col``/``vec_col`` columns; the id
+    namespaces are independent (id_a always names a left row, id_b a
+    right row — a collision across sides is fine).
+
+    Scale shape mirrors embedding_near_dup_pairs: both sides are
+    bucketed by the SAME seeded hyperplanes (one Arrow pass each, all
+    n_tables at once), candidates come from ONE (table, bucket)
+    left x right join — never an intra-set pair, never the
+    |left| x |right| product — and the exact Arrow-vectorized cosine
+    reranks candidates only, so there are no false positives and the
+    per-pair recall bound is the same Charikar expression (~0.988 at
+    c=0.95 for the defaults).  The right side is typically an eval
+    set (thousands of rows), the left a corpus (billions): the shuffle
+    is rows x n_tables hashes on each side, and hot buckets are bounded
+    by the bucket join itself, not by a pairs materialization."""
+    sig_l = lsh_bucket_table(left, id_col, vec_col, n_bits, n_tables,
+                             seed=seed)
+    sig_r = lsh_bucket_table(right, id_col, vec_col, n_bits, n_tables,
+                             seed=seed)
+    cands = (
+        sig_l.select(F.col(id_col).alias("id_a"), "table", "bucket")
+        .join(sig_r.select(F.col(id_col).alias("id_b"), "table", "bucket"),
+              ["table", "bucket"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = left.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("vec_a"))
+    vb = right.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vec_b"))
+    return (
+        cands.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", _cosine_pd()(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def auto_n_lists(n_rows: int) -> int:
     """IVF sizing policy: n_lists ~ sqrt(N) (the standard IVF heuristic —
     balances list length N/L against probe fan-out L), clamped to [4, 4096].

@@ -25,8 +25,8 @@ extracted corpus to a parquet staging table up front.
 Funnel accounting is a *column*, not a sequence of filters: every input
 document is annotated with the first ``drop_reason`` that applies
 (``exact_duplicate`` / ``near_duplicate`` / ``semantic_duplicate`` /
-``contaminated`` / ``lang`` / ``low_quality`` / ``repetitive`` /
-NULL = kept), so the
+``contaminated`` / ``contaminated_semantic`` / ``lang`` /
+``low_quality`` / ``repetitive`` / NULL = kept), so the
 full attrition report is ONE aggregation over one plan instead of a
 count-per-stage job cascade — at 100 TB that is the difference between
 one corpus pass and six.
@@ -48,7 +48,9 @@ Scale shape of the composed plan (sf-independent):
 - decontamination (optional): winnowed fingerprints on corpus + eval
   set, one fingerprint-hash shuffle with the combined-frequency
   boilerplate cap (operators/text.cross_fingerprint_overlap) — linear
-  in fingerprints, never a corpus x eval product.
+  in fingerprints, never a corpus x eval product.  The optional
+  SEMANTIC variant (cross_set_near_dup_pairs) buckets both sets with
+  shared hyperplanes and joins corpus x eval on (table, bucket) only.
 - split: pure hash arithmetic, no shuffle.
 - packing: the two-pass range-partitioned cumsum (operators/text.py)
   — no corpus-wide single-task window.
@@ -207,6 +209,8 @@ def curate(pages: DataFrame, *,
            decontaminate_text_col: str = "text",
            decontaminate_min_shared: int = 3,
            decontaminate_k: int = 32,
+           decontaminate_embedding_col: str | None = None,
+           decontaminate_cosine: float = 0.95,
            lang_allow: list[str] | None = None,
            min_quality: float = 0.3,
            max_dup_3gram_frac: float = 0.5,
@@ -264,6 +268,21 @@ def curate(pages: DataFrame, *,
     synthetic zipf-vocab corpus off 25 eval docs; k=32/min_shared=3
     flags the actual quote sources).
 
+    ``decontaminate_embedding_col``: a document-embedding column of
+    ``decontaminate_against`` — when given (requires ``embedding_col``
+    on the corpus side too), a SEMANTIC decontamination stage also
+    runs: corpus docs whose embedding reaches cosine >=
+    ``decontaminate_cosine`` against ANY eval embedding drop as
+    ``contaminated_semantic``.  The join shape is
+    operators/similarity.cross_set_near_dup_pairs — both sets bucketed
+    by the SAME seeded hyperplanes, one (table, bucket) corpus x eval
+    join, exact cosine rerank on candidates only; never the
+    |corpus| x |eval| product.  The two decontamination stages are
+    complementary exactly like the two dedup stages: fingerprints
+    catch verbatim benchmark quotes, embeddings catch paraphrased or
+    translated restatements that share no 32-byte-gram.  NULL
+    embeddings (either side) are exempt.
+
     ``stage`` controls the staging boundary on the extracted corpus.
     The plan fans ``docs`` into four branches (signals, repetition,
     exact groups, minhash survivors) and Spark does NOT dedupe common
@@ -288,6 +307,19 @@ def curate(pages: DataFrame, *,
         raise ValueError(
             f"embedding_col {embedding_col!r} is not a column of pages "
             f"({pages.columns})")
+    if decontaminate_embedding_col is not None:
+        if decontaminate_against is None:
+            raise ValueError(
+                "decontaminate_embedding_col requires decontaminate_against")
+        if embedding_col is None:
+            raise ValueError(
+                "semantic decontamination needs embedding_col on the "
+                "corpus side too")
+        if decontaminate_embedding_col not in decontaminate_against.columns:
+            raise ValueError(
+                f"decontaminate_embedding_col "
+                f"{decontaminate_embedding_col!r} is not a column of "
+                f"decontaminate_against ({decontaminate_against.columns})")
     emb_cols = ([] if embedding_col is None
                 else [(embedding_col, dict(pages.dtypes)[embedding_col])])
     if text_col is not None:
@@ -469,6 +501,35 @@ def curate(pages: DataFrame, *,
     else:
         sig = sig.withColumn("_contaminated", F.lit(None).cast("boolean"))
 
+    if (decontaminate_against is not None
+            and decontaminate_embedding_col is not None):
+        from .operators.similarity import cross_set_near_dup_pairs
+        # eval ids are pure bookkeeping (only id_a — the corpus side —
+        # is consumed); xxhash64 over the vector is deterministic across
+        # the two subplans that re-scan the eval frame, unlike
+        # monotonically_increasing_id
+        ev_emb = (decontaminate_against
+                  .select(F.col(decontaminate_embedding_col).alias("emb"))
+                  .filter(F.col("emb").isNotNull()).distinct()
+                  .select(F.xxhash64("emb").alias("doc_id"), "emb"))
+        # same economy as the fingerprint stage: exact survivors only —
+        # an exact duplicate's verdict is already decided upstream of
+        # the contamination branches of the drop chain
+        corp = (sig.filter(F.col("_exact_keep")
+                           & F.col(embedding_col).isNotNull())
+                .select("doc_id", F.col(embedding_col).alias("emb")))
+        sem_hits = cross_set_near_dup_pairs(
+            corp, ev_emb, "doc_id", "emb",
+            threshold=decontaminate_cosine,
+            n_bits=semantic_n_bits, n_tables=semantic_n_tables)
+        sig = sig.join(
+            sem_hits.select(F.col("id_a").alias("doc_id")).distinct()
+            .withColumn("_contaminated_sem", F.lit(True)),
+            "doc_id", "left")
+    else:
+        sig = sig.withColumn("_contaminated_sem",
+                             F.lit(None).cast("boolean"))
+
     lang_ok = (F.lit(True) if lang_allow is None
                else F.col("lang").isin(list(lang_allow)))
     drop = (
@@ -478,6 +539,8 @@ def curate(pages: DataFrame, *,
               F.lit("semantic_duplicate"))
         .when(F.coalesce("_contaminated", F.lit(False)),
               F.lit("contaminated"))
+        .when(F.coalesce("_contaminated_sem", F.lit(False)),
+              F.lit("contaminated_semantic"))
         .when(~lang_ok, F.lit("lang"))
         .when(F.coalesce("quality", F.lit(0.0)) < min_quality,
               F.lit("low_quality"))
@@ -489,7 +552,8 @@ def curate(pages: DataFrame, *,
     )
     annotated = (
         sig.withColumn("drop_reason", drop)
-        .drop("_exact_keep", "_near_keep", "_sem_keep", "_contaminated")
+        .drop("_exact_keep", "_near_keep", "_sem_keep", "_contaminated",
+              "_contaminated_sem")
     )
 
     from .operators.sampling import assign_splits

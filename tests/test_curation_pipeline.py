@@ -531,3 +531,74 @@ def test_semantic_stage_through_extraction_passthrough(spark):
     sem = [r for r in ann if r["drop_reason"] == "semantic_duplicate"][0]
     assert sem["url"] in ("https://x.com/a", "https://x.com/b")
     assert all(r["text"] for r in ann)  # extraction really ran
+
+
+def test_semantic_decontamination_drops_embedding_match(spark):
+    """Both decontamination stages, one run: a doc quoted verbatim by an
+    eval item drops as 'contaminated' (fingerprints), a doc whose
+    EMBEDDING matches an eval embedding — lexically unrelated — drops as
+    'contaminated_semantic', NULL embeddings on either side are exempt,
+    and controls keep.  Counts are exact, not statistical."""
+    def filler(tag, n=30):
+        toks = [f"{tag}tok{i}" for i in range(n)]
+        return ("the " + " ".join(toks[:10]) + " and of is "
+                + " ".join(toks[10:]) + " the and")
+
+    def axis(i, dim=8):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    rows = [
+        # quoted verbatim by the eval set -> contaminated (fingerprints)
+        ("https://ex.com/quoted", _TS, filler("quoted", 40), axis(0)),
+        # embedding ~equals an eval embedding, text unrelated ->
+        # contaminated_semantic
+        ("https://ex.com/sem", _TS, filler("semonly"), axis(1)),
+        # NULL corpus embedding: fingerprint stage still applies, the
+        # semantic stage is blind to it -> kept
+        ("https://ex.com/nul", _TS, filler("nullside"), None),
+        # controls: orthogonal embeddings, unique vocab -> kept
+        ("https://ex.com/k0", _TS, filler("ctl0"), axis(4)),
+        ("https://ex.com/k1", _TS, filler("ctl1"), axis(5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, "
+              "emb array<double>")
+    eval_df = spark.createDataFrame(
+        [(rows[0][2], None),                       # verbatim quote, no emb
+         ("what is the capital of examplestan",    # semantic hit on /sem
+          [0.0141, 0.9999] + [0.0] * 6),
+         ("unrelated question", axis(7))],         # matches nothing
+        "text string, emb array<double>")
+    plan = curate(df, text_col="text", near_threshold=0.8, seq_len=64,
+                  splits={"train": 1.0},
+                  decontaminate_against=eval_df,
+                  decontaminate_embedding_col="emb",
+                  embedding_col="emb")
+    ann = {r["url"]: r["drop_reason"] for r in plan.annotated.collect()}
+    assert ann["https://ex.com/quoted"] == "contaminated"
+    assert ann["https://ex.com/sem"] == "contaminated_semantic"
+    assert ann["https://ex.com/nul"] is None
+    assert ann["https://ex.com/k0"] is None and ann["https://ex.com/k1"] is None
+    funnel = {r["stage"]: r["docs"] for r in plan.funnel().collect()}
+    assert funnel == {"contaminated": 1, "contaminated_semantic": 1,
+                      "kept": 3}
+
+
+def test_semantic_decontamination_param_validation(spark):
+    df = spark.createDataFrame(
+        [("https://x.com/a", _TS, "the a and of is", [1.0, 0.0])],
+        "url string, warc_ts timestamp, text string, emb array<double>")
+    ev = spark.createDataFrame([("q", [1.0, 0.0])],
+                               "text string, emb array<double>")
+    with pytest.raises(ValueError, match="requires decontaminate_against"):
+        curate(df, text_col="text", embedding_col="emb",
+               decontaminate_embedding_col="emb")
+    with pytest.raises(ValueError, match="embedding_col on the"):
+        curate(df, text_col="text", decontaminate_against=ev,
+               decontaminate_embedding_col="emb")
+    with pytest.raises(ValueError, match="not a column of"):
+        curate(df, text_col="text", embedding_col="emb",
+               decontaminate_against=ev,
+               decontaminate_embedding_col="nope")

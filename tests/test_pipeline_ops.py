@@ -316,6 +316,44 @@ def test_embedding_near_dup_lsh_matches_bruteforce(spark):
     assert got == exact              # exact rerank: no FPs; LSH found all
 
 
+def test_cross_set_near_dup_pairs_matches_bruteforce(spark):
+    """Cross-set LSH pairs == numpy all-cross-pairs oracle: planted
+    corpus<->eval near-dups all found (shared-hyperplane recall at
+    cosine ~0.999), exact rerank admits no false positives, and no
+    intra-set pair ever appears (the operator's defining property)."""
+    from streaming_algorithms_spark.operators.similarity import (
+        cross_set_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    corpus = rng.normal(size=(70, 32))
+    # eval set: 8 rows are perturbed copies of corpus rows (planted
+    # contamination), 12 are independent
+    evals = np.concatenate([
+        corpus[:8] + rng.normal(size=(8, 32)) * 0.02,
+        rng.normal(size=(12, 32)),
+    ])
+    left = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(corpus.astype(np.float32))],
+        "vec_id long, embedding array<float>").repartition(4)
+    right = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(evals.astype(np.float32))],
+        "vec_id long, embedding array<float>").repartition(3)
+
+    c = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    e = evals / np.linalg.norm(evals, axis=1, keepdims=True)
+    sims = c.astype(np.float32) @ e.astype(np.float32).T
+    exact = {(i, j) for i, j in np.argwhere(sims >= 0.95)}
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in cross_set_near_dup_pairs(
+               left, right, "vec_id", "embedding",
+               threshold=0.95).collect()}
+    assert len(exact) >= 8                    # every planted pair qualifies
+    assert set(got) == exact                  # no FPs, LSH found all
+    for (i, j), cos in got.items():
+        assert abs(cos - float(sims[i, j])) < 1e-4
+
+
 def test_brute_force_topk_query_side_guard(spark):
     from streaming_algorithms_spark.operators.similarity import brute_force_topk
 

@@ -132,6 +132,31 @@ def test_near_dup_lsh_plan_one_python_pass_no_collect(spark):
     assert "CollectLimit" not in plan, plan
 
 
+def test_cross_set_near_dup_plan_one_python_pass_per_side(spark):
+    """The semantic-decontamination join shape: exactly one Arrow
+    signature pass per SET (all tables at once), candidates from a
+    distributed (table, bucket) corpus x eval join — no CollectLimit,
+    no cartesian product."""
+    import numpy as np
+
+    from streaming_algorithms_spark.operators.similarity import (
+        cross_set_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(2)
+    mk = lambda n, seed_off: spark.createDataFrame(  # noqa: E731
+        [(i, v.tolist()) for i, v in
+         enumerate(rng.normal(size=(n, 16)).astype(np.float32))],
+        "vec_id long, embedding array<float>")
+    plan = _physical_plan(
+        cross_set_near_dup_pairs(mk(40, 0), mk(10, 1), "vec_id",
+                                 "embedding", threshold=0.9)
+    )
+    assert plan.count("MapInPandas") <= 2, plan
+    assert "CollectLimit" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def _full_explain(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
