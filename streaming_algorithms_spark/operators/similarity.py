@@ -553,12 +553,22 @@ def lsh_bucket_table(df: DataFrame, id_col: str, vec_col: str,
     same buckets as n_tables separate `hyperplane_signatures` calls, at 1/n
     of the Python-stage passes.  ``carry_vec`` keeps the vector on each
     row (n_tables copies) so a downstream per-bucket rerank needs no join
-    back to the corpus."""
+    back to the corpus.
+
+    NULL vectors produce no bucket rows and an empty input produces an
+    empty table — so a composed caller (curate()'s semantic stages on a
+    batch where every doc was an exact dup, or had no embedding) sees
+    zero candidates, not a crash."""
     if not 0 < n_bits <= 64:
         raise ValueError(f"n_bits must be in (0, 64], got {n_bits}")
-    probe = df.select(vec_col).first()
-    if probe is None or probe[0] is None:
-        raise ValueError(f"lsh_bucket_table: empty input or NULL {vec_col}")
+    out_schema = f"`{id_col}` long, table int, bucket long"
+    if carry_vec:
+        vec_t = dict(df.dtypes)[vec_col]
+        out_schema += f", `{vec_col}` {vec_t}"
+    probe = (df.select(vec_col)
+             .filter(F.col(vec_col).isNotNull()).first())
+    if probe is None:
+        return df.sparkSession.createDataFrame([], out_schema)
     dim = len(probe[0])
     planes = np.concatenate(
         [np.random.default_rng(seed + t).normal(size=(n_bits, dim))
@@ -568,14 +578,10 @@ def lsh_bucket_table(df: DataFrame, id_col: str, vec_col: str,
     b_planes = sc.broadcast(planes)
     weights = np.arange(n_bits, dtype=np.uint64)
 
-    out_schema = f"`{id_col}` long, table int, bucket long"
-    if carry_vec:
-        vec_t = dict(df.dtypes)[vec_col]
-        out_schema += f", `{vec_col}` {vec_t}"
-
     def gen(batches):
         P = b_planes.value
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)

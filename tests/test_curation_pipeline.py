@@ -602,3 +602,31 @@ def test_semantic_decontamination_param_validation(spark):
         curate(df, text_col="text", embedding_col="emb",
                decontaminate_against=ev,
                decontaminate_embedding_col="nope")
+
+
+def test_semantic_stages_noop_when_all_embeddings_null(spark):
+    """A batch where NO doc carries an embedding must flow through both
+    semantic stages (dedup + decontamination) as a no-op — zero
+    candidates, not a crash — and the text stages still apply."""
+    def filler(tag, n=30):
+        toks = [f"{tag}tok{i}" for i in range(n)]
+        return ("the " + " ".join(toks[:10]) + " and of is "
+                + " ".join(toks[10:]) + " the and")
+
+    ex = filler("exact")
+    rows = [
+        ("https://ex.com/e0", _TS, ex, None),
+        ("https://ex.com/e1", _TS, ex, None),     # exact dup still drops
+        ("https://ex.com/k0", _TS, filler("ctl0"), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, "
+              "emb array<double>")
+    ev = spark.createDataFrame(
+        [("benchmark question", [1.0, 0.0])],
+        "text string, emb array<double>")
+    plan = curate(df, text_col="text", embedding_col="emb", seq_len=64,
+                  splits={"train": 1.0}, decontaminate_against=ev,
+                  decontaminate_embedding_col="emb")
+    funnel = {r["stage"]: r["docs"] for r in plan.funnel().collect()}
+    assert funnel == {"exact_duplicate": 1, "kept": 2}

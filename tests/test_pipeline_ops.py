@@ -354,6 +354,35 @@ def test_cross_set_near_dup_pairs_matches_bruteforce(spark):
         assert abs(cos - float(sims[i, j])) < 1e-4
 
 
+def test_lsh_bucket_table_null_and_empty_inputs_degrade(spark):
+    """NULL vectors produce no bucket rows and an empty input produces an
+    empty table — composed callers (curate()'s semantic stages on a batch
+    where every doc was an exact dup or had no embedding) must see zero
+    candidates, not a crash."""
+    from streaming_algorithms_spark.operators.similarity import (
+        cross_set_near_dup_pairs,
+        lsh_bucket_table,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    out = lsh_bucket_table(empty, "vec_id", "embedding", 8, 4)
+    assert out.columns == ["vec_id", "table", "bucket"]
+    assert out.count() == 0
+
+    nulls = spark.createDataFrame([(1, None), (2, None)], schema)
+    assert lsh_bucket_table(nulls, "vec_id", "embedding", 8, 4).count() == 0
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])], schema)
+    got = lsh_bucket_table(mixed, "vec_id", "embedding", 8, 4)
+    assert set(r["vec_id"] for r in got.collect()) == {1, 3}
+
+    left = spark.createDataFrame([(1, [1.0, 0.0])], schema)
+    assert cross_set_near_dup_pairs(left, nulls, "vec_id", "embedding",
+                                    threshold=0.9).count() == 0
+
+
 def test_brute_force_topk_query_side_guard(spark):
     from streaming_algorithms_spark.operators.similarity import brute_force_topk
 
