@@ -512,12 +512,15 @@ def curate(pages: DataFrame, *,
                   .select(F.col(decontaminate_embedding_col).alias("emb"))
                   .filter(F.col("emb").isNotNull()).distinct()
                   .select(F.xxhash64("emb").alias("doc_id"), "emb"))
-        # same economy as the fingerprint stage: exact survivors only —
-        # an exact duplicate's verdict is already decided upstream of
-        # the contamination branches of the drop chain
-        corp = (sig.filter(F.col("_exact_keep")
-                           & F.col(embedding_col).isNotNull())
-                .select("doc_id", F.col(embedding_col).alias("emb")))
+        # corpus side: the semantic stage's PERSISTED `alive` frame
+        # (exact+near survivors with an embedding) — every doc whose
+        # verdict can still BE contaminated_semantic is in it (dedup
+        # losers take an earlier drop reason), and reusing it keeps this
+        # stage off the unpersisted sig spine: joining a frame derived
+        # from sig back INTO sig would re-run the whole upstream join
+        # chain once more per action (Spark does not dedupe common
+        # subplans — measured ~3x on the composed gate)
+        corp = alive.select("doc_id", F.col(embedding_col).alias("emb"))
         sem_hits = cross_set_near_dup_pairs(
             corp, ev_emb, "doc_id", "emb",
             threshold=decontaminate_cosine,
