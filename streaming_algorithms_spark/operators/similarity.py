@@ -173,7 +173,9 @@ def embedding_near_dup_pairs_bruteforce(df: DataFrame, id_col: str,
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95, n_bits: int = 8,
-                             n_tables: int = 12) -> DataFrame:
+                             n_tables: int = 12,
+                             max_bucket_size: int | None = None
+                             ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold), scale path:
     random-hyperplane LSH buckets generate candidates (shuffle is
     rows x n_tables, never all-pairs), exact Arrow-vectorized cosine
@@ -181,8 +183,10 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     corpus, no false positives.  Per-pair recall at
     cosine c is 1-(1-p^n_bits)^n_tables with p = 1 - arccos(c)/pi
     (Charikar 2002): ~0.988 at c=0.95, ~0.9999 at c=0.99 for the defaults.
-    Brute force (embedding_near_dup_pairs_bruteforce) is the oracle."""
-    cands = _lsh_candidates(df, id_col, vec_col, n_bits, n_tables).filter(
+    Brute force (embedding_near_dup_pairs_bruteforce) is the oracle.
+    ``max_bucket_size`` drops degenerate hot buckets (see _cap_buckets)."""
+    cands = _lsh_candidates(df, id_col, vec_col, n_bits, n_tables,
+                            max_bucket_size=max_bucket_size).filter(
         F.col("id_a") < F.col("id_b")
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
@@ -199,8 +203,9 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 def cross_set_near_dup_pairs(left: DataFrame, right: DataFrame,
                              id_col: str, vec_col: str,
                              threshold: float = 0.95, n_bits: int = 8,
-                             n_tables: int = 12,
-                             seed: int = 42) -> DataFrame:
+                             n_tables: int = 12, seed: int = 42,
+                             max_bucket_size: int | None = None
+                             ) -> DataFrame:
     """CROSS-set near-duplicate pairs (cosine >= threshold) between two
     corpora — the semantic-decontamination join shape: which left-side
     (training) vectors semantically match ANY right-side (benchmark)
@@ -217,12 +222,15 @@ def cross_set_near_dup_pairs(left: DataFrame, right: DataFrame,
     per-pair recall bound is the same Charikar expression (~0.988 at
     c=0.95 for the defaults).  The right side is typically an eval
     set (thousands of rows), the left a corpus (billions): the shuffle
-    is rows x n_tables hashes on each side, and hot buckets are bounded
-    by the bucket join itself, not by a pairs materialization."""
-    sig_l = lsh_bucket_table(left, id_col, vec_col, n_bits, n_tables,
-                             seed=seed)
-    sig_r = lsh_bucket_table(right, id_col, vec_col, n_bits, n_tables,
-                             seed=seed)
+    is rows x n_tables hashes on each side.  A degenerate hot bucket
+    (|bucket_l| x |bucket_r| blow-up) is bounded per side by
+    ``max_bucket_size`` (see _cap_buckets); None disables the cap."""
+    sig_l = _cap_buckets(
+        lsh_bucket_table(left, id_col, vec_col, n_bits, n_tables,
+                         seed=seed), max_bucket_size)
+    sig_r = _cap_buckets(
+        lsh_bucket_table(right, id_col, vec_col, n_bits, n_tables,
+                         seed=seed), max_bucket_size)
     cands = (
         sig_l.select(F.col(id_col).alias("id_a"), "table", "bucket")
         .join(sig_r.select(F.col(id_col).alias("id_b"), "table", "bucket"),
@@ -600,12 +608,39 @@ def lsh_bucket_table(df: DataFrame, id_col: str, vec_col: str,
     return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
+def _cap_buckets(sig: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop (table, bucket) groups larger than ``max_bucket_size`` before
+    any pairing join — the embedding analogue of the winnowed-fingerprint
+    ``max_doc_freq`` cap (text.py): an oversized hyperplane bucket is
+    almost always a DEGENERATE-embedding artifact (zero vectors, model
+    default outputs, padding rows), and one such bucket of m rows turns
+    the candidate stage into m² pairs (identical vectors collide in
+    EVERY table, so the other tables don't rescue them).  With the cap,
+    every bucket emits at most C(cap, 2) pairs — linear in buckets.  The
+    size aggregation shuffles on the same (table, bucket) key the join
+    shuffles on.  None (default) disables the cap (exact LSH semantics)."""
+    if max_bucket_size is None:
+        return sig
+    if max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size must be >= 2, got {max_bucket_size}")
+    sizes = (sig.groupBy("table", "bucket")
+             .agg(F.count("*").alias("_bsz"))
+             .filter(F.col("_bsz") <= max_bucket_size)
+             .drop("_bsz"))
+    return sig.join(sizes, ["table", "bucket"])
+
+
 def _lsh_candidates(df: DataFrame, id_col: str, vec_col: str,
-                    n_bits: int, n_tables: int) -> DataFrame:
+                    n_bits: int, n_tables: int,
+                    max_bucket_size: int | None = None) -> DataFrame:
     """Distinct directed candidate pairs (id_a, id_b), id_a != id_b, from
     bucket self-joins over n_tables independent hyperplane tables — one
-    signature pass and ONE (table, bucket) join, not n_tables of each."""
-    sig = lsh_bucket_table(df, id_col, vec_col, n_bits, n_tables)
+    signature pass and ONE (table, bucket) join, not n_tables of each.
+    ``max_bucket_size``: see _cap_buckets."""
+    sig = _cap_buckets(
+        lsh_bucket_table(df, id_col, vec_col, n_bits, n_tables),
+        max_bucket_size)
     a = sig.alias("a")
     b = sig.alias("b")
     return (

@@ -205,6 +205,7 @@ def curate(pages: DataFrame, *,
            semantic_threshold: float = 0.95,
            semantic_n_bits: int = 8,
            semantic_n_tables: int = 12,
+           semantic_max_bucket_size: int | None = None,
            decontaminate_against: DataFrame | None = None,
            decontaminate_text_col: str = "text",
            decontaminate_min_shared: int = 3,
@@ -253,7 +254,10 @@ def curate(pages: DataFrame, *,
     cluster label.  Docs with a NULL embedding are exempt (never
     dropped by this stage).  The two stages are complementary: MinHash
     catches lexical copies, embeddings catch paraphrases MinHash
-    cannot see.
+    cannot see.  ``semantic_max_bucket_size`` (None = off) drops
+    degenerate hyperplane hot buckets — zero/default embeddings that
+    would turn candidate generation quadratic — from BOTH embedding
+    stages (the max_doc_freq analogue).
 
     ``decontaminate_against``: an evaluation/benchmark set (any
     DataFrame with a ``decontaminate_text_col`` column) — corpus docs
@@ -466,7 +470,8 @@ def curate(pages: DataFrame, *,
             alive = alive.persist(StorageLevel.MEMORY_AND_DISK)
         sem_pairs = embedding_near_dup_pairs(
             alive, "doc_id", embedding_col, threshold=semantic_threshold,
-            n_bits=semantic_n_bits, n_tables=semantic_n_tables)
+            n_bits=semantic_n_bits, n_tables=semantic_n_tables,
+            max_bucket_size=semantic_max_bucket_size)
         sem = dedup_resolve(alive, sem_pairs, "doc_id",
                             quality_col="quality")
         sig = sig.join(
@@ -524,7 +529,8 @@ def curate(pages: DataFrame, *,
         sem_hits = cross_set_near_dup_pairs(
             corp, ev_emb, "doc_id", "emb",
             threshold=decontaminate_cosine,
-            n_bits=semantic_n_bits, n_tables=semantic_n_tables)
+            n_bits=semantic_n_bits, n_tables=semantic_n_tables,
+            max_bucket_size=semantic_max_bucket_size)
         sig = sig.join(
             sem_hits.select(F.col("id_a").alias("doc_id")).distinct()
             .withColumn("_contaminated_sem", F.lit(True)),

@@ -354,6 +354,52 @@ def test_cross_set_near_dup_pairs_matches_bruteforce(spark):
         assert abs(cos - float(sims[i, j])) < 1e-4
 
 
+def test_embedding_lsh_max_bucket_size_caps_degenerate_cluster(spark):
+    """A degenerate cluster of identical embeddings (zero/default model
+    outputs) fills one bucket in EVERY table — m² candidate pairs the
+    other tables can't rescue.  With max_bucket_size the cluster emits
+    NO pairs while real planted near-dups (small buckets) survive; with
+    the cap off, the m² pairs are all there (default semantics pinned)."""
+    from streaming_algorithms_spark.operators.similarity import (
+        cross_set_near_dup_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 32))
+    dups = base[:5] + rng.normal(size=(5, 32)) * 0.02   # ids 40..44
+    clone = np.full(32, 0.7)                             # ids 45..74
+    vecs = np.concatenate([base, dups, np.tile(clone, (30, 1))])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs.astype(np.float32))],
+        "vec_id long, embedding array<float>").repartition(4)
+
+    capped = {(r["id_a"], r["id_b"])
+              for r in embedding_near_dup_pairs(
+                  df, "vec_id", "embedding", threshold=0.95,
+                  max_bucket_size=8).collect()}
+    assert {(i, i + 40) for i in range(5)} <= capped   # planted pairs kept
+    assert not any(a >= 45 and b >= 45 for a, b in capped)  # clones gone
+
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in embedding_near_dup_pairs(
+                    df, "vec_id", "embedding", threshold=0.95).collect()}
+    assert {(a, b) for a in range(45, 75) for b in range(a + 1, 75)} \
+        <= uncapped                                     # 30-clone clique
+
+    # cross-set: a clone-heavy right side is capped per side too
+    right = spark.createDataFrame(
+        [(i, clone.tolist()) for i in range(20)]
+        + [(100, (base[0] + 0.01 * rng.normal(size=32)).tolist())],
+        "vec_id long, embedding array<double>")
+    xs = {(r["id_a"], r["id_b"])
+          for r in cross_set_near_dup_pairs(
+              df, right, "vec_id", "embedding", threshold=0.95,
+              max_bucket_size=8).collect()}
+    assert (0, 100) in xs                               # real match kept
+    assert not any(a >= 45 for a, b in xs)              # clone x clone gone
+
+
 def test_lsh_bucket_table_null_and_empty_inputs_degrade(spark):
     """NULL vectors produce no bucket rows and an empty input produces an
     empty table — composed callers (curate()'s semantic stages on a batch
