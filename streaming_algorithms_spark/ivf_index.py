@@ -445,6 +445,15 @@ class IvfIndex:
             raise ValueError(
                 f"search queries must carry the index's columns "
                 f"({self.id_col}, {self.vec_col}); missing {missing}")
+        # ids must be integral: a lossy cast to long would turn e.g.
+        # string ids into NULLs that crash the executor (np.int64 on
+        # NULL) or silently merge every NULL-id query into one top-k
+        # window — fail loud at the driver instead
+        id_t = dict(queries.dtypes)[self.id_col]
+        if id_t not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"search query id column {self.id_col!r} must be an "
+                f"integer type, got {id_t}")
         _, cent, _ = self.latest_quantizer()
         assigned, prepart, n_parts = self._routed_postings()
         return ivf_search(assigned, cent, self.id_col, self.vec_col,

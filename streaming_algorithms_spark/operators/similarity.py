@@ -191,7 +191,15 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return _rerank_pairs(cands, va, vb, threshold)
 
+
+def _rerank_pairs(cands: DataFrame, va: DataFrame, vb: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Shared exact-rerank tail of the pair generators: join the vectors
+    onto the candidate (id_a, id_b) set, Arrow-vectorized cosine, keep
+    >= threshold, 6dp round — ONE definition of the pair contract so the
+    intra-set and cross-set operators cannot drift apart."""
     return (
         cands.join(va, "id_a").join(vb, "id_b")
         .withColumn("cosine", _cosine_pd()(F.col("vec_a"), F.col("vec_b")))
@@ -242,12 +250,7 @@ def cross_set_near_dup_pairs(left: DataFrame, right: DataFrame,
                      F.col(vec_col).alias("vec_a"))
     vb = right.select(F.col(id_col).alias("id_b"),
                       F.col(vec_col).alias("vec_b"))
-    return (
-        cands.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cosine", _cosine_pd()(F.col("vec_a"), F.col("vec_b")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
+    return _rerank_pairs(cands, va, vb, threshold)
 
 
 def auto_n_lists(n_rows: int) -> int:

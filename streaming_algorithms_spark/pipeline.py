@@ -465,9 +465,13 @@ def curate(pages: DataFrame, *,
                        & F.coalesce("_near_keep", F.lit(True))
                        & F.col(embedding_col).isNotNull())
             .select("doc_id", embedding_col, "quality"))
-        if stage:  # several consumers: LSH signatures, rerank, election
-            from pyspark import StorageLevel
-            alive = alive.persist(StorageLevel.MEMORY_AND_DISK)
+        # ALWAYS persisted (not gated on `stage` like the corpus): alive's
+        # lineage is the full sig join chain, and >= 4 subplans consume it
+        # (the LSH dim probe, the signature pass, the election, and the
+        # semantic-decontamination corp side below) — unpersisted, each
+        # would re-run extract -> dedup -> resolve once per action
+        from pyspark import StorageLevel
+        alive = alive.persist(StorageLevel.MEMORY_AND_DISK)
         sem_pairs = embedding_near_dup_pairs(
             alive, "doc_id", embedding_col, threshold=semantic_threshold,
             n_bits=semantic_n_bits, n_tables=semantic_n_tables,

@@ -53,11 +53,20 @@ class AppendRoute:
     compute hashes, project (id, vec)); it runs INSIDE the epoch, so it
     is replayed with the epoch and needs no idempotence of its own.
     ``kwargs`` are passed through to ``append`` (factory/update for a
-    SketchTable, n_lists/seed/stats for an IvfIndex)."""
+    SketchTable, n_lists/seed/stats for an IvfIndex).
+
+    ``name`` suffixes the epoch-derived batch id (``epoch-NNN-<name>``)
+    and is REQUIRED when several routes feed the SAME store: the
+    exactly-once skip keys on the batch id, so two unnamed routes into
+    one ledger would silently drop the second route's data (its id is
+    already committed by the first).  The name — not the route's list
+    position — keys the ledger id, so reordering or extending the route
+    list between a crash and the replay cannot mis-skip an append."""
 
     target: object
     transform: Callable[[DataFrame], DataFrame] | None = None
     kwargs: dict = field(default_factory=dict)
+    name: str = ""
 
 
 def exactly_once_append(target, df: DataFrame, batch_id: str,
@@ -94,12 +103,31 @@ def ingest_stream(stream_df: DataFrame, routes: list[AppendRoute],
     The micro-batch DataFrame is consumed once per route; routes that
     share expensive lineage should land the raw batch in route 0 and
     derive in later routes, or pre-transform in the stream itself."""
+    import re
+
+    seen: dict[tuple, str] = {}
+    for route in routes:
+        if route.name and not re.fullmatch(r"[A-Za-z0-9_-]+", route.name):
+            raise ValueError(
+                f"route name {route.name!r} must be [A-Za-z0-9_-]+ "
+                "(it becomes part of a batch-dir name)")
+        # two routes into one ledger with the same effective name would
+        # make the second a silent exactly-once no-op every epoch
+        key = (getattr(route.target, "path", None) or id(route.target),
+               route.name)
+        if key in seen:
+            raise ValueError(
+                f"routes {seen[key]!r} and {route.name!r} share the store "
+                f"at {key[0]!r} and the same batch-id suffix — give each "
+                "route a distinct name")
+        seen[key] = route.name
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        bid = epoch_batch_id(batch_prefix, epoch_id)
+        base = epoch_batch_id(batch_prefix, epoch_id)
         for route in routes:
             df = (route.transform(batch_df) if route.transform
                   else batch_df)
+            bid = f"{base}-{route.name}" if route.name else base
             exactly_once_append(route.target, df, bid, **route.kwargs)
         if on_epoch is not None:
             on_epoch(epoch_id, batch_df)

@@ -340,3 +340,17 @@ def test_external_search_partial_probe_recall_and_bucketed_plan(
     import pytest as _pytest
     with _pytest.raises(ValueError, match="missing"):
         idx.search(qdf.withColumnRenamed("embedding", "vec"), k=1)
+
+
+def test_external_search_refuses_non_integer_query_ids(spark, tmp_path,
+                                                       clustered_halves):
+    """A lossy long-cast would NULL string query ids (executor crash or
+    one merged top-k window) — search() fails loud at the driver."""
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+
+    _, _, df = clustered_halves
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "embedding")
+    idx.append(df, "b0", n_lists=4)
+    bad = df.selectExpr("concat('q-', vec_id) AS vec_id", "embedding")
+    with pytest.raises(ValueError, match="integer type"):
+        idx.search(bad, k=1)

@@ -537,3 +537,69 @@ def test_stream_to_incremental_stores_end_to_end(spark, tmp_path):
           for r in brute_force_topk(vecs, vecs, "vec_id", "vec",
                                     k=1).collect()}
     assert got == bf
+
+
+def test_ingest_routes_sharing_a_store_need_distinct_names(spark, tmp_path):
+    """Two routes into ONE ledger with the same batch-id suffix would make
+    the second a silent exactly-once no-op every epoch — refused at
+    construction, as is a name that can't be a batch-dir component.
+    Distinct names route both through: each epoch lands one batch per
+    name and the merged estimates cover BOTH routes' rows."""
+    import json
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from streaming_algorithms_spark.sketch_table import SketchTable
+    from streaming_algorithms_spark.sketches.hll import HyperLogLog
+    from streaming_algorithms_spark.streaming.ingest import (
+        AppendRoute,
+        ingest_stream,
+    )
+
+    t = SketchTable(spark, str(tmp_path / "tbl"), ["side"])
+
+    def factory():
+        return HyperLogLog(12)
+
+    def update(sk, pdf):  # closure: executors can't import from tests/
+        sk.add_hashes(pdf["_h"].to_numpy(np.int64).view(np.uint64))
+
+    def mk(side, lo, hi):
+        def tf(df):
+            return (df.where(f"value >= {lo} AND value < {hi}")
+                    .select(F.lit(side).alias("side"),
+                            F.xxhash64("value").alias("_h")))
+        return tf
+
+    kw = {"factory": factory, "update": update}
+    with _pytest.raises(ValueError, match="distinct name"):
+        ingest_stream(None, [AppendRoute(t, mk("a", 0, 50), kw),
+                             AppendRoute(t, mk("b", 50, 100), kw)],
+                      checkpoint=str(tmp_path / "ck0"))
+    with _pytest.raises(ValueError, match="A-Za-z0-9"):
+        ingest_stream(None, [AppendRoute(t, None, kw, name="bad name!")],
+                      checkpoint=str(tmp_path / "ck0"))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f0.json").write_text("\n".join(
+        json.dumps({"value": i}) for i in range(100)))
+    stream = spark.readStream.schema("value long").json(str(src))
+    q = ingest_stream(
+        stream,
+        [AppendRoute(t, mk("a", 0, 50), kw, name="ra"),
+         AppendRoute(t, mk("b", 50, 100), kw, name="rb")],
+        checkpoint=str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert sorted(t.committed_batches()) == [
+        "epoch-000000000-ra", "epoch-000000000-rb"]
+
+    def finalize(sk, rows):
+        return {"est": int(round(sk.estimate()))}
+
+    est = {r["side"]: r["est"]
+           for r in t.estimates(HyperLogLog.from_bytes, finalize,
+                                "est bigint").collect()}
+    assert est["a"] > 0 and est["b"] > 0
