@@ -230,9 +230,12 @@ def _disk_probe() -> float:
 # suite's own scan/shuffle canaries.  A healthy kernel control plus slow
 # canaries = disk/DRAM-side host contention the kernel cannot see.
 CANARY_RECORDS = {
-    "url_canon_documents": 0.95,
-    "welford_lineitem": 2.0,
-    "split_documents": 0.35,
+    # per-query minima across clean-labeled captures (round-7 quiet
+    # window lowered three of five — the older records carried ~15%
+    # residual host inflation, BASELINE.md round-7 record)
+    "url_canon_documents": 0.70,
+    "welford_lineitem": 1.70,
+    "split_documents": 0.26,
     "sample_documents": 0.54,
     "ts_hourly_events": 0.40,
 }
