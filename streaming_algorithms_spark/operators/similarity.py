@@ -657,7 +657,8 @@ def _lsh_candidates(df: DataFrame, id_col: str, vec_col: str,
 
 def lsh_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
              n_bits: int = 12, n_tables: int = 4,
-             n_parts: int | None = None) -> DataFrame:
+             n_parts: int | None = None,
+             max_bucket_size: int | None = None) -> DataFrame:
     """Self-join ANN: union candidates over n_tables independent hyperplane
     tables, exact-cosine rerank of candidates only.  Approximate (recall < 1
     by design); the scale path when queries == corpus and both are huge.
@@ -672,16 +673,21 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
     (join two vector copies onto every candidate pair + global distinct)
     moved ~20x the bytes at sf0.1.  The final global top-k runs over
     <= n_tables*k rows per id (tiny).  Per-bucket memory is O(bucket^2)
-    for the cosine matrix — bound hot buckets upstream (frequency caps),
-    the standing contract of every LSH operator here.  Ties broken by
-    ascending neighbor id, identical to the previous window ordering."""
+    for the cosine matrix — ``max_bucket_size`` (see _cap_buckets) drops
+    degenerate mega-buckets before the group ever assembles (an
+    identical-embedding cluster of m rows is an m x m matmul inside ONE
+    task); rows living ONLY in dropped buckets return no neighbors,
+    which is the right answer for zero/default embeddings.  Ties broken
+    by ascending neighbor id, identical to the previous window
+    ordering."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sig = lsh_bucket_table(df, id_col, vec_col, n_bits, n_tables,
-                           carry_vec=True)
+    sig = _cap_buckets(
+        lsh_bucket_table(df, id_col, vec_col, n_bits, n_tables,
+                         carry_vec=True), max_bucket_size)
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)

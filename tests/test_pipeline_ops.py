@@ -399,6 +399,17 @@ def test_embedding_lsh_max_bucket_size_caps_degenerate_cluster(spark):
     assert (0, 100) in xs                               # real match kept
     assert not any(a >= 45 for a, b in xs)              # clone x clone gone
 
+    # lsh_topk: the mega-bucket never assembles (no m x m matmul task);
+    # clone rows living only in dropped buckets return no neighbors,
+    # everything else keeps its top-1
+    from streaming_algorithms_spark.operators.similarity import lsh_topk
+
+    topk = lsh_topk(df, "vec_id", "embedding", k=1, n_bits=6, n_tables=6,
+                    max_bucket_size=8)
+    ids = {r["vec_id"] for r in topk.collect()}
+    assert not ids & set(range(45, 75))                 # clones unanswered
+    assert {i for i in range(5)} <= ids                 # planted side answered
+
 
 def test_lsh_bucket_table_null_and_empty_inputs_degrade(spark):
     """NULL vectors produce no bucket rows and an empty input produces an
