@@ -57,6 +57,26 @@ from .checkpoint import ALGO_VERSION
 
 _BATCH_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
 
+_INTEGRAL = ("bigint", "int", "smallint", "tinyint")
+
+
+def _integral_id_expr(df, id_col: str, ctx: str):
+    """Driver-side dtype check + executor-side NULL check for an id
+    column, shared by append() and search(): a lossy cast to long would
+    silently NULL non-integer ids (permanently corrupt postings on
+    append; one merged top-k window on search), and a NULL id inside an
+    integral column would do the same — both fail loud instead.  The
+    NULL check is EMBEDDED in the id expression (a separate assert
+    column would be pruned by Catalyst as unused)."""
+    id_t = dict(df.dtypes)[id_col]
+    if id_t not in _INTEGRAL:
+        raise ValueError(
+            f"{ctx}: id column {id_col!r} must be an integer type, "
+            f"got {id_t}")
+    return (F.when(F.col(id_col).isNotNull(), F.col(id_col).cast("long"))
+            .otherwise(F.raise_error(F.lit(f"{ctx}: NULL {id_col}")))
+            .alias(id_col))
+
 
 class IvfIndex:
     """One IVF index over one (id, vector) column pair, maintained across
@@ -204,8 +224,9 @@ class IvfIndex:
             raise ValueError(
                 f"batch {batch_id!r} already exists in {self.path!r} — "
                 "batch ids are the exactly-once ledger")
-        src = df.select(F.col(self.id_col).cast("long").alias(self.id_col),
-                        self.vec_col)
+        src = df.select(
+            _integral_id_expr(df, self.id_col, "IvfIndex.append"),
+            self.vec_col)
         qs = self._quantizers()
         if not qs:
             # bootstrap: fit quantizer on this batch, then assign WITH
@@ -445,21 +466,15 @@ class IvfIndex:
             raise ValueError(
                 f"search queries must carry the index's columns "
                 f"({self.id_col}, {self.vec_col}); missing {missing}")
-        # ids must be integral: a lossy cast to long would turn e.g.
-        # string ids into NULLs that crash the executor (np.int64 on
-        # NULL) or silently merge every NULL-id query into one top-k
-        # window — fail loud at the driver instead
-        id_t = dict(queries.dtypes)[self.id_col]
-        if id_t not in ("bigint", "int", "smallint", "tinyint"):
-            raise ValueError(
-                f"search query id column {self.id_col!r} must be an "
-                f"integer type, got {id_t}")
+        q = queries.select(
+            _integral_id_expr(queries, self.id_col, "IvfIndex.search"),
+            self.vec_col)
         _, cent, _ = self.latest_quantizer()
         assigned, prepart, n_parts = self._routed_postings()
         return ivf_search(assigned, cent, self.id_col, self.vec_col,
                           k=k, n_probe=n_probe,
                           corpus_pre_partitioned=prepart, n_parts=n_parts,
-                          queries=queries)
+                          queries=q)
 
     def drift_report(self) -> list[dict]:
         """Per committed batch: quantizer gen, rows, mean assign cosine,

@@ -619,19 +619,24 @@ def _cap_buckets(sig: DataFrame, max_bucket_size: int | None) -> DataFrame:
     default outputs, padding rows), and one such bucket of m rows turns
     the candidate stage into m² pairs (identical vectors collide in
     EVERY table, so the other tables don't rescue them).  With the cap,
-    every bucket emits at most C(cap, 2) pairs — linear in buckets.  The
-    size aggregation shuffles on the same (table, bucket) key the join
-    shuffles on.  None (default) disables the cap (exact LSH semantics)."""
+    every bucket emits at most C(cap, 2) pairs — linear in buckets.
+    None (default) disables the cap (exact LSH semantics)."""
     if max_bucket_size is None:
         return sig
     if max_bucket_size < 2:
         raise ValueError(
             f"max_bucket_size must be >= 2, got {max_bucket_size}")
-    sizes = (sig.groupBy("table", "bucket")
-             .agg(F.count("*").alias("_bsz"))
-             .filter(F.col("_bsz") <= max_bucket_size)
-             .drop("_bsz"))
-    return sig.join(sizes, ["table", "bucket"])
+    # window count, NOT a groupBy+join: the size-agg branch and the join
+    # branch would be two non-identical subplans over the same
+    # mapInPandas output, and Spark does not dedupe common subplans —
+    # the signature matmul pass would run twice.  The window rides ONE
+    # (table, bucket) shuffle of the single signature pass (no orderBy,
+    # so the frame is the whole partition).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("table", "bucket")
+    return (sig.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
 
 
 def _lsh_candidates(df: DataFrame, id_col: str, vec_col: str,
@@ -673,11 +678,12 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
     (join two vector copies onto every candidate pair + global distinct)
     moved ~20x the bytes at sf0.1.  The final global top-k runs over
     <= n_tables*k rows per id (tiny).  Per-bucket memory is O(bucket^2)
-    for the cosine matrix — ``max_bucket_size`` (see _cap_buckets) drops
-    degenerate mega-buckets before the group ever assembles (an
-    identical-embedding cluster of m rows is an m x m matmul inside ONE
-    task); rows living ONLY in dropped buckets return no neighbors,
-    which is the right answer for zero/default embeddings.  Ties broken
+    for the cosine matrix — ``max_bucket_size`` skips degenerate
+    mega-buckets INSIDE the grouped stage, before the quadratic matmul
+    (an identical-embedding cluster of m rows is otherwise an m x m
+    product inside ONE task; group assembly itself is linear).  Rows
+    living ONLY in skipped buckets return no neighbors — the right
+    answer for zero/default embeddings.  Ties broken
     by ascending neighbor id, identical to the previous window
     ordering."""
     from pyspark.sql import Window
@@ -685,12 +691,17 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sig = _cap_buckets(
-        lsh_bucket_table(df, id_col, vec_col, n_bits, n_tables,
-                         carry_vec=True), max_bucket_size)
+    sig = lsh_bucket_table(df, id_col, vec_col, n_bits, n_tables,
+                           carry_vec=True)
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        # the cap is checked INSIDE the group (group assembly is linear
+        # in rows; the matmul below is quadratic) — a pre-filter join
+        # would re-run the Arrow signature pass once more (see
+        # _cap_buckets), which for THIS operator is the dominant cost
+        if max_bucket_size is not None and n > max_bucket_size:
+            n = 0
         if n < 2:
             return pd.DataFrame({"id_a": np.zeros(0, np.int64),
                                  "id_b": np.zeros(0, np.int64),

@@ -103,6 +103,7 @@ def ingest_stream(stream_df: DataFrame, routes: list[AppendRoute],
     The micro-batch DataFrame is consumed once per route; routes that
     share expensive lineage should land the raw batch in route 0 and
     derive in later routes, or pre-transform in the stream itself."""
+    import os
     import re
 
     seen: dict[tuple, str] = {}
@@ -112,8 +113,11 @@ def ingest_stream(stream_df: DataFrame, routes: list[AppendRoute],
                 f"route name {route.name!r} must be [A-Za-z0-9_-]+ "
                 "(it becomes part of a batch-dir name)")
         # two routes into one ledger with the same effective name would
-        # make the second a silent exactly-once no-op every epoch
-        key = (getattr(route.target, "path", None) or id(route.target),
+        # make the second a silent exactly-once no-op every epoch;
+        # realpath-normalize so '/data/tbl' vs '/data/tbl/' (or a
+        # relative spelling) cannot sneak past the check
+        path = getattr(route.target, "path", None)
+        key = (os.path.realpath(path) if path else id(route.target),
                route.name)
         if key in seen:
             raise ValueError(

@@ -342,15 +342,26 @@ def test_external_search_partial_probe_recall_and_bucketed_plan(
         idx.search(qdf.withColumnRenamed("embedding", "vec"), k=1)
 
 
-def test_external_search_refuses_non_integer_query_ids(spark, tmp_path,
-                                                       clustered_halves):
-    """A lossy long-cast would NULL string query ids (executor crash or
-    one merged top-k window) — search() fails loud at the driver."""
+def test_id_guards_on_append_and_search(spark, tmp_path, clustered_halves):
+    """A lossy long-cast would NULL non-integer ids — permanently corrupt
+    postings on append, an executor crash or one merged top-k window on
+    search.  Both verbs refuse non-integer id columns at the driver, and
+    a NULL id inside an integral column fails loud in the job instead of
+    becoming a NULL posting/query row."""
     from streaming_algorithms_spark.ivf_index import IvfIndex
 
     _, _, df = clustered_halves
     idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "embedding")
-    idx.append(df, "b0", n_lists=4)
     bad = df.selectExpr("concat('q-', vec_id) AS vec_id", "embedding")
     with pytest.raises(ValueError, match="integer type"):
+        idx.append(bad, "b-bad", n_lists=4)
+    with_null = df.unionByName(spark.createDataFrame(
+        [(None, [0.0] * 16)], "vec_id long, embedding array<float>"))
+    with pytest.raises(Exception, match="NULL vec_id"):
+        idx.append(with_null, "b-null", n_lists=4)
+    idx.append(df, "b0", n_lists=4)
+    assert idx.committed_batches() == ["b0"]  # failed appends left no commit
+    with pytest.raises(ValueError, match="integer type"):
         idx.search(bad, k=1)
+    with pytest.raises(Exception, match="NULL vec_id"):
+        idx.search(with_null, k=1, n_probe=None).collect()
