@@ -1,5 +1,6 @@
-"""Incrementally-maintained IVF ANN index: append -> (drift) refresh -> query
-(``topk`` self-join over the contents, ``search`` for external query sets).
+"""Incrementally-maintained IVF ANN index: append/delete -> (drift) refresh
+-> query (``topk`` self-join over the contents, ``search`` for external
+query sets).
 
 The similarity path's continuous operating mode, mirroring
 ``sketch_table.SketchTable``: at 10^12 documents a full k-means plus a full
@@ -27,7 +28,18 @@ filesystem paths; an object store swaps the seam's one function):
   two corpus rows, exactly as two parquet appends would.
 - ``compact-<n>/data/`` + ``MANIFEST.json`` — all covered postings
   re-assigned under one quantizer generation; the manifest is the commit
-  point and lists the batch ids it covers.
+  point and lists the batch ids (and absorbed tombstone ids) it covers.
+- ``tomb-<id>/`` — parquet of DELETED row ids plus ``_BATCH_META.json``
+  (the tombstone commit point, same ledger rules as batches).  A live
+  tombstone masks its ids from every read (``postings``/``topk``/
+  ``search``) via a broadcast anti-join — deletion-sized sets, and a
+  broadcast join preserves the corpus side's clustering so the bucketed
+  no-Exchange plan survives.  The next ``refresh()`` applies tombstones
+  PHYSICALLY (deleted rows neither shape the re-fit quantizer nor land
+  in the compaction) and records them under ``covers_tombs``;
+  ``vacuum()`` then removes the dirs.  Deletion is mask-until-compact:
+  an id re-appended while its tombstone is live stays masked until that
+  refresh absorbs the tombstone — re-appends after it live again.
 
 Queries are always correct for the index's current contents: ``postings()``
 re-assigns any unit written under an older quantizer generation in-flight
@@ -146,6 +158,32 @@ class IvfIndex:
                     and os.path.exists(os.path.join(d, "_BATCH_META.json"))):
                 out.append(name[len("batch-"):])
         return out
+
+    def _tomb_dir(self, tomb_id: str) -> str:
+        return os.path.join(self.path, f"tomb-{tomb_id}")
+
+    def committed_tombstones(self) -> list[str]:
+        out = []
+        for name in _commit.list_units(self.path):
+            d = os.path.join(self.path, name)
+            if (name.startswith("tomb-")
+                    and os.path.exists(os.path.join(d, "_SUCCESS"))
+                    and os.path.exists(os.path.join(d,
+                                                    "_BATCH_META.json"))):
+                out.append(name[len("tomb-"):])
+        return out
+
+    def live_tombstones(
+            self, gens: list[tuple[int, dict]] | None = None) -> list[str]:
+        """Committed tombstones NOT yet absorbed by the latest compact
+        generation — the ones every read must still mask."""
+        if gens is None:
+            gens = self._generations()
+        tombs = self.committed_tombstones()
+        if not gens:
+            return tombs
+        absorbed = set(gens[-1][1].get("covers_tombs", []))
+        return [t for t in tombs if t not in absorbed]
 
     def _generations(self) -> list[tuple[int, dict]]:
         gens = []
@@ -267,6 +305,51 @@ class IvfIndex:
         _commit.commit_json(meta, os.path.join(target, "_BATCH_META.json"))
         return meta
 
+    def delete(self, ids: DataFrame, tomb_id: str) -> dict:
+        """Commit ``ids``' rows (the index's id column; extra columns
+        ignored) as tombstone ``tomb_id`` — the removal verb for the
+        curation user whose flagged/contaminated vectors must leave the
+        index without a rebuild.  Effective immediately as a read-time
+        mask (broadcast anti-join, deletion-sized); the next ``refresh``
+        applies it physically and ``vacuum`` reclaims the dir.  Same
+        exactly-once ledger and crash-invisibility rules as ``append``.
+
+        Tombstone sets between refreshes are maintenance-sized by
+        contract (they ride a broadcast): for a corpus-scale purge, run
+        ``refresh()`` right after to absorb the mask into the
+        compaction."""
+        from .sketch_table import reclaim_uncommitted_batch
+
+        if not _BATCH_ID_RE.fullmatch(tomb_id):
+            raise ValueError(
+                f"tomb_id {tomb_id!r} must match {_BATCH_ID_RE.pattern}")
+        self._check_meta(write_if_missing=False)
+        target = self._tomb_dir(tomb_id)
+        reclaim_uncommitted_batch(target)  # crashed-delete retry self-heals
+        if os.path.exists(target):
+            raise ValueError(
+                f"tombstone {tomb_id!r} already exists in {self.path!r} — "
+                "tombstone ids are the exactly-once ledger")
+        (ids.select(_integral_id_expr(ids, self.id_col, "IvfIndex.delete"))
+            .distinct().write.parquet(target))  # errorifexists
+        n_rows = self.spark.read.parquet(target).count()
+        meta = {"tomb_id": tomb_id, "rows": n_rows,
+                "algo_version": ALGO_VERSION}
+        _commit.commit_json(meta, os.path.join(target, "_BATCH_META.json"))
+        return meta
+
+    def _apply_tombstones(self, df: DataFrame,
+                          tombs: Sequence[str]) -> DataFrame:
+        """Mask live-tombstoned ids out of ``df``.  Broadcast anti-join:
+        never re-shuffles the corpus side, so a bucketed compact's
+        no-Exchange clustering survives the mask."""
+        if not tombs:
+            return df
+        masked = self._read_units([f"tomb-{t}" for t in tombs]).select(
+            self.id_col)
+        return df.join(F.broadcast(masked), on=self.id_col,
+                       how="left_anti")
+
     def _bucket_table_name(self, gen_n: int) -> str:
         import hashlib
 
@@ -295,7 +378,10 @@ class IvfIndex:
         if not units:
             raise ValueError(f"nothing to refresh in {self.path!r}")
         qgen_old, cent, _ = self.latest_quantizer()
-        rows = self._read_units(units).select(self.id_col, self.vec_col)
+        tombs = self.live_tombstones(gens)
+        rows = self._apply_tombstones(
+            self._read_units(units).select(self.id_col, self.vec_col),
+            tombs)  # deleted rows neither shape the re-fit nor survive it
         cent = _lloyd_refine_distributed(rows, self.vec_col, cent,
                                          lloyd_iters)
         n = gens[-1][0] + 1 if gens else 0
@@ -331,8 +417,11 @@ class IvfIndex:
         merged_batches = {u[len("batch-"):] for u in units
                           if u.startswith("batch-")}
         prior = set(gens[-1][1]["covers"]) if gens else set()
+        prior_tombs = (set(gens[-1][1].get("covers_tombs", []))
+                       if gens else set())
         _commit.commit_json(
             {"covers": sorted(prior | merged_batches),
+             "covers_tombs": sorted(prior_tombs | set(tombs)),
              "quantizer_gen": qgen_new, "bucket": bucket_spec,
              "algo_version": ALGO_VERSION},
             os.path.join(gen_dir, "MANIFEST.json"))
@@ -365,6 +454,11 @@ class IvfIndex:
             if qn < keep_qgen:
                 shutil.rmtree(os.path.join(self.path, f"quantizer-{qn}"))
                 removed.append(f"quantizer-{qn}")
+        absorbed = set(manifest.get("covers_tombs", []))
+        for t in self.committed_tombstones():
+            if t in absorbed:
+                shutil.rmtree(self._tomb_dir(t))
+                removed.append(f"tomb-{t}")
         return removed
 
     # -- read path ---------------------------------------------------------
@@ -400,7 +494,7 @@ class IvfIndex:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return self._apply_tombstones(out, self.live_tombstones())
 
     def _routed_postings(self):
         """(assigned_df, corpus_pre_partitioned, n_parts): when the live
@@ -426,8 +520,10 @@ class IvfIndex:
                         "SORTED BY (list_id) "
                         f"INTO {spec['n_buckets']} BUCKETS "
                         f"LOCATION '{loc}'")
-                df = self.spark.table(tbl).select(
-                    self.id_col, self.vec_col, "list_id")
+                df = self._apply_tombstones(
+                    self.spark.table(tbl).select(
+                        self.id_col, self.vec_col, "list_id"),
+                    self.live_tombstones(gens))
                 return df, True, int(spec["n_buckets"])
         return self.postings(), False, None
 

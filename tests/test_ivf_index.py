@@ -365,3 +365,138 @@ def test_id_guards_on_append_and_search(spark, tmp_path, clustered_halves):
         idx.search(bad, k=1)
     with pytest.raises(Exception, match="NULL vec_id"):
         idx.search(with_null, k=1, n_probe=None).collect()
+
+
+def test_delete_masks_reads_and_commit_protocol(spark, tmp_path):
+    """delete() — the removal verb.  A committed tombstone masks its ids
+    from postings/topk/search IMMEDIATELY (results equal brute force over
+    the survivors); the ledger refuses duplicate/bad tombstone ids; a
+    crashed delete (no _SUCCESS) is invisible and a retry reclaims the
+    orphan, exactly like append's commit protocol."""
+    import os
+    import shutil
+
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+    from streaming_algorithms_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(17)
+    dim = 8
+    centers = rng.normal(size=(3, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = _clustered(rng, centers, 20, dim)
+    df = _mk_df(spark, rows)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "embedding")
+    idx.append(df, "day-0", n_lists=3)
+
+    dead = sorted(r[0] for r in rows)[:7]
+    dead_df = spark.createDataFrame([(i,) for i in dead], "vec_id long")
+    meta = idx.delete(dead_df, "purge-0")
+    assert meta["rows"] == len(dead)
+
+    survivors = [r for r in rows if r[0] not in set(dead)]
+    surv_df = _mk_df(spark, survivors)
+    left = {r["vec_id"] for r in idx.postings().collect()}
+    assert left == {r[0] for r in survivors}
+    got = {r["vec_id"]: r["neighbor_id"]
+           for r in idx.topk(k=1, n_probe=None).collect()}
+    bf = {r["vec_id"]: r["neighbor_id"]
+          for r in brute_force_topk(surv_df, surv_df, "vec_id",
+                                    "embedding", k=1).collect()}
+    assert got == bf  # deleted ids gone as queries AND as neighbors
+
+    # external search never returns a deleted neighbor either
+    qdf = _mk_df(spark, _clustered(rng, centers, 4, dim, id_base=9_000))
+    sgot = {r["vec_id"]: r["neighbor_id"]
+            for r in idx.search(qdf, k=1, n_probe=None).collect()}
+    sbf = {r["vec_id"]: r["neighbor_id"]
+           for r in brute_force_topk(qdf, surv_df, "vec_id", "embedding",
+                                     k=1, exclude_self=False).collect()}
+    assert sgot == sbf
+
+    with pytest.raises(ValueError, match="already exists"):
+        idx.delete(dead_df, "purge-0")
+    with pytest.raises(ValueError, match="must match"):
+        idx.delete(dead_df, "purge 0!")
+    with pytest.raises(ValueError, match="integer type"):
+        idx.delete(dead_df.selectExpr("concat('x', vec_id) AS vec_id"),
+                   "purge-bad")
+
+    # crashed delete: no _SUCCESS -> invisible (all rows serve again)
+    os.remove(tmp_path / "ivf" / "tomb-purge-0" / "_SUCCESS")
+    assert idx.committed_tombstones() == []
+    assert {r["vec_id"] for r in idx.postings().collect()} == {
+        r[0] for r in rows}
+    # died before the commit point (no meta): retry reclaims the orphan
+    shutil.rmtree(tmp_path / "ivf" / "tomb-purge-0")
+    idx.delete(dead_df, "purge-0")
+    os.remove(tmp_path / "ivf" / "tomb-purge-0" / "_BATCH_META.json")
+    idx.delete(dead_df, "purge-0")
+    assert idx.committed_tombstones() == ["purge-0"]
+
+
+def test_delete_refresh_absorbs_vacuum_reclaims(spark, tmp_path):
+    """refresh() applies live tombstones physically (compaction holds
+    only survivors; the manifest records the absorption), the bucketed
+    no-Exchange fast path still serves exactly with a LIVE tombstone on
+    top (broadcast mask preserves the clustering — the runtime plan
+    check inside ivf_search would raise otherwise), vacuum() reclaims
+    absorbed tombstone dirs only, and an id re-appended after absorption
+    lives again."""
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+    from streaming_algorithms_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    dim = 8
+    centers = rng.normal(size=(3, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = _clustered(rng, centers, 20, dim)
+    df = _mk_df(spark, rows)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "embedding")
+    idx.append(df, "day-0", n_lists=3)
+
+    dead_a = sorted(r[0] for r in rows)[:5]
+    idx.delete(spark.createDataFrame([(i,) for i in dead_a],
+                                     "vec_id long"), "purge-a")
+    idx.refresh()  # bucketed compact; absorbs purge-a physically
+    assert idx.live_tombstones() == []
+    comp = idx._generations()[-1][1]
+    assert comp["covers_tombs"] == ["purge-a"]
+    surv_a = [r for r in rows if r[0] not in set(dead_a)]
+    assert {r["vec_id"] for r in idx.postings().collect()} == {
+        r[0] for r in surv_a}
+
+    # live tombstone OVER the bucketed fast path: still exact, and the
+    # no-Exchange plan check inside ivf_search stays satisfied
+    dead_b = sorted(r[0] for r in surv_a)[:4]
+    idx.delete(spark.createDataFrame([(i,) for i in dead_b],
+                                     "vec_id long"), "purge-b")
+    surv_b = [r for r in surv_a if r[0] not in set(dead_b)]
+    surv_b_df = _mk_df(spark, surv_b)
+    got = {r["vec_id"]: r["neighbor_id"]
+           for r in idx.topk(k=1, n_probe=None).collect()}
+    bf = {r["vec_id"]: r["neighbor_id"]
+          for r in brute_force_topk(surv_b_df, surv_b_df, "vec_id",
+                                    "embedding", k=1).collect()}
+    assert got == bf
+
+    removed = idx.vacuum()
+    assert "tomb-purge-a" in removed      # absorbed -> reclaimed
+    assert "tomb-purge-b" not in removed  # live mask must survive vacuum
+    assert idx.live_tombstones() == ["purge-b"]
+
+    # re-append an absorbed-deleted id: it lives again (purge-a is
+    # spent); a purge-b id stays masked until the next refresh absorbs it
+    back = [r for r in rows if r[0] == dead_a[0]]
+    idx.append(_mk_df(spark, back), "day-1")
+    ids_now = {r["vec_id"] for r in idx.postings().collect()}
+    assert dead_a[0] in ids_now
+    assert not any(i in ids_now for i in dead_b)
+    idx.refresh()
+    idx.vacuum()
+    assert idx.live_tombstones() == []
+    assert {r["vec_id"] for r in idx.postings().collect()} == (
+        {r[0] for r in surv_b} | {dead_a[0]})
