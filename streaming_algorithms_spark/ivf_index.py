@@ -338,6 +338,33 @@ class IvfIndex:
         _commit.commit_json(meta, os.path.join(target, "_BATCH_META.json"))
         return meta
 
+    def retract(self, batch_id: str) -> None:
+        """Remove a committed-but-not-yet-compacted posting batch — the
+        "that crawl segment was bad" verb, cheaper than ``delete`` (no
+        id list, no read-time mask: the rows vanish with the unit).  A
+        batch covered by a compact generation is already rewritten into
+        it — use ``delete`` with its ids instead.  Reverse-commit
+        protocol shared with SketchTable.retract: one atomic unlink of
+        ``_BATCH_META.json`` uncommits the batch, data files are
+        cleanup, a crash mid-cleanup leaves a self-healing orphan, and
+        the batch id is immediately free for a corrected re-append."""
+        import shutil
+
+        gens = self._generations()
+        covered = set(gens[-1][1]["covers"]) if gens else set()
+        if batch_id in covered:
+            raise ValueError(
+                f"batch {batch_id!r} is covered by a compact generation "
+                "— its rows live in the compaction now; delete() their "
+                "ids instead")
+        target = self._batch_dir(batch_id)
+        meta = os.path.join(target, "_BATCH_META.json")
+        if not os.path.exists(meta):
+            raise ValueError(
+                f"no committed batch {batch_id!r} in {self.path!r}")
+        os.remove(meta)       # the reverse commit point
+        shutil.rmtree(target)  # cleanup of an already-orphaned dir
+
     def _apply_tombstones(self, df: DataFrame,
                           tombs: Sequence[str]) -> DataFrame:
         """Mask live-tombstoned ids out of ``df``.  Broadcast anti-join:

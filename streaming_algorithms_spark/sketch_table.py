@@ -320,6 +320,35 @@ class SketchTable:
             os.path.join(gen_dir, "MANIFEST.json"))
         return f"compact-{n:06d}"
 
+    def retract(self, batch_id: str) -> None:
+        """Remove a committed-but-not-yet-compacted batch — the "that
+        crawl segment was bad" verb.  A batch already covered by a
+        compact generation is baked into merged sketch rows, and sketch
+        merges are NOT invertible (a monoid, not a group) — retracting
+        it then is impossible; rebuild from surviving sources instead.
+        The commit protocol runs in reverse: unlinking
+        ``_BATCH_META.json`` (one atomic unlink) uncommits the batch —
+        readers treat the dir as an orphan from that instant — and the
+        data files are cleanup; a crash mid-cleanup leaves an orphan
+        that ``reclaim_uncommitted_batch`` self-heals, so the batch id
+        is immediately free for a corrected re-append.  Same reader
+        safety window as ``vacuum`` (don't race an in-flight read)."""
+        import shutil
+
+        gens = self._generations()
+        covered = set(gens[-1][1]["covers"]) if gens else set()
+        if batch_id in covered:
+            raise ValueError(
+                f"batch {batch_id!r} is covered by a compact generation "
+                "— sketch merges are not invertible; rebuild instead")
+        target = self._batch_dir(batch_id)
+        meta = os.path.join(target, "_BATCH_META.json")
+        if not os.path.exists(meta):
+            raise ValueError(
+                f"no committed batch {batch_id!r} in {self.path!r}")
+        os.remove(meta)       # the reverse commit point
+        shutil.rmtree(target)  # cleanup of an already-orphaned dir
+
     def vacuum(self) -> list[str]:
         """Delete units subsumed by the latest generation (old compacts and
         covered batch dirs).  Returns what it removed."""

@@ -500,3 +500,42 @@ def test_delete_refresh_absorbs_vacuum_reclaims(spark, tmp_path):
     assert idx.live_tombstones() == []
     assert {r["vec_id"] for r in idx.postings().collect()} == (
         {r[0] for r in surv_b} | {dead_a[0]})
+
+
+def test_retract_posting_batch(spark, tmp_path):
+    """IvfIndex.retract(): an uncovered posting batch retracts in one
+    reverse-commit (results equal an index that never saw it, no mask
+    involved, id free for re-append); a covered batch refuses and points
+    at delete()."""
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+    from streaming_algorithms_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(29)
+    dim = 8
+    centers = rng.normal(size=(3, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    a_rows = _clustered(rng, centers, 20, dim)
+    bad_rows = _clustered(rng, centers, 10, dim, id_base=7_000)
+    a, bad = _mk_df(spark, a_rows), _mk_df(spark, bad_rows)
+
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "embedding")
+    idx.append(a, "day-0", n_lists=3)
+    idx.append(bad, "day-1-bad")
+    idx.retract("day-1-bad")
+    assert idx.committed_batches() == ["day-0"]
+    got = {r["vec_id"]: r["neighbor_id"]
+           for r in idx.topk(k=1, n_probe=None).collect()}
+    bf = {r["vec_id"]: r["neighbor_id"]
+          for r in brute_force_topk(a, a, "vec_id", "embedding",
+                                    k=1).collect()}
+    assert got == bf
+    idx.append(bad, "day-1-bad")  # the ledger slot is free again
+    assert idx.committed_batches() == ["day-0", "day-1-bad"]
+
+    idx.refresh()
+    with pytest.raises(ValueError, match="delete"):
+        idx.retract("day-0")
+    with pytest.raises(ValueError, match="no committed batch"):
+        idx.retract("nope")

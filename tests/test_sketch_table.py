@@ -240,3 +240,48 @@ def test_version_fence_names_stale_batch(spark, tmp_path, monkeypatch):
     # back on the writing version, the same table reads fine
     monkeypatch.undo()
     assert len(_estimates_pdf(t, from_bytes, finalize, schema)) == 3
+
+
+def test_retract_uncovered_batch_only(spark, tmp_path):
+    """retract() — the bad-segment verb.  An uncovered batch retracts
+    (estimates equal a build that never saw it; the id is free for a
+    corrected re-append), a covered batch refuses (sketch merges are a
+    monoid, not a group — not invertible), and an unknown/crashed id
+    refuses.  A crash mid-cleanup (meta already unlinked) leaves an
+    orphan a later append self-heals."""
+    from streaming_algorithms_spark.sketch_table import SketchTable
+
+    factory, update, from_bytes, finalize, schema = _hll_callables()
+    b0, b1, b2 = _batches(spark)
+    t = SketchTable(spark, str(tmp_path / "tbl"), ["lang"])
+    t.append(b0, "day-0", factory, update)
+    t.append(b1, "day-1", factory, update)
+    t.append(b2, "day-2-bad", factory, update)
+
+    t.retract("day-2-bad")
+    assert t.committed_batches() == ["day-0", "day-1"]
+    got = _estimates_pdf(t, from_bytes, finalize, schema)
+    clean = SketchTable(spark, str(tmp_path / "clean"), ["lang"])
+    clean.append(b0, "day-0", factory, update)
+    clean.append(b1, "day-1", factory, update)
+    assert got.equals(_estimates_pdf(clean, from_bytes, finalize, schema))
+
+    # the id is free again: corrected re-append lands
+    t.append(b2, "day-2-bad", factory, update)
+    assert t.committed_batches() == ["day-0", "day-1", "day-2-bad"]
+
+    # covered by a compaction -> baked into merged rows -> refused
+    t.compact(from_bytes)
+    with pytest.raises(ValueError, match="not invertible"):
+        t.retract("day-0")
+    with pytest.raises(ValueError, match="no committed batch"):
+        t.retract("never-appended")
+
+    # crash mid-cleanup: meta unlinked, dir left behind -> batch is
+    # already invisible, and the orphan self-heals on the next append
+    t2 = SketchTable(spark, str(tmp_path / "tbl2"), ["lang"])
+    t2.append(b0, "seg-0", factory, update)
+    os.remove(tmp_path / "tbl2" / "batch-seg-0" / "_BATCH_META.json")
+    assert t2.committed_batches() == []
+    t2.append(b0, "seg-0", factory, update)  # reclaim, not "already exists"
+    assert t2.committed_batches() == ["seg-0"]
