@@ -1011,7 +1011,10 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     index's EXTERNAL-query verb the same way: a re-id'd query slice hits
     the SAME persisted index via ``IvfIndex.search`` at full probe and
     must equal the driver-broadcast brute force over (queries x index
-    contents) with no self-exclusion."""
+    contents) with no self-exclusion.  ``delete_ok`` gates the REMOVAL
+    verb: a tombstoned id slice must vanish from full-probe topk as
+    queries AND as neighbors (equality vs brute force over the
+    survivors) straight off the read-time mask — no refresh."""
     import shutil
     import tempfile
 
@@ -1057,13 +1060,31 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~F.col("r_n").eqNullSafe(F.col("s_n")))
                   .cast("int")).alias("bad")).collect()[0])
         search_ok = int(row_s["n"]) > 0 and int(row_s["bad"] or 0) == 0
+        # removal verb against the SAME persisted index (runs LAST — it
+        # changes the contents): tombstone a slice, then full-probe topk
+        # must equal brute force over the SURVIVORS — deleted ids gone
+        # as queries and as neighbors, straight off the read-time mask
+        idx.delete(sub.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+                   .select("vec_id"), "purge-0")
+        surv = sub.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+        got_d = idx.topk(k=1, n_probe=None).select(
+            "vec_id", F.col("neighbor_id").alias("d_n"))
+        ref_d = brute_force_topk(surv, surv, "vec_id", "embedding",
+                                 k=1).select(
+            "vec_id", F.col("neighbor_id").alias("rd_n"))
+        row_d = (ref_d.join(got_d, "vec_id", "full").agg(
+            F.count("*").alias("n"),
+            F.sum((~F.col("rd_n").eqNullSafe(F.col("d_n")))
+                  .cast("int")).alias("bad")).collect()[0])
+        delete_ok = int(row_d["n"]) > 0 and int(row_d["bad"] or 0) == 0
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return (
         ivf_topk(emb, "vec_id", "embedding", k=1, n_lists=8, n_probe=8)
         .select("vec_id", F.col("neighbor_id").alias("ivf_neighbor"),
                 F.lit(incremental_ok).alias("incremental_ok"),
-                F.lit(search_ok).alias("search_ok"))
+                F.lit(search_ok).alias("search_ok"),
+                F.lit(delete_ok).alias("delete_ok"))
         .orderBy("vec_id")
     )
 
@@ -2987,7 +3008,8 @@ ORACLES = {
     # ann_top1, exercised through the distributed IVF machinery
     "ivf_topk_embeddings": """
         SELECT vec_id, neighbor_id AS ivf_neighbor,
-               TRUE AS incremental_ok, TRUE AS search_ok FROM (
+               TRUE AS incremental_ok, TRUE AS search_ok,
+               TRUE AS delete_ok FROM (
             SELECT a.vec_id, b.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (
                        PARTITION BY a.vec_id
