@@ -8,6 +8,9 @@ built on this seam:
 
 - WARC sink task commit   (sources/warc.py: dot-temp -> part-<pid>)
 - sketch-table batch/manifest commits (sketch_table.py: *.tmp -> _BATCH_META.json / MANIFEST.json)
+- IVF index quantizer/batch/tombstone/manifest commits (ivf_index.py:
+  QUANT.json / _BATCH_META.json / MANIFEST.json; retraction runs the
+  protocol in REVERSE — one atomic unlink of the commit marker)
 - pipeline staging marker (pipeline.py: _STAGE_META.json)
 
 ``publish_file`` is the ONLY function that performs the swap.  The local
