@@ -230,14 +230,15 @@ def _disk_probe() -> float:
 # suite's own scan/shuffle canaries.  A healthy kernel control plus slow
 # canaries = disk/DRAM-side host contention the kernel cannot see.
 CANARY_RECORDS = {
-    # per-query minima across clean-labeled captures (round-7 quiet
-    # window lowered three of five — the older records carried ~15%
-    # residual host inflation, BASELINE.md round-7 record)
-    "url_canon_documents": 0.70,
-    "welford_lineitem": 1.70,
-    "split_documents": 0.26,
-    "sample_documents": 0.54,
-    "ts_hourly_events": 0.40,
+    # per-query minima across clean-labeled captures (round-7 closing
+    # capture lowered all five again — canary 0.76 vs the previous
+    # records, kernel+disk controls at their healthy records;
+    # BASELINE.md round-7 closing record)
+    "url_canon_documents": 0.53,
+    "welford_lineitem": 1.25,
+    "split_documents": 0.22,
+    "sample_documents": 0.41,
+    "ts_hourly_events": 0.34,
 }
 
 
@@ -260,7 +261,7 @@ def _canary_ratio(timings: dict) -> float:
 # gate's clean-window steady-state record; if the suite's min still sits
 # above 1.8x it, up to two extra decorrelated samples chase steady state.
 BIMODAL_WARMUP_RECORDS = {
-    "minhash_lsh_documents": 3.66,
+    "minhash_lsh_documents": 2.75,
 }
 
 
