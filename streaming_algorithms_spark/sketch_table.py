@@ -331,8 +331,12 @@ class SketchTable:
         readers treat the dir as an orphan from that instant — and the
         data files are cleanup; a crash mid-cleanup leaves an orphan
         that ``reclaim_uncommitted_batch`` self-heals, so the batch id
-        is immediately free for a corrected re-append.  Same reader
-        safety window as ``vacuum`` (don't race an in-flight read)."""
+        is immediately free for a corrected re-append.  Same
+        single-maintainer window as ``vacuum``: don't race an in-flight
+        read, and don't race an in-flight ``compact()`` — the covered
+        check reads the latest COMMITTED manifest, so a retraction
+        landing between a compaction's merge read and its manifest
+        commit would be silently undone by that manifest."""
         import shutil
 
         gens = self._generations()
