@@ -365,6 +365,32 @@ class IvfIndex:
         os.remove(meta)       # the reverse commit point
         shutil.rmtree(target)  # cleanup of an already-orphaned dir
 
+    def undelete(self, tomb_id: str) -> None:
+        """Reverse-commit an UNABSORBED tombstone — the fat-fingered-
+        delete escape hatch; its masked ids serve again immediately.  A
+        tombstone already absorbed by a compact generation is spent (the
+        compaction physically dropped its rows) and cannot be undone —
+        re-append the vectors instead.  Same reverse-commit protocol as
+        ``retract``: one atomic unlink of the commit marker, then
+        cleanup."""
+        import shutil
+
+        gens = self._generations()
+        absorbed = (set(gens[-1][1].get("covers_tombs", []))
+                    if gens else set())
+        if tomb_id in absorbed:
+            raise ValueError(
+                f"tombstone {tomb_id!r} was absorbed by a compact "
+                "generation — its rows are gone; re-append the vectors "
+                "instead")
+        target = self._tomb_dir(tomb_id)
+        meta = os.path.join(target, "_BATCH_META.json")
+        if not os.path.exists(meta):
+            raise ValueError(
+                f"no committed tombstone {tomb_id!r} in {self.path!r}")
+        os.remove(meta)       # the reverse commit point
+        shutil.rmtree(target)  # cleanup of an already-orphaned dir
+
     def _apply_tombstones(self, df: DataFrame,
                           tombs: Sequence[str]) -> DataFrame:
         """Mask live-tombstoned ids out of ``df``.  Broadcast anti-join:

@@ -539,3 +539,36 @@ def test_retract_posting_batch(spark, tmp_path):
         idx.retract("day-0")
     with pytest.raises(ValueError, match="no committed batch"):
         idx.retract("nope")
+
+
+def test_undelete_unabsorbed_tombstone(spark, tmp_path):
+    """undelete(): an unabsorbed tombstone reverse-commits and its ids
+    serve again at once; an absorbed tombstone refuses (the compaction
+    physically dropped the rows); unknown ids refuse."""
+    from streaming_algorithms_spark.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(37)
+    dim = 8
+    centers = rng.normal(size=(3, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = _clustered(rng, centers, 15, dim)
+    df = _mk_df(spark, rows)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), "vec_id", "embedding")
+    idx.append(df, "day-0", n_lists=3)
+    all_ids = {r[0] for r in rows}
+
+    dead = sorted(all_ids)[:6]
+    idx.delete(spark.createDataFrame([(i,) for i in dead],
+                                     "vec_id long"), "oops")
+    assert {r["vec_id"] for r in idx.postings().collect()} == (
+        all_ids - set(dead))
+    idx.undelete("oops")
+    assert idx.committed_tombstones() == []
+    assert {r["vec_id"] for r in idx.postings().collect()} == all_ids
+    # the ledger slot is free again after an undelete
+    idx.delete(spark.createDataFrame([(dead[0],)], "vec_id long"), "oops")
+    idx.refresh()  # absorbs -> spent
+    with pytest.raises(ValueError, match="absorbed"):
+        idx.undelete("oops")
+    with pytest.raises(ValueError, match="no committed tombstone"):
+        idx.undelete("never")
