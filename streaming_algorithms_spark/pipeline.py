@@ -568,6 +568,22 @@ def curate(pages: DataFrame, *,
         .drop("_exact_keep", "_near_keep", "_sem_keep", "_contaminated",
               "_contaminated_sem")
     )
+    if stage:
+        # The verdict spine is consumed by >= 3 independent outputs
+        # (annotated/funnel, kept, train_packing) and its lineage is the
+        # WHOLE composition (staged scan + signals + two dedup joins +
+        # optional semantic/decontamination joins).  Persisting it does two
+        # things: downstream actions materialize the join chain once
+        # instead of once per consumer, and — the larger effect at gate
+        # scale — Catalyst's cache substitution truncates every consumer's
+        # plan at an InMemoryRelation, so the optimizer stops re-walking
+        # the multi-hundred-KB composed plan per aggregate subtree
+        # (measured: the composed one-row datasheet collect spends more
+        # driver time PLANNING the six crossjoined aggregates over the
+        # full spine than executing them; spark_optimization_guide §3.3 /
+        # §7.3 "materialise intermediates to truncate the plan").
+        from pyspark import StorageLevel
+        annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
 
     from .operators.sampling import assign_splits
     kept = assign_splits(

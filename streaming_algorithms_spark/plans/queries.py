@@ -99,6 +99,22 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_distinct": int(round(sk.estimate()))},
         out_value_schema="approx_distinct bigint",
     )
+    # the one-shot merge tree + exact side are independent of the table
+    # lifecycle below (same cached hashes, no table in either path) —
+    # collect them CONCURRENTLY with it (the CLAUDE.md streaming-gate
+    # exception: both sides are fixed-overhead-bound jobs over the tiny
+    # cached frame; guide §2.6).  The collected key-cardinality rows
+    # re-enter the final plan via createDataFrame, values unchanged.
+    import threading
+
+    stats_plan = exact.join(est, "event_type")
+    box: dict = {}
+
+    def _grab_stats():
+        box["rows"] = stats_plan.collect()
+
+    stats_t = threading.Thread(target=_grab_stats)
+    stats_t.start()
     scratch = tempfile.mkdtemp(prefix="sketch_tbl_gate_")
     try:
         t = SketchTable(spark, f"{scratch}/tbl", ["event_type"])
@@ -118,13 +134,15 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         # returned plan doesn't reference the scratch parquet after cleanup
         inc = spark.createDataFrame(
             inc.collect(), "event_type string, incremental_distinct bigint")
+        stats_t.join()
     finally:
         src.unpersist()
         shutil.rmtree(scratch, ignore_errors=True)
 
+    stats = spark.createDataFrame(box["rows"], stats_plan.schema)
     rse = 1.04 / np.sqrt(2 ** 14)
     return (
-        exact.join(est, "event_type")
+        stats
         .join(inc, "event_type")
         .select(
             "event_type",
@@ -1030,36 +1048,57 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "day-0", n_lists=4)
         idx.append(sub.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
                    "day-1", stats=False)  # gate manages no refresh
-        inc = idx.topk(k=1, n_probe=None).select(
-            "vec_id", F.col("neighbor_id").alias("inc_n"))
-        # exactness reference in ONE job: driver-broadcast brute force
-        # over the slice (slice-sized collect, bounded)
-        ref = brute_force_topk(sub, sub, "vec_id", "embedding",
-                               k=1).select(
-            "vec_id", F.col("neighbor_id").alias("ref_n"))
-        # one scalar crosses the driver: (rows, mismatches) — never the
-        # per-row result set (the scratch index is deleted below)
-        row = (ref.join(inc, "vec_id", "full").agg(
-            F.count("*").alias("n"),
-            F.sum((~F.col("ref_n").eqNullSafe(F.col("inc_n")))
-                  .cast("int")).alias("bad")).collect()[0])
-        incremental_ok = int(row["n"]) > 0 and int(row["bad"] or 0) == 0
-        # external-query verb against the SAME persisted index: re-id a
-        # sub-slice (disjoint id namespace) and full-probe search it —
-        # exact, so equality vs brute force with exclude_self=False
-        qext = (sub.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
-                .select((F.col("vec_id") + F.lit(10_000_000))
-                        .alias("vec_id"), "embedding"))
-        got_s = idx.search(qext, k=1, n_probe=None).select(
-            "vec_id", F.col("neighbor_id").alias("s_n"))
-        ref_s = brute_force_topk(qext, sub, "vec_id", "embedding", k=1,
-                                 exclude_self=False).select(
-            "vec_id", F.col("neighbor_id").alias("r_n"))
-        row_s = (ref_s.join(got_s, "vec_id", "full").agg(
-            F.count("*").alias("n"),
-            F.sum((~F.col("r_n").eqNullSafe(F.col("s_n")))
-                  .cast("int")).alias("bad")).collect()[0])
-        search_ok = int(row_s["n"]) > 0 and int(row_s["bad"] or 0) == 0
+        # one scalar per gate crosses the driver: (rows, mismatches) —
+        # never the per-row result set (the scratch index is deleted below)
+        def _equality_ok(ref_df, got_df, ref_col, got_col) -> bool:
+            row = (ref_df.join(got_df, "vec_id", "full").agg(
+                F.count("*").alias("n"),
+                F.sum((~F.col(ref_col).eqNullSafe(F.col(got_col)))
+                      .cast("int")).alias("bad")).collect()[0])
+            return int(row["n"]) > 0 and int(row["bad"] or 0) == 0
+
+        # the incremental gate and the external-search gate both read the
+        # SAME persisted index state (pre-delete) and are independent —
+        # run their compare jobs CONCURRENTLY (the CLAUDE.md streaming-
+        # gate exception: both sides are strings of scheduler-latency-
+        # bound jobs over a slice-sized index, so overlap saves their
+        # fixed per-job overhead; guide §2.6 overlap-independent-jobs).
+        import threading
+
+        box: dict = {}
+
+        def _run_incremental():
+            inc = idx.topk(k=1, n_probe=None).select(
+                "vec_id", F.col("neighbor_id").alias("inc_n"))
+            # exactness reference in ONE job: driver-broadcast brute
+            # force over the slice (slice-sized collect, bounded)
+            ref = brute_force_topk(sub, sub, "vec_id", "embedding",
+                                   k=1).select(
+                "vec_id", F.col("neighbor_id").alias("ref_n"))
+            box["incremental_ok"] = _equality_ok(ref, inc, "ref_n", "inc_n")
+
+        def _run_search():
+            # external-query verb against the SAME persisted index: re-id
+            # a sub-slice (disjoint id namespace) and full-probe search it
+            # — exact, so equality vs brute force with exclude_self=False
+            qext = (sub.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
+                    .select((F.col("vec_id") + F.lit(10_000_000))
+                            .alias("vec_id"), "embedding"))
+            got_s = idx.search(qext, k=1, n_probe=None).select(
+                "vec_id", F.col("neighbor_id").alias("s_n"))
+            ref_s = brute_force_topk(qext, sub, "vec_id", "embedding", k=1,
+                                     exclude_self=False).select(
+                "vec_id", F.col("neighbor_id").alias("r_n"))
+            box["search_ok"] = _equality_ok(ref_s, got_s, "r_n", "s_n")
+
+        ts = [threading.Thread(target=_run_incremental),
+              threading.Thread(target=_run_search)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        incremental_ok = box["incremental_ok"]
+        search_ok = box["search_ok"]
         # removal verb against the SAME persisted index (runs LAST — it
         # changes the contents): tombstone a slice, then full-probe topk
         # must equal brute force over the SURVIVORS — deleted ids gone
@@ -1072,11 +1111,7 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref_d = brute_force_topk(surv, surv, "vec_id", "embedding",
                                  k=1).select(
             "vec_id", F.col("neighbor_id").alias("rd_n"))
-        row_d = (ref_d.join(got_d, "vec_id", "full").agg(
-            F.count("*").alias("n"),
-            F.sum((~F.col("rd_n").eqNullSafe(F.col("d_n")))
-                  .cast("int")).alias("bad")).collect()[0])
-        delete_ok = int(row_d["n"]) > 0 and int(row_d["bad"] or 0) == 0
+        delete_ok = _equality_ok(ref_d, got_d, "rd_n", "d_n")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return (
@@ -1771,6 +1806,8 @@ def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash-gated end to end, not just each stage in isolation.
     (Reference analogue: the composed Heka monitor workload,
     heka_message_monitor.lua:618-709.)"""
+    import threading
+
     from ..pipeline import curate
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1791,6 +1828,23 @@ def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * F.log2(F.col("_c") / F.col("_n"))), 6
         ).alias("lang_entropy_bits"))
     )
+    # The corpus-stats side (raw documents table) and the planted curation
+    # funnel below are INDEPENDENT subtrees; curate()'s call-time
+    # components loop serializes several scheduler-latency-bound jobs, so
+    # the stats collect runs CONCURRENTLY with it (the CLAUDE.md
+    # streaming-gate exception: both sides are fixed-overhead-bound over
+    # tiny gate data, overlap saves their fixed cost instead of contending
+    # for bandwidth; guide §2.6 overlap-independent-jobs).  The collected
+    # one-row stats then re-enter the final plan via createDataFrame with
+    # the SAME derivation expressions, so values stay bit-identical.
+    stats_plan = base.crossJoin(exact_vocab).crossJoin(vocab).crossJoin(lang_ent)
+    stats_box: dict = {}
+
+    def _grab_stats():
+        stats_box["rows"] = stats_plan.collect()
+
+    stats_t = threading.Thread(target=_grab_stats)
+    stats_t.start()
     # ---- planted curation funnel through curate() (docstring) ----------
     # Texts are synthesized from doc_id with per-doc-unique vocab, so
     # cross-class similarity is zero by construction and every funnel
@@ -1801,59 +1855,82 @@ def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # original deterministically).  The r=6 class plants the precedence
     # case: duplicated junk — replica must drop exact_duplicate (first
     # rule), its original low_quality.
+    # The planted texts are synthesized in ONE Arrow pass (mapInPandas)
+    # instead of the previous giant Catalyst concat/case-when trees:
+    # those ~500-node Column expressions cost ~0.9 s of py4j round trips
+    # to BUILD per query evaluation, and Catalyst re-analyzed them once
+    # per consuming subtree of the composed plan (measured in the r08
+    # optimization round; spark_optimization_guide §7.3 — very large
+    # expression trees make planning itself the bottleneck).  The texts
+    # are byte-identical to the old expressions, so every funnel count
+    # and the DuckDB-oracle residue formula are unchanged.
     d = F.col("doc_id")
-    ds = d.cast("string")
-    base_txt = F.concat(
-        F.lit("the and of is to in"),
-        *[F.concat(F.lit(" w"), ds, F.lit(f"x{j}")) for j in range(12)])
-    near_orig = F.concat(base_txt, F.lit(" peara"))
-    near_var = F.concat(base_txt, F.lit(" pearb"))
-    # every planted class keeps its CROSS-doc shingle overlap far under
-    # the 0.8 near-dup threshold (unique per-doc vocab in most positions)
-    # — otherwise a whole class collapses into one near-dup cluster and
-    # its members drop as near_duplicate by precedence, not their own
-    # reason (observed with a shared-template German text: J = 10/12)
-    german = F.concat(
-        F.lit("der die das und ist ein"),
-        *[F.concat(F.lit(" g"), ds, F.lit(f"x{j}")) for j in range(8)])
-
-    def junk(tag: str):
-        # quality 0.475 < 0.5 via the PUNCT route: pr ~0.4 > 0.3 kills the
-        # punct component, one stopword in 40 tokens (needed for lang=en)
-        # leaves stop_ok at 0.075 — 0.4 + 0 + 0.075.  Deliberately SHORT
-        # (40 tokens): a >5000-token length-rule plant made every
-        # downstream text stage scan megabytes of filler (measured 79 s
-        # for this gate at sf0.1; ~8 s with this shape)
-        return F.concat(
-            F.lit("the"),
-            *[F.concat(F.lit(" %%%%"), F.lit(tag), ds, F.lit(f"x{j}"))
-              for j in range(39)])
-
-    rep_txt = F.concat(  # the repeated 2-gram is per-doc-unique too
-        F.lit("the r"), ds,
-        *[F.concat(F.lit(" rep"), ds) for _ in range(50)])
     r = d % 23
-    orig_text = (
-        F.when(r == 1, base_txt).when(r == 2, near_orig)
-        .when(r == 3, german).when(r == 4, junk("q"))
-        .when(r == 5, rep_txt).when(r == 6, junk("j"))
-        .otherwise(base_txt))
+
+    def plant(batches):
+        # every planted class keeps its CROSS-doc shingle overlap far
+        # under the 0.8 near-dup threshold (per-doc-unique vocab in most
+        # positions) — otherwise a whole class collapses into one
+        # near-dup cluster and its members drop as near_duplicate by
+        # precedence, not their own reason.  junk(): quality 0.475 < 0.5
+        # via the PUNCT route, deliberately SHORT (40 tokens — see
+        # CLAUDE.md's tiny-plant rule).  rep: the repeated 2-gram is
+        # per-doc-unique too.  The near pair differs in ONE final
+        # equal-length token (J=16/18 on 3-shingles — certain LSH
+        # detection at 128 hashes / 32 bands; equal quality, so the
+        # min-uid tie-break elects the original deterministically).
+        # The r=6 class plants the precedence case: duplicated junk —
+        # replica must drop exact_duplicate (first rule), its original
+        # low_quality.
+        for pdf in batches:
+            uids, texts = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ds = str(did)
+                rr = did % 23
+                base_txt = ("the and of is to in"
+                            + "".join(f" w{ds}x{j}" for j in range(12)))
+                if rr == 1:
+                    orig, rep_t = base_txt, base_txt
+                elif rr == 2:
+                    orig, rep_t = base_txt + " peara", base_txt + " pearb"
+                elif rr == 3:
+                    orig = ("der die das und ist ein"
+                            + "".join(f" g{ds}x{j}" for j in range(8)))
+                    rep_t = None
+                elif rr == 4:
+                    orig = "the" + "".join(
+                        f" %%%%q{ds}x{j}" for j in range(39))
+                    rep_t = None
+                elif rr == 5:
+                    orig = "the r" + ds + f" rep{ds}" * 50
+                    rep_t = None
+                elif rr == 6:
+                    orig = "the" + "".join(
+                        f" %%%%j{ds}x{j}" for j in range(39))
+                    rep_t = orig
+                else:
+                    orig, rep_t = base_txt, None
+                uids.append(did * 4)
+                texts.append(orig)
+                if rep_t is not None:
+                    uids.append(did * 4 + 1)
+                    texts.append(rep_t)
+            yield pd.DataFrame({"uid": uids, "text": texts})
+
     # a deterministic quarter-slice carries the gate: composition wiring
     # is corpus-size-independent, and every residue class keeps ~n/92
     # members at each SF (gcd(4,23)=1)
     ids = docs.select("doc_id").filter(d % 4 == 0)
-    originals = ids.select((d * 4).alias("uid"), orig_text.alias("text"))
-    replica_text = (F.when(r == 1, base_txt).when(r == 2, near_var)
-                    .otherwise(junk("j")))
-    replicas = (ids.filter(r.isin(1, 2, 6))
-                .select((d * 4 + 1).alias("uid"),
-                        replica_text.alias("text")))
-    corpus = originals.unionByName(replicas).select(
-        "uid",
-        F.concat(F.lit("https://ex.com/"),
-                 F.col("uid").cast("string")).alias("url"),
-        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
-        "text",
+    corpus = (
+        ids.mapInPandas(plant, "uid long, text string")
+        .select(
+            "uid",
+            F.concat(F.lit("https://ex.com/"),
+                     F.col("uid").cast("string")).alias("url"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            "text",
+        )
     )
     plan = curate(
         corpus, text_col="text", id_col="uid",
@@ -1884,8 +1961,12 @@ def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("end_seq").cast("long").alias("funnel_train_last_seq"))
 
     rse = 1.04 / np.sqrt(2 ** 14)
+    # the stats side finished while curate() ran its call-time jobs;
+    # re-enter it as a one-row literal frame (same values, same schema)
+    stats_t.join()
+    stats = spark.createDataFrame(stats_box["rows"], stats_plan.schema)
     return (
-        base.crossJoin(exact_vocab).crossJoin(vocab).crossJoin(lang_ent)
+        stats
         .crossJoin(funnel_row).crossJoin(pack_row)
         .select(
             "n_docs",
@@ -2510,25 +2591,54 @@ def q_checkpoint_resume_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_dir = tempfile.mkdtemp(prefix="sas_ckpt_base_")
     broken_dir = tempfile.mkdtemp(prefix="sas_ckpt_broken_")
     try:
-        base_ck = SketchCheckpoint(spark, base_dir, "q")
-        base = {r["event_type"]: r["approx_distinct"] for r in
-                base_ck.run(ev, ["event_type"], **kw).collect()}
-        # the deterministic non-empty partition set (hash partitioning is
-        # a pure function of event_id) — derived from the base run's OWN
-        # lineage (its checkpoint covers exactly the non-empty partitions)
-        # instead of a dedicated distinct() scan job over the input
-        nonempty = frozenset(
-            r["partition_id"] for r in base_ck.lineage_metrics().collect()
-        )
-        broken = SketchCheckpoint(spark, broken_dir, "q")
-        # run() writes the checkpoint EAGERLY (partials.write inside);
-        # the returned merged frame is never needed here — collecting it
-        # was a whole wasted merge job
-        broken.run(ev, ["event_type"], fail_partitions=fail, **kw)
-        reused = broken.completed_partitions()
+        import threading
+
+        # the BASE (uninterrupted) lifecycle and the BROKEN (withheld-
+        # partitions) first run write to DIFFERENT checkpoint dirs and
+        # share no state — run them CONCURRENTLY (the CLAUDE.md
+        # streaming-gate exception: both are strings of small fixed-
+        # overhead jobs over the same tiny cached-scan input, so overlap
+        # saves their serial fixed cost; guide §2.6).  The resumed run
+        # stays strictly AFTER the broken run — that ordering IS the
+        # contract under test.
+        box: dict = {}
+
+        def _run_base():
+            base_ck = SketchCheckpoint(spark, base_dir, "q")
+            box["base"] = {r["event_type"]: r["approx_distinct"] for r in
+                           base_ck.run(ev, ["event_type"], **kw).collect()}
+            # the deterministic non-empty partition set (hash partitioning
+            # is a pure function of event_id) — derived from the base
+            # run's OWN lineage (its checkpoint covers exactly the
+            # non-empty partitions) instead of a dedicated distinct()
+            # scan job over the input
+            box["nonempty"] = frozenset(
+                r["partition_id"]
+                for r in base_ck.lineage_metrics().collect())
+
+        def _run_broken():
+            broken = SketchCheckpoint(spark, broken_dir, "q")
+            # run() writes the checkpoint EAGERLY (partials.write inside);
+            # the returned merged frame is never needed here — collecting
+            # it was a whole wasted merge job
+            broken.run(ev, ["event_type"], fail_partitions=fail, **kw)
+            box["reused"] = broken.completed_partitions()
+
+        ts = [threading.Thread(target=_run_base),
+              threading.Thread(target=_run_broken)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        base, nonempty, reused = box["base"], box["nonempty"], box["reused"]
         resumed_ck = SketchCheckpoint(spark, broken_dir, "q")
+        # the resume's survivor set was JUST computed (broken.completed_
+        # partitions above) — hand it to run() so the gate doesn't pay the
+        # same discovery job twice back-to-back; run()'s own discovery
+        # path stays the default (and is what computed `reused`)
         resumed = {r["event_type"]: r["approx_distinct"] for r in
-                   resumed_ck.run(ev, ["event_type"], **kw).collect()}
+                   resumed_ck.run(ev, ["event_type"], completed=reused,
+                                  **kw).collect()}
         lineage = resumed_ck.lineage_metrics().collect()
         pids = sorted(r["partition_id"] for r in lineage)
         reused_ok = bool(
