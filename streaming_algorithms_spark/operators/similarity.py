@@ -576,26 +576,30 @@ def lsh_bucket_table(df: DataFrame, id_col: str, vec_col: str,
     if carry_vec:
         vec_t = dict(df.dtypes)[vec_col]
         out_schema += f", `{vec_col}` {vec_t}"
-    probe = (df.select(vec_col)
-             .filter(F.col(vec_col).isNotNull()).first())
-    if probe is None:
-        return df.sparkSession.createDataFrame([], out_schema)
-    dim = len(probe[0])
-    planes = np.concatenate(
-        [np.random.default_rng(seed + t).normal(size=(n_bits, dim))
-         for t in range(n_tables)]
-    )
-    sc = df.sparkSession.sparkContext
-    b_planes = sc.broadcast(planes)
     weights = np.arange(n_bits, dtype=np.uint64)
 
     def gen(batches):
-        P = b_planes.value
+        # Planes are generated IN the worker from (seed, n_bits, dim):
+        # deterministic per table t (default_rng(seed+t)), so every task —
+        # and both sides of a cross-set join sharing the seed — derives
+        # the identical matrix.  The previous shape probed the vector dim
+        # with a driver-side first() — one extra scheduler round trip per
+        # operator call (two per gate that banding-joins two frames),
+        # pure fixed overhead at any scale (r08 measurement); the ~n_bits
+        # x dim normal draws per task are microseconds.  All-NULL or
+        # empty input now simply yields no rows — the same empty bucket
+        # table the probe short-circuit returned.
+        P = None
         for pdf in batches:
             pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if P is None:
+                dim = mat.shape[1]
+                P = np.concatenate(
+                    [np.random.default_rng(seed + t).normal(size=(n_bits, dim))
+                     for t in range(n_tables)])
             signs = (mat @ P.T) > 0                    # (rows, n_tables*n_bits)
             signs = signs.reshape(len(pdf), n_tables, n_bits)
             bucket = (signs.astype(np.uint64)

@@ -372,7 +372,9 @@ def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brief's two token-budget estimators), language-ID, stopword
     ratio — all Catalyst-side, every column re-derived verbatim by the
     DuckDB oracle."""
-    docs = load_table(spark, "documents", sf_dir)
+    # single-file scan at test SFs = ONE task for the per-row
+    # compute below; ensure_parallelism spreads it (no-op at scale)
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir))
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -898,7 +900,9 @@ def q_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    # single-file scan at test SFs = ONE task for the per-row
+    # compute below; ensure_parallelism spreads it (no-op at scale)
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir))
     return text_profile(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -1612,19 +1616,34 @@ def q_media_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 recs.append((did, encode_bmp(img), encode_wav(samples, 8000)))
             yield pd.DataFrame(recs, columns=["media_id", "bmp", "wav"])
 
+    import threading
+
     media_dir = tempfile.mkdtemp(prefix="sas_media_")
     try:
-        (docs.select("doc_id").repartition(16)
-         .mapInPandas(make_media, "media_id long, bmp binary, wav binary")
-         .write.mode("overwrite").parquet(media_dir))
-        media = spark.read.parquet(media_dir)
-
-        feats = media_features(
+        # the text-payload feature branch reads only the documents table —
+        # independent of the synthetic media parquet — so its collect runs
+        # CONCURRENTLY with the media generation/write (the CLAUDE.md
+        # streaming-gate exception: two small fixed-overhead Python-stage
+        # jobs; guide §2.6); the rows re-enter the join as a literal frame
+        feats_plan = media_features(
             docs.select(F.col("doc_id").alias("media_id"),
                         F.encode(F.col("text"), "UTF-8").alias("payload"))
             .repartition(16)
         ).select("media_id", "n_bytes", "sha256",
                  F.round("byte_entropy", 6).alias("byte_entropy"))
+        box: dict = {}
+
+        def _grab_feats():
+            box["feats"] = feats_plan.collect()
+
+        t = threading.Thread(target=_grab_feats)
+        t.start()
+        (docs.select("doc_id").repartition(16)
+         .mapInPandas(make_media, "media_id long, bmp binary, wav binary")
+         .write.mode("overwrite").parquet(media_dir))
+        media = spark.read.parquet(media_dir)
+        t.join()
+        feats = spark.createDataFrame(box["feats"], feats_plan.schema)
 
         img16 = decode_and_resize(
             media.select("media_id", F.col("bmp").alias("payload")),
@@ -2083,7 +2102,9 @@ def q_url_canon_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-implements every rule in SQL.  Per-row string equality across two
     engines gates the whole rule set (the exact-dedup key for web corpora;
     north-star analogue: distinct-url counting needs canonical keys)."""
-    docs = load_table(spark, "documents", sf_dir)
+    # single-file scan at test SFs = ONE task for the per-row
+    # compute below; ensure_parallelism spreads it (no-op at scale)
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir))
     d = F.col("doc_id")
     messy = F.concat(
         F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
@@ -2150,7 +2171,9 @@ def q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 of the fully redacted text — per-row hash equality proves the
     redaction output byte-identical across engines.  The patterns live in
     functions.PII_* (single source, substituted into the oracle)."""
-    docs = load_table(spark, "documents", sf_dir)
+    # single-file scan at test SFs = ONE task for the per-row
+    # compute below; ensure_parallelism spreads it (no-op at scale)
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir))
     d = F.col("doc_id")
     synth = F.concat(
         F.col("text"),
@@ -2283,6 +2306,24 @@ def q_streaming_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # has its own checkpoint and state store; they share only the
         # immutable input files.
         dq, dqname = _start_bloom_dedup_drain(spark, ev.schema, shared, dckpt)
+        # while BOTH drains run, compute every drain-INDEPENDENT exact
+        # side (file spread, exact distincts, exact medians) — these read
+        # only the events table / the already-written stream input, so
+        # they overlap the drains' fixed micro-batch machinery for free
+        # (same rationale as overlapping the two drains themselves); the
+        # collected dimension-sized rows re-enter the joins as literal
+        # frames, values unchanged
+        spread = spark.createDataFrame(
+            _stream_file_spread(spark, shared).collect(),
+            "event_type string, n_input_files bigint",
+        )
+        exact_hll_plan = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_distinct"))
+        exact_hll = spark.createDataFrame(
+            exact_hll_plan.collect(), exact_hll_plan.schema)
+        exq_plan = _exact_quantiles(ev, "event_type", "value",
+                                    {"exact_median": 0.5})
+        exq = spark.createDataFrame(exq_plan.collect(), exq_plan.schema)
         q.awaitTermination()
         dq.awaitTermination()
         w = Window.partitionBy("event_type").orderBy(F.desc("batches"))
@@ -2291,16 +2332,11 @@ def q_streaming_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("_rn") == 1)
             .select("event_type", "approx_distinct", "q50", "batches")
         )
-        spread = spark.createDataFrame(
-            _stream_file_spread(spark, shared).collect(),
-            "event_type string, n_input_files bigint",
-        )
         mb_ok = (F.col("batches")
                  >= F.least(F.lit(2), F.col("n_input_files")))
         rse = 1.04 / np.sqrt(2 ** 14)
         hll = (
-            ev.groupBy("event_type")
-            .agg(F.countDistinct("user_id").alias("exact_distinct"))
+            exact_hll
             .join(final, "event_type")
             .join(F.broadcast(spread), "event_type")
             .select(
@@ -2327,8 +2363,7 @@ def q_streaming_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         kll = (
-            _exact_quantiles(ev, "event_type", "value",
-                             {"exact_median": 0.5})
+            exq
             .join(ranked, "event_type")
             .join(F.broadcast(spread), "event_type")
             .select(
@@ -2378,18 +2413,11 @@ def q_token_setops_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 1024
     rse = 1.04 / np.sqrt(2 ** p)
     rel = 1.0 / np.sqrt(k - 2)
+    import threading
+
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("lang", F.explode(fn.tokens(F.col("text"))).alias("token"))
     dt = toks.distinct().cache()
-    # ONE combined build (identical estimates to the separate ops — both
-    # families consume the same xxhash64 values): one scan + one Python
-    # build + one merge instead of two of each.
-    ests = hll_kmv_pairwise_set_ops(dt, "lang", "token", p=p, k=k).select(
-        F.col("key_a").alias("lang_a"), F.col("key_b").alias("lang_b"),
-        F.col("est_union").alias("_hll_union"), "est_intersection",
-        F.col("kmv_union").alias("_kmv_union"),
-        "est_a_minus_b", "est_b_minus_a",
-    )
     sizes = dt.groupBy("lang").agg(F.count("*").alias("n"))
     a = dt.alias("a")
     b = dt.alias("b")
@@ -2401,11 +2429,36 @@ def q_token_setops_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
-    grid = (
+    grid_plan = (
         sa.crossJoin(sb).filter(F.col("lang_a") < F.col("lang_b"))
         .join(inter, ["lang_a", "lang_b"], "left")
         .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
     )
+    # the exact side (sizes + pairwise intersections over the cached
+    # distinct set) and the sketch build are independent consumers of the
+    # same cached frame — collect the exact grid CONCURRENTLY with the
+    # build's driver-side pair enumeration (the CLAUDE.md streaming-gate
+    # exception: both are fixed-overhead job strings over the tiny cached
+    # (lang, token) set; guide §2.6).  The pair-cardinality rows re-enter
+    # the final join as a literal frame, values unchanged.
+    box: dict = {}
+
+    def _grab_grid():
+        box["grid"] = grid_plan.collect()
+
+    t = threading.Thread(target=_grab_grid)
+    t.start()
+    # ONE combined build (identical estimates to the separate ops — both
+    # families consume the same xxhash64 values): one scan + one Python
+    # build + one merge instead of two of each.
+    ests = hll_kmv_pairwise_set_ops(dt, "lang", "token", p=p, k=k).select(
+        F.col("key_a").alias("lang_a"), F.col("key_b").alias("lang_b"),
+        F.col("est_union").alias("_hll_union"), "est_intersection",
+        F.col("kmv_union").alias("_kmv_union"),
+        "est_a_minus_b", "est_b_minus_a",
+    )
+    t.join()
+    grid = spark.createDataFrame(box["grid"], grid_plan.schema)
     n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     tbound = 4 * rel * n_union + 5
     return (
@@ -2442,6 +2495,8 @@ def q_countsketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch_agg import count_sketch_build, count_sketch_probe
     from ..sketches.count_sketch import CountSketch
 
+    import threading
+
     li = load_table(spark, "lineitem", sf_dir)
     cnts = li.groupBy("l_returnflag", "l_partkey").agg(
         F.count("*").alias("cnt")
@@ -2449,6 +2504,25 @@ def q_countsketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     f2 = cnts.groupBy("l_returnflag").agg(
         F.sum(F.col("cnt") * F.col("cnt")).alias("f2")
     )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_partkey").asc()
+    )
+    top_plan = (cnts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 10).drop("rn"))
+    # the exact side (per-key count table -> F2 + top-10 window) and the
+    # sketch build both scan lineitem once and are independent — collect
+    # the exact side CONCURRENTLY with the build's collect (the CLAUDE.md
+    # streaming-gate exception: two small fixed-overhead job strings over
+    # the same cached/page-warm input; guide §2.6).  The key-cardinality
+    # rows re-enter the plan as literal frames, values unchanged.
+    box: dict = {}
+
+    def _grab_exact():
+        box["f2"] = f2.collect()
+        box["top"] = top_plan.collect()
+
+    t = threading.Thread(target=_grab_exact)
+    t.start()
     # ONE sketch build serves both capabilities: the same (5 x 2048)
     # signed-counter table answers the AMS F2 estimate (median of row
     # sum-of-squares, computed here from the collected bytes — 3 groups x
@@ -2463,6 +2537,9 @@ def q_countsketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
          for k, v in sketches.items()],
         "l_returnflag string, f2_estimate double",
     )
+    t.join()
+    f2 = spark.createDataFrame(box["f2"], f2.schema)
+    top = spark.createDataFrame(box["top"], top_plan.schema)
     rel = float(np.sqrt(8.0 / 2048))
     f2_rows = (
         f2.join(est, "l_returnflag")
@@ -2475,11 +2552,6 @@ def q_countsketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
              <= rel * F.col("f2")).alias("ok"),
         )
     )
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("cnt").desc(), F.col("l_partkey").asc()
-    )
-    top = (cnts.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= 10).drop("rn"))
     probed = count_sketch_probe(top, ["l_returnflag"], "l_partkey", sketches)
     point_rows = (
         probed.join(f2, "l_returnflag")
