@@ -44,6 +44,53 @@ from ..operators.text import rolling_fingerprints, text_profile
 from ..sources.tables import load_table
 
 
+def _row_upper_bound(df: DataFrame) -> int | None:
+    """Total row count of a file-backed frame from its parquet footers —
+    a driver-side metadata read, no Spark job.  Only valid as an UPPER
+    bound for a filtered view of the same files.  None when the input is
+    not a locally stat-able parquet set."""
+    try:
+        import os
+        from urllib.parse import urlparse
+
+        import pyarrow.parquet as pq
+
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                return None
+            total += pq.ParquetFile(u.path).metadata.num_rows
+        return total or None
+    except Exception:
+        return None
+
+
+def _concurrent_lits(spark: SparkSession, **plans: DataFrame) -> dict:
+    """Collect several INDEPENDENT subplans CONCURRENTLY (guide §2.6
+    overlap-independent-jobs; the CLAUDE.md streaming-gate exception —
+    each side is a string of fixed-overhead scheduler-latency-bound jobs
+    over tiny gate inputs, so overlap saves their serial fixed cost) and
+    rebuild each result as a literal frame with its original schema:
+    values bit-identical, downstream joins plan against flat leaves."""
+    import threading
+
+    rows: dict = {}
+
+    def go(key, plan):
+        rows[key] = plan.collect()
+
+    ts = [threading.Thread(target=go, args=(k, p)) for k, p in plans.items()]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return {k: spark.createDataFrame(rows[k], plans[k].schema) for k in plans}
+
+
 # ---------------------------------------------------------------------------
 # sketch queries (strict oracles via exact value + bound boolean)
 # ---------------------------------------------------------------------------
@@ -201,7 +248,9 @@ def q_kll_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_exact": 0.5, "p95_exact": 0.95,
         "_p48": 0.48, "_p52": 0.52, "_p93": 0.93, "_p97": 0.97,
     })
-    joined = exact.join(kll, "l_returnflag")
+    # independent exact/sketch sides: concurrent collect, literal join
+    lits = _concurrent_lits(spark, exact=exact, kll=kll)
+    joined = lits["exact"].join(lits["kll"], "l_returnflag")
     return joined.select(
         "l_returnflag",
         "n_rows",
@@ -231,6 +280,10 @@ def q_cms_heavy_hitters_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     hh = cms_heavy_hitters(li, [], "pk", top_k=1000, epsilon=eps).withColumnRenamed(
         "item", "pk"
     )
+    # exact side and sketch side are independent — collect them
+    # concurrently and join the literal results (_concurrent_lits)
+    lits = _concurrent_lits(spark, exact_top=exact_top, hh=hh)
+    exact_top, hh = lits["exact_top"], lits["hh"]
     return (
         exact_top.join(hh, "pk", "left")
         .select(
@@ -258,7 +311,14 @@ def q_bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").cast("string").alias("key")
     )
-    bloom = bloom_build(dim, "key", capacity=max(dim.count(), 16), fpr=1e-9)
+    # capacity only needs an UPPER bound (the join below exact-verifies
+    # every bloom candidate, so over-sizing just lowers the fpr): the
+    # unfiltered table's footer row count replaces the dedicated
+    # dim.count() job (guide §1 — don't scan for a number the format
+    # already stores); falls back to the count for non-local inputs
+    bloom = bloom_build(dim, "key",
+                        capacity=_row_upper_bound(cust) or max(dim.count(), 16),
+                        fpr=1e-9)
     probed = bloom_might_contain(
         orders.select("o_orderpriority", F.col("o_custkey").cast("string").alias("key")),
         "key",
@@ -428,8 +488,10 @@ def q_bottomk_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     sk = bottomk_sample(docs, ["lang"], "text", k=32)
     exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("exact_distinct"))
+    # independent exact/sketch sides: concurrent collect, literal join
+    lits = _concurrent_lits(spark, exact=exact, sk=sk)
     return (
-        exact.join(sk, "lang")
+        lits["exact"].join(lits["sk"], "lang")
         .select(
             "lang",
             "exact_distinct",
@@ -552,6 +614,9 @@ def q_token_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFra
     hh = cms_heavy_hitters(toks, [], "token", top_k=100, epsilon=eps).withColumnRenamed(
         "item", "token"
     )
+    # independent exact/sketch sides: concurrent collect, literal join
+    lits = _concurrent_lits(spark, exact_top=exact_top, hh=hh)
+    exact_top, hh = lits["exact_top"], lits["hh"]
     return (
         exact_top.join(hh, "token", "left")
         .select(
@@ -584,8 +649,10 @@ def q_token_sketch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("token").alias("exact_distinct_tokens"),
     )
     rse = 1.04 / np.sqrt(2 ** 14)
+    # independent exact/sketch sides: concurrent collect, literal join
+    lits = _concurrent_lits(spark, exact=exact, sk=sk)
     return (
-        exact.join(sk, "lang")
+        lits["exact"].join(lits["sk"], "lang")
         .select(
             "lang",
             "exact_distinct_tokens",
@@ -610,6 +677,9 @@ def q_tdigest_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_exact": 0.5, "p99_exact": 0.99,
         "_p48": 0.48, "_p52": 0.52, "_p985": 0.985, "_p995": 0.995,
     })
+    # independent exact/sketch sides: concurrent collect, literal join
+    lits = _concurrent_lits(spark, exact=exact, td=td)
+    exact, td = lits["exact"], lits["td"]
     return (
         exact.join(td, "o_orderpriority")
         .select(
@@ -636,6 +706,9 @@ def q_space_saving_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), F.asc(F.col("ck").cast("long")))
         .limit(10)
     )
+    # independent exact/sketch sides: concurrent collect, literal join
+    lits = _concurrent_lits(spark, exact_top=exact_top, ss=ss)
+    exact_top, ss = lits["exact_top"], lits["ss"]
     return (
         exact_top.join(ss, exact_top["ck"] == ss["item"], "left")
         .select(
@@ -660,8 +733,10 @@ def q_hll_hierarchy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("text").alias("exact_distinct")
     )
     rse = 1.04 / np.sqrt(2 ** 14)
+    # independent exact/sketch sides: concurrent collect, literal join
+    lits = _concurrent_lits(spark, exact=exact, est=est)
     return (
-        exact.join(est, ["lang", "source"])
+        lits["exact"].join(lits["est"], ["lang", "source"])
         .select(
             "lang", "source", "exact_distinct",
             (
@@ -686,8 +761,10 @@ def q_dup_pct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_distinct"),
     )
     rse = 1.04 / np.sqrt(2 ** 14)
+    # independent exact/sketch sides: concurrent collect, literal join
+    lits = _concurrent_lits(spark, exact=exact, est=est)
     return (
-        exact.join(est, "day")
+        lits["exact"].join(lits["est"], "day")
         .select(
             "day",
             "n_events",
@@ -1001,9 +1078,12 @@ def q_hll_rollup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+    # independent exact/sketch sides: concurrent collect, literal join
+    lits = _concurrent_lits(
+        spark, exact=exact,
+        est=est.select("lang", "source", "level", "approx"))
     return (
-        exact.join(est.select("lang", "source", "level", "approx"),
-                   ["lang", "source", "level"])
+        lits["exact"].join(lits["est"], ["lang", "source", "level"])
         .select(
             "lang", "source", "level", "exact_distinct",
             (F.abs(F.col("approx") - F.col("exact_distinct"))
@@ -1789,8 +1869,10 @@ def q_salted_hll_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("token").alias("exact_distinct")
     )
     rse = 1.04 / np.sqrt(2 ** 14)
+    # independent exact/sketch sides: concurrent collect, literal join
+    lits = _concurrent_lits(spark, exact=exact, est=est)
     return (
-        exact.join(est, "lang")
+        lits["exact"].join(lits["est"], "lang")
         .select(
             "lang",
             "exact_distinct",
@@ -2078,6 +2160,9 @@ def q_host_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), host_num.asc())
         .limit(5)
     )
+    # independent exact/sketch sides: concurrent collect, literal join
+    lits = _concurrent_lits(spark, exact_top=exact_top, ss=ss)
+    exact_top, ss = lits["exact_top"], lits["ss"]
     return (
         exact_top.join(ss, exact_top["host"] == ss["item"], "left")
         .select(
