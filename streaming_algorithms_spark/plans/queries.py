@@ -280,10 +280,6 @@ def q_cms_heavy_hitters_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     hh = cms_heavy_hitters(li, [], "pk", top_k=1000, epsilon=eps).withColumnRenamed(
         "item", "pk"
     )
-    # exact side and sketch side are independent — collect them
-    # concurrently and join the literal results (_concurrent_lits)
-    lits = _concurrent_lits(spark, exact_top=exact_top, hh=hh)
-    exact_top, hh = lits["exact_top"], lits["hh"]
     return (
         exact_top.join(hh, "pk", "left")
         .select(
@@ -488,10 +484,8 @@ def q_bottomk_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     sk = bottomk_sample(docs, ["lang"], "text", k=32)
     exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("exact_distinct"))
-    # independent exact/sketch sides: concurrent collect, literal join
-    lits = _concurrent_lits(spark, exact=exact, sk=sk)
     return (
-        lits["exact"].join(lits["sk"], "lang")
+        exact.join(sk, "lang")
         .select(
             "lang",
             "exact_distinct",
@@ -614,9 +608,6 @@ def q_token_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFra
     hh = cms_heavy_hitters(toks, [], "token", top_k=100, epsilon=eps).withColumnRenamed(
         "item", "token"
     )
-    # independent exact/sketch sides: concurrent collect, literal join
-    lits = _concurrent_lits(spark, exact_top=exact_top, hh=hh)
-    exact_top, hh = lits["exact_top"], lits["hh"]
     return (
         exact_top.join(hh, "token", "left")
         .select(
@@ -649,10 +640,8 @@ def q_token_sketch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("token").alias("exact_distinct_tokens"),
     )
     rse = 1.04 / np.sqrt(2 ** 14)
-    # independent exact/sketch sides: concurrent collect, literal join
-    lits = _concurrent_lits(spark, exact=exact, sk=sk)
     return (
-        lits["exact"].join(lits["sk"], "lang")
+        exact.join(sk, "lang")
         .select(
             "lang",
             "exact_distinct_tokens",
@@ -706,9 +695,6 @@ def q_space_saving_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), F.asc(F.col("ck").cast("long")))
         .limit(10)
     )
-    # independent exact/sketch sides: concurrent collect, literal join
-    lits = _concurrent_lits(spark, exact_top=exact_top, ss=ss)
-    exact_top, ss = lits["exact_top"], lits["ss"]
     return (
         exact_top.join(ss, exact_top["ck"] == ss["item"], "left")
         .select(
@@ -733,10 +719,8 @@ def q_hll_hierarchy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("text").alias("exact_distinct")
     )
     rse = 1.04 / np.sqrt(2 ** 14)
-    # independent exact/sketch sides: concurrent collect, literal join
-    lits = _concurrent_lits(spark, exact=exact, est=est)
     return (
-        lits["exact"].join(lits["est"], ["lang", "source"])
+        exact.join(est, ["lang", "source"])
         .select(
             "lang", "source", "exact_distinct",
             (
@@ -761,10 +745,8 @@ def q_dup_pct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_distinct"),
     )
     rse = 1.04 / np.sqrt(2 ** 14)
-    # independent exact/sketch sides: concurrent collect, literal join
-    lits = _concurrent_lits(spark, exact=exact, est=est)
     return (
-        lits["exact"].join(lits["est"], "day")
+        exact.join(est, "day")
         .select(
             "day",
             "n_events",
@@ -1078,12 +1060,9 @@ def q_hll_rollup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
-    # independent exact/sketch sides: concurrent collect, literal join
-    lits = _concurrent_lits(
-        spark, exact=exact,
-        est=est.select("lang", "source", "level", "approx"))
     return (
-        lits["exact"].join(lits["est"], ["lang", "source", "level"])
+        exact.join(est.select("lang", "source", "level", "approx"),
+                   ["lang", "source", "level"])
         .select(
             "lang", "source", "level", "exact_distinct",
             (F.abs(F.col("approx") - F.col("exact_distinct"))
@@ -1869,10 +1848,8 @@ def q_salted_hll_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("token").alias("exact_distinct")
     )
     rse = 1.04 / np.sqrt(2 ** 14)
-    # independent exact/sketch sides: concurrent collect, literal join
-    lits = _concurrent_lits(spark, exact=exact, est=est)
     return (
-        lits["exact"].join(lits["est"], "lang")
+        exact.join(est, "lang")
         .select(
             "lang",
             "exact_distinct",
@@ -2160,9 +2137,6 @@ def q_host_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), host_num.asc())
         .limit(5)
     )
-    # independent exact/sketch sides: concurrent collect, literal join
-    lits = _concurrent_lits(spark, exact_top=exact_top, ss=ss)
-    exact_top, ss = lits["exact_top"], lits["ss"]
     return (
         exact_top.join(ss, exact_top["host"] == ss["item"], "left")
         .select(
