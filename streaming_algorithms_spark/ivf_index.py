@@ -294,15 +294,23 @@ class IvfIndex:
             qgen, cent, _ = self.latest_quantizer()
         assigned = assign_with_centroids(src, self.vec_col, cent,
                                          with_cos=True)
-        assigned.write.parquet(target)  # errorifexists
+        obs = None
         if stats or not qs:  # bootstrap always needs the baseline
-            # batch stats from the WRITTEN postings: column-pruned read of
-            # the tiny assign_cos column, no second pass over raw vectors
-            stats_row = self.spark.read.parquet(target).agg(
-                F.avg("assign_cos").alias("mean_cos"),
-                F.count("*").alias("rows")).collect()[0]
-            mean_cos = float(stats_row["mean_cos"] or 0.0)
-            n_rows = int(stats_row["rows"])
+            # batch stats ride the WRITE itself as observed metrics
+            # (pyspark Observation): the rows are aggregated while they
+            # stream to parquet, so the append stays ONE pass over the
+            # new batch — no read-back scan at any scale (guide §1)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            assigned = assigned.observe(
+                obs, F.avg("assign_cos").alias("mean_cos"),
+                F.count(F.lit(1)).alias("rows"))
+        assigned.write.parquet(target)  # errorifexists
+        if obs is not None:
+            got = obs.get
+            mean_cos = float(got["mean_cos"] or 0.0)
+            n_rows = int(got["rows"])
         else:
             mean_cos = n_rows = None
         if not qs:
@@ -465,6 +473,15 @@ class IvfIndex:
             shutil.rmtree(gen_dir)  # reclaim a crashed predecessor
         assigned = assign_with_centroids(rows, self.vec_col, cent,
                                          with_cos=True)
+        # the new drift baseline rides the compaction write as an
+        # observed metric (same one-pass shape as append: no read-back
+        # scan of the freshly written generation at any scale)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        schema_fields = assigned.schema.fields
+        assigned = assigned.observe(
+            obs, F.avg("assign_cos").alias("mean_cos"))
         data_dir = os.path.join(gen_dir, "data")
         bucket_spec = None
         if bucket:
@@ -478,12 +495,10 @@ class IvfIndex:
             bucket_spec = {"keys": ["list_id"], "n_buckets": n_buckets,
                            "schema_ddl": ", ".join(
                                f"`{f.name}` {f.dataType.simpleString()}"
-                               for f in assigned.schema.fields)}
+                               for f in schema_fields)}
         else:
             assigned.write.parquet(data_dir)
-        new_baseline = float(self.spark.read.parquet(data_dir)
-                             .agg(F.avg("assign_cos")).collect()[0][0]
-                             or 0.0)
+        new_baseline = float(obs.get["mean_cos"] or 0.0)
         qgen_new = qgen_old + 1
         self._commit_quantizer(qgen_new, cent, baseline_cos=new_baseline)
         merged_batches = {u[len("batch-"):] for u in units
