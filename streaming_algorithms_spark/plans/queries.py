@@ -79,15 +79,21 @@ def _concurrent_lits(spark: SparkSession, **plans: DataFrame) -> dict:
     import threading
 
     rows: dict = {}
+    errs: dict = {}
 
     def go(key, plan):
-        rows[key] = plan.collect()
+        try:
+            rows[key] = plan.collect()
+        except BaseException as e:  # re-raised below — fail loud, not KeyError
+            errs[key] = e
 
     ts = [threading.Thread(target=go, args=(k, p)) for k, p in plans.items()]
     for t in ts:
         t.start()
     for t in ts:
         t.join()
+    if errs:
+        raise next(iter(errs.values()))
     return {k: spark.createDataFrame(rows[k], plans[k].schema) for k in plans}
 
 
