@@ -83,6 +83,8 @@ def main() -> None:
     if not os.path.exists(path):
         cands = [p for p in os.listdir(EVLOG)
                  if app_id in p]
+        if not cands:
+            raise SystemExit(f"no event log for {app_id} under {EVLOG}")
         path = os.path.join(EVLOG, cands[0])
     if os.path.isdir(path):
         files = sorted(os.path.join(path, f) for f in os.listdir(path)
@@ -94,8 +96,7 @@ def main() -> None:
         with open(fp) as f:
             lines.extend(f)
     jobs = {}
-    if True:
-        for line in lines:
+    for line in lines:
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:

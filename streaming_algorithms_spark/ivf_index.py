@@ -473,15 +473,6 @@ class IvfIndex:
             shutil.rmtree(gen_dir)  # reclaim a crashed predecessor
         assigned = assign_with_centroids(rows, self.vec_col, cent,
                                          with_cos=True)
-        # the new drift baseline rides the compaction write as an
-        # observed metric (same one-pass shape as append: no read-back
-        # scan of the freshly written generation at any scale)
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        schema_fields = assigned.schema.fields
-        assigned = assigned.observe(
-            obs, F.avg("assign_cos").alias("mean_cos"))
         data_dir = os.path.join(gen_dir, "data")
         bucket_spec = None
         if bucket:
@@ -495,10 +486,29 @@ class IvfIndex:
             bucket_spec = {"keys": ["list_id"], "n_buckets": n_buckets,
                            "schema_ddl": ", ".join(
                                f"`{f.name}` {f.dataType.simpleString()}"
-                               for f in schema_fields)}
+                               for f in assigned.schema.fields)}
+            # baseline via a column-pruned read-back of the written
+            # generation — NOT an observe node: save_bucketed repartitions
+            # before its write, which would put CollectMetrics in the
+            # shuffle-MAP stage where accumulator updates are not
+            # exactly-once under stage retry/speculation (a retried map
+            # task would skew the committed baseline_cos).  Refreshes are
+            # drift-triggered and rare; one assign_cos column scan is the
+            # correct price for an exact baseline.
+            new_baseline = float(
+                self.spark.read.parquet(data_dir)
+                .agg(F.avg("assign_cos")).collect()[0][0] or 0.0)
         else:
+            # no exchange between the map and the write here, so the
+            # observed metric runs in the result stage — exactly-once —
+            # and the refresh stays one pass (same shape as append)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            assigned = assigned.observe(
+                obs, F.avg("assign_cos").alias("mean_cos"))
             assigned.write.parquet(data_dir)
-        new_baseline = float(obs.get["mean_cos"] or 0.0)
+            new_baseline = float(obs.get["mean_cos"] or 0.0)
         qgen_new = qgen_old + 1
         self._commit_quantizer(qgen_new, cent, baseline_cos=new_baseline)
         merged_batches = {u[len("batch-"):] for u in units

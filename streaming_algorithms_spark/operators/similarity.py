@@ -569,7 +569,13 @@ def lsh_bucket_table(df: DataFrame, id_col: str, vec_col: str,
     NULL vectors produce no bucket rows and an empty input produces an
     empty table — so a composed caller (curate()'s semantic stages on a
     batch where every doc was an exact dup, or had no embedding) sees
-    zero candidates, not a crash."""
+    zero candidates, not a crash.
+
+    Vectors must share ONE dimension (the embedding-column contract):
+    planes derive per task from (seed, n_bits, dim), so a mixed-dim
+    within a task raises; a corpus whose PARTITIONS are internally
+    homogeneous at different dims (two embedding models unioned) is a
+    caller error this operator cannot detect — re-embed before dedup."""
     if not 0 < n_bits <= 64:
         raise ValueError(f"n_bits must be in (0, 64], got {n_bits}")
     out_schema = f"`{id_col}` long, table int, bucket long"
@@ -600,6 +606,14 @@ def lsh_bucket_table(df: DataFrame, id_col: str, vec_col: str,
                 P = np.concatenate(
                     [np.random.default_rng(seed + t).normal(size=(n_bits, dim))
                      for t in range(n_tables)])
+            elif mat.shape[1] != dim:
+                # keep the mixed-dimension failure LOUD: with per-task
+                # plane derivation, two internally-homogeneous partitions
+                # of different dims would otherwise each build their own
+                # planes and silently produce incomparable buckets
+                raise ValueError(
+                    f"lsh_bucket_table: inconsistent vector dimension "
+                    f"({mat.shape[1]} vs {dim}) within one task")
             signs = (mat @ P.T) > 0                    # (rows, n_tables*n_bits)
             signs = signs.reshape(len(pdf), n_tables, n_bits)
             bucket = (signs.astype(np.uint64)

@@ -287,6 +287,14 @@ def curate(pages: DataFrame, *,
     translated restatements that share no 32-byte-gram.  NULL
     embeddings (either side) are exempt.
 
+    Cache lifetime: with ``stage`` truthy, curate() persists up to three
+    intermediate frames (the extracted corpus, the exact-survivor frame,
+    and the annotated verdict spine; plus ``alive`` when an embedding
+    column is given) and never unpersists them — their lifetime is the
+    caller's.  A session that calls curate() in a loop should
+    ``spark.catalog.clearCache()`` between iterations (what bench.py
+    does between samples) or the cached spines accumulate.
+
     ``stage`` controls the staging boundary on the extracted corpus.
     The plan fans ``docs`` into four branches (signals, repetition,
     exact groups, minhash survivors) and Spark does NOT dedupe common

@@ -69,6 +69,38 @@ def _row_upper_bound(df: DataFrame) -> int | None:
         return None
 
 
+class _Bg:
+    """Run one callable on a background thread, capturing its result or
+    exception.  ``join()`` re-raises the worker's error (the gate fails
+    loud with the real exception, never a downstream KeyError);
+    ``wait()`` only waits — safe from a ``finally`` so a failing main
+    path never leaks a still-running thread into the next timed query."""
+
+    def __init__(self, fn):
+        import threading
+
+        self._fn = fn
+        self.value = None
+        self.exc: BaseException | None = None
+        self._t = threading.Thread(target=self._run)
+        self._t.start()
+
+    def _run(self):
+        try:
+            self.value = self._fn()
+        except BaseException as e:
+            self.exc = e
+
+    def wait(self) -> None:
+        self._t.join()
+
+    def join(self):
+        self._t.join()
+        if self.exc is not None:
+            raise self.exc
+        return self.value
+
+
 def _concurrent_lits(spark: SparkSession, **plans: DataFrame) -> dict:
     """Collect several INDEPENDENT subplans CONCURRENTLY (guide §2.6
     overlap-independent-jobs; the CLAUDE.md streaming-gate exception —
@@ -158,16 +190,8 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exception: both sides are fixed-overhead-bound jobs over the tiny
     # cached frame; guide §2.6).  The collected key-cardinality rows
     # re-enter the final plan via createDataFrame, values unchanged.
-    import threading
-
     stats_plan = exact.join(est, "event_type")
-    box: dict = {}
-
-    def _grab_stats():
-        box["rows"] = stats_plan.collect()
-
-    stats_t = threading.Thread(target=_grab_stats)
-    stats_t.start()
+    stats_t = _Bg(stats_plan.collect)
     scratch = tempfile.mkdtemp(prefix="sketch_tbl_gate_")
     try:
         t = SketchTable(spark, f"{scratch}/tbl", ["event_type"])
@@ -187,12 +211,12 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         # returned plan doesn't reference the scratch parquet after cleanup
         inc = spark.createDataFrame(
             inc.collect(), "event_type string, incremental_distinct bigint")
-        stats_t.join()
     finally:
+        stats_t.wait()  # never leak the collect past a failing lifecycle
         src.unpersist()
         shutil.rmtree(scratch, ignore_errors=True)
 
-    stats = spark.createDataFrame(box["rows"], stats_plan.schema)
+    stats = spark.createDataFrame(stats_t.join(), stats_plan.schema)
     rse = 1.04 / np.sqrt(2 ** 14)
     return (
         stats
@@ -1110,20 +1134,12 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     sub = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
-    import threading as _threading
-
     # the returned full-corpus query is INDEPENDENT of the scratch-index
     # lifecycle below; its construction runs a quantizer sample collect +
     # driver k-means — start it on a thread now so that fixed cost hides
     # under the lifecycle's jobs (guide §2.6; CLAUDE.md overlap exception)
-    final_box: dict = {}
-
-    def _build_final():
-        final_box["df"] = ivf_topk(emb, "vec_id", "embedding",
-                                   k=1, n_lists=8, n_probe=8)
-
-    final_t = _threading.Thread(target=_build_final)
-    final_t.start()
+    final_t = _Bg(lambda: ivf_topk(emb, "vec_id", "embedding",
+                                   k=1, n_lists=8, n_probe=8))
     scratch = tempfile.mkdtemp(prefix="ivf_idx_gate_")
     try:
         idx = IvfIndex(spark, f"{scratch}/ivf", "vec_id", "embedding")
@@ -1146,11 +1162,7 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # gate exception: both sides are strings of scheduler-latency-
         # bound jobs over a slice-sized index, so overlap saves their
         # fixed per-job overhead; guide §2.6 overlap-independent-jobs).
-        import threading
-
-        box: dict = {}
-
-        def _run_incremental():
+        def _run_incremental() -> bool:
             inc = idx.topk(k=1, n_probe=None).select(
                 "vec_id", F.col("neighbor_id").alias("inc_n"))
             # exactness reference in ONE job: driver-broadcast brute
@@ -1158,9 +1170,9 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ref = brute_force_topk(sub, sub, "vec_id", "embedding",
                                    k=1).select(
                 "vec_id", F.col("neighbor_id").alias("ref_n"))
-            box["incremental_ok"] = _equality_ok(ref, inc, "ref_n", "inc_n")
+            return _equality_ok(ref, inc, "ref_n", "inc_n")
 
-        def _run_search():
+        def _run_search() -> bool:
             # external-query verb against the SAME persisted index: re-id
             # a sub-slice (disjoint id namespace) and full-probe search it
             # — exact, so equality vs brute force with exclude_self=False
@@ -1172,16 +1184,12 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ref_s = brute_force_topk(qext, sub, "vec_id", "embedding", k=1,
                                      exclude_self=False).select(
                 "vec_id", F.col("neighbor_id").alias("r_n"))
-            box["search_ok"] = _equality_ok(ref_s, got_s, "r_n", "s_n")
+            return _equality_ok(ref_s, got_s, "r_n", "s_n")
 
-        ts = [threading.Thread(target=_run_incremental),
-              threading.Thread(target=_run_search)]
+        ts = [_Bg(_run_incremental), _Bg(_run_search)]
         for t in ts:
-            t.start()
-        for t in ts:
-            t.join()
-        incremental_ok = box["incremental_ok"]
-        search_ok = box["search_ok"]
+            t.wait()
+        incremental_ok, search_ok = ts[0].join(), ts[1].join()
         # removal verb against the SAME persisted index (runs LAST — it
         # changes the contents): tombstone a slice, then full-probe topk
         # must equal brute force over the SURVIVORS — deleted ids gone
@@ -1196,10 +1204,10 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("neighbor_id").alias("rd_n"))
         delete_ok = _equality_ok(ref_d, got_d, "rd_n", "d_n")
     finally:
+        final_t.wait()  # never leak the build past a failing lifecycle
         shutil.rmtree(scratch, ignore_errors=True)
-    final_t.join()
     return (
-        final_box["df"]
+        final_t.join()
         .select("vec_id", F.col("neighbor_id").alias("ivf_neighbor"),
                 F.lit(incremental_ok).alias("incremental_ok"),
                 F.lit(search_ok).alias("search_ok"),
@@ -1696,9 +1704,8 @@ def q_media_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 recs.append((did, encode_bmp(img), encode_wav(samples, 8000)))
             yield pd.DataFrame(recs, columns=["media_id", "bmp", "wav"])
 
-    import threading
-
     media_dir = tempfile.mkdtemp(prefix="sas_media_")
+    feats_t = None
     try:
         # the text-payload feature branch reads only the documents table —
         # independent of the synthetic media parquet — so its collect runs
@@ -1711,19 +1718,12 @@ def q_media_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(16)
         ).select("media_id", "n_bytes", "sha256",
                  F.round("byte_entropy", 6).alias("byte_entropy"))
-        box: dict = {}
-
-        def _grab_feats():
-            box["feats"] = feats_plan.collect()
-
-        t = threading.Thread(target=_grab_feats)
-        t.start()
+        feats_t = _Bg(feats_plan.collect)
         (docs.select("doc_id").repartition(16)
          .mapInPandas(make_media, "media_id long, bmp binary, wav binary")
          .write.mode("overwrite").parquet(media_dir))
         media = spark.read.parquet(media_dir)
-        t.join()
-        feats = spark.createDataFrame(box["feats"], feats_plan.schema)
+        feats = spark.createDataFrame(feats_t.join(), feats_plan.schema)
 
         img16 = decode_and_resize(
             media.select("media_id", F.col("bmp").alias("payload")),
@@ -1787,6 +1787,8 @@ def q_media_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_ms double, bmp_ok boolean, wav_ok boolean",
         ).orderBy("doc_id")
     finally:
+        if feats_t is not None:
+            feats_t.wait()  # never leak the collect past a failure
         shutil.rmtree(media_dir, ignore_errors=True)
 
 
@@ -1905,8 +1907,6 @@ def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash-gated end to end, not just each stage in isolation.
     (Reference analogue: the composed Heka monitor workload,
     heka_message_monitor.lua:618-709.)"""
-    import threading
-
     from ..pipeline import curate
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1937,13 +1937,7 @@ def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row stats then re-enter the final plan via createDataFrame with
     # the SAME derivation expressions, so values stay bit-identical.
     stats_plan = base.crossJoin(exact_vocab).crossJoin(vocab).crossJoin(lang_ent)
-    stats_box: dict = {}
-
-    def _grab_stats():
-        stats_box["rows"] = stats_plan.collect()
-
-    stats_t = threading.Thread(target=_grab_stats)
-    stats_t.start()
+    stats_t = _Bg(stats_plan.collect)
     # ---- planted curation funnel through curate() (docstring) ----------
     # Texts are synthesized from doc_id with per-doc-unique vocab, so
     # cross-class similarity is zero by construction and every funnel
@@ -2031,11 +2025,15 @@ def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
     )
-    plan = curate(
-        corpus, text_col="text", id_col="uid",
-        lang_allow=["en"], min_quality=0.5, near_threshold=0.8,
-        max_top_2gram_frac=0.9, max_dup_3gram_frac=0.6,
-        splits={"train": 1.0}, seq_len=128)
+    try:
+        plan = curate(
+            corpus, text_col="text", id_col="uid",
+            lang_allow=["en"], min_quality=0.5, near_threshold=0.8,
+            max_top_2gram_frac=0.9, max_dup_3gram_frac=0.6,
+            splits={"train": 1.0}, seq_len=128)
+    except BaseException:
+        stats_t.wait()  # never leak the collect past a failing curate
+        raise
     fun = plan.funnel()
 
     def stage_docs(s: str):
@@ -2062,8 +2060,7 @@ def q_corpus_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rse = 1.04 / np.sqrt(2 ** 14)
     # the stats side finished while curate() ran its call-time jobs;
     # re-enter it as a one-row literal frame (same values, same schema)
-    stats_t.join()
-    stats = spark.createDataFrame(stats_box["rows"], stats_plan.schema)
+    stats = spark.createDataFrame(stats_t.join(), stats_plan.schema)
     return (
         stats
         .crossJoin(funnel_row).crossJoin(pack_row)
@@ -2493,8 +2490,6 @@ def q_token_setops_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 1024
     rse = 1.04 / np.sqrt(2 ** p)
     rel = 1.0 / np.sqrt(k - 2)
-    import threading
-
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("lang", F.explode(fn.tokens(F.col("text"))).alias("token"))
     dt = toks.distinct().cache()
@@ -2521,13 +2516,7 @@ def q_token_setops_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exception: both are fixed-overhead job strings over the tiny cached
     # (lang, token) set; guide §2.6).  The pair-cardinality rows re-enter
     # the final join as a literal frame, values unchanged.
-    box: dict = {}
-
-    def _grab_grid():
-        box["grid"] = grid_plan.collect()
-
-    t = threading.Thread(target=_grab_grid)
-    t.start()
+    grid_t = _Bg(grid_plan.collect)
     # ONE combined build (identical estimates to the separate ops — both
     # families consume the same xxhash64 values): one scan + one Python
     # build + one merge instead of two of each.
@@ -2537,8 +2526,7 @@ def q_token_setops_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kmv_union").alias("_kmv_union"),
         "est_a_minus_b", "est_b_minus_a",
     )
-    t.join()
-    grid = spark.createDataFrame(box["grid"], grid_plan.schema)
+    grid = spark.createDataFrame(grid_t.join(), grid_plan.schema)
     n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     tbound = 4 * rel * n_union + 5
     return (
@@ -2575,8 +2563,6 @@ def q_countsketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch_agg import count_sketch_build, count_sketch_probe
     from ..sketches.count_sketch import CountSketch
 
-    import threading
-
     li = load_table(spark, "lineitem", sf_dir)
     cnts = li.groupBy("l_returnflag", "l_partkey").agg(
         F.count("*").alias("cnt")
@@ -2595,14 +2581,7 @@ def q_countsketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming-gate exception: two small fixed-overhead job strings over
     # the same cached/page-warm input; guide §2.6).  The key-cardinality
     # rows re-enter the plan as literal frames, values unchanged.
-    box: dict = {}
-
-    def _grab_exact():
-        box["f2"] = f2.collect()
-        box["top"] = top_plan.collect()
-
-    t = threading.Thread(target=_grab_exact)
-    t.start()
+    exact_t = _Bg(lambda: (f2.collect(), top_plan.collect()))
     # ONE sketch build serves both capabilities: the same (5 x 2048)
     # signed-counter table answers the AMS F2 estimate (median of row
     # sum-of-squares, computed here from the collected bytes — 3 groups x
@@ -2617,9 +2596,9 @@ def q_countsketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
          for k, v in sketches.items()],
         "l_returnflag string, f2_estimate double",
     )
-    t.join()
-    f2 = spark.createDataFrame(box["f2"], f2.schema)
-    top = spark.createDataFrame(box["top"], top_plan.schema)
+    f2_rows_c, top_rows_c = exact_t.join()
+    f2 = spark.createDataFrame(f2_rows_c, f2.schema)
+    top = spark.createDataFrame(top_rows_c, top_plan.schema)
     rel = float(np.sqrt(8.0 / 2048))
     f2_rows = (
         f2.join(est, "l_returnflag")
@@ -2743,8 +2722,6 @@ def q_checkpoint_resume_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_dir = tempfile.mkdtemp(prefix="sas_ckpt_base_")
     broken_dir = tempfile.mkdtemp(prefix="sas_ckpt_broken_")
     try:
-        import threading
-
         # the BASE (uninterrupted) lifecycle and the BROKEN (withheld-
         # partitions) first run write to DIFFERENT checkpoint dirs and
         # share no state — run them CONCURRENTLY (the CLAUDE.md
@@ -2753,20 +2730,19 @@ def q_checkpoint_resume_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # saves their serial fixed cost; guide §2.6).  The resumed run
         # stays strictly AFTER the broken run — that ordering IS the
         # contract under test.
-        box: dict = {}
-
         def _run_base():
             base_ck = SketchCheckpoint(spark, base_dir, "q")
-            box["base"] = {r["event_type"]: r["approx_distinct"] for r in
-                           base_ck.run(ev, ["event_type"], **kw).collect()}
+            base = {r["event_type"]: r["approx_distinct"] for r in
+                    base_ck.run(ev, ["event_type"], **kw).collect()}
             # the deterministic non-empty partition set (hash partitioning
             # is a pure function of event_id) — derived from the base
             # run's OWN lineage (its checkpoint covers exactly the
             # non-empty partitions) instead of a dedicated distinct()
             # scan job over the input
-            box["nonempty"] = frozenset(
+            nonempty = frozenset(
                 r["partition_id"]
                 for r in base_ck.lineage_metrics().collect())
+            return base, nonempty
 
         def _run_broken():
             broken = SketchCheckpoint(spark, broken_dir, "q")
@@ -2774,15 +2750,12 @@ def q_checkpoint_resume_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the returned merged frame is never needed here — collecting
             # it was a whole wasted merge job
             broken.run(ev, ["event_type"], fail_partitions=fail, **kw)
-            box["reused"] = broken.completed_partitions()
+            return broken.completed_partitions()
 
-        ts = [threading.Thread(target=_run_base),
-              threading.Thread(target=_run_broken)]
+        ts = [_Bg(_run_base), _Bg(_run_broken)]
         for t in ts:
-            t.start()
-        for t in ts:
-            t.join()
-        base, nonempty, reused = box["base"], box["nonempty"], box["reused"]
+            t.wait()
+        (base, nonempty), reused = ts[0].join(), ts[1].join()
         resumed_ck = SketchCheckpoint(spark, broken_dir, "q")
         # the resume's survivor set was JUST computed (broken.completed_
         # partitions above) — hand it to run() so the gate doesn't pay the
